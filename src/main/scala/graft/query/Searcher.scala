@@ -1,0 +1,196 @@
+package graft.query
+
+import graft.analysis.Analyzer
+import graft.index.TextIndex
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+sealed trait Logic
+case object And extends Logic // `/root/reference/query.go:13-18` Logic=AND
+case object Or extends Logic  //                                  Logic=OR
+
+final case class ResolvedTerm(term: String, termId: Long, df: Long)
+
+/** Query planning for the inverted index.
+  *
+  * The keyword is analyzed on the driver with the same analyzer as the
+  * documents (`/root/reference/query.go:29-33`), resolved against the term
+  * dictionary, and compiled into one declarative DataFrame plan: a
+  * partition-prunable postings scan, a single doc-level hash aggregation
+  * (intersection/union + scoring in the same pass), and a top-k or
+  * doc_ord-ascending sort. No per-term round-trips, no driver-side cursors.
+  */
+final class Searcher(val index: TextIndex, val analyzer: Analyzer) {
+
+  private val spark = index.docs.sparkSession
+  import spark.implicits._
+
+  /** BM25 parameters (standard Robertson defaults). */
+  val k1 = 1.2
+  val b = 0.75
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Term dictionary lookup. Unknown terms are silently dropped, like the
+    * SQL IN lookup in `/root/reference/storage_rdb_Impl.go:134-149`. */
+  def resolve(terms: Seq[String]): Seq[ResolvedTerm] = {
+    if (terms.isEmpty) return Nil
+    val found = index.termDict
+      .filter(col("term").isin(terms.distinct: _*))
+      .select("term", "term_id", "df")
+      .collect()
+      .map(r => r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1), r.getLong(2)))
+      .toMap
+    terms.flatMap(found.get) // query order preserved (ORDER BY FIELD parity)
+  }
+
+  private def emptyDocs(withScore: Boolean): DataFrame = {
+    val base = index.docs.limit(0)
+    if (withScore) base.withColumn("score", lit(0.0)) else base
+  }
+
+  /** TF-IDF weight of a term — exactly the reference formula
+    * `idf = log2(N/(df+1)) + 1` (`/root/reference/sorter.go:34`). */
+  def tfIdfWeight(df: Long): Double =
+    math.log(index.numDocs.toDouble / (df + 1).toDouble) / math.log(2.0) + 1.0
+
+  /** BM25 idf (Robertson/Lucene form, always positive). */
+  def bm25Idf(df: Long): Double =
+    math.log(1.0 + (index.numDocs - df + 0.5) / (df + 0.5))
+
+  /** Per-doc aggregation over the postings of the resolved terms: number of
+    * distinct query terms present + the requested score sum, in ONE pass. */
+  private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame = {
+    val weights = rts.map(rt => (rt.termId, tfIdfWeight(rt.df), bm25Idf(rt.df)))
+      .toDF("term_id", "w_tfidf", "w_bm25")
+    index.postings
+      .filter(col("term_id").isin(rts.map(_.termId): _*))
+      .join(broadcast(weights), "term_id")
+      .join(index.docStats, "doc_ord")
+      .groupBy(col("doc_ord"))
+      .agg(count(lit(1)).as("nterms"), sum(scoreExpr).as("score"))
+  }
+
+  private def tfIdfExpr: Column =
+    col("tf").cast("double") / col("token_count").cast("double") * col("w_tfidf")
+
+  private def bm25Expr: Column = {
+    val norm = lit(k1) * (lit(1 - b) + lit(b) * col("token_count").cast("double") / lit(index.avgDocLen))
+    col("w_bm25") * (col("tf").cast("double") * lit(k1 + 1)) / (col("tf").cast("double") + norm)
+  }
+
+  private def fetchDocs(matched: DataFrame, ranked: Boolean): DataFrame = {
+    val joined = index.docs.join(matched.select("doc_ord", "score"), "doc_ord")
+    if (ranked) joined.orderBy(desc("score"), asc("doc_ord"))
+    else joined.drop("score").orderBy(asc("doc_ord"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** MatchAllQuery: every document, docID order
+    * (`/root/reference/searcher.go:18-30`). */
+  def matchAll(): DataFrame = index.docs.orderBy(asc("doc_ord"))
+
+  /** MatchQuery (AND/OR), unranked: ascending doc_ord like the reference's
+    * and/orMatch cursor walks (`/root/reference/searcher.go:112-139`).
+    * AND with any unknown term short-circuits to empty on the driver
+    * (`searcher.go:66-68`) — no cluster work is launched at all. */
+  def matchQuery(keyword: String, logic: Logic): DataFrame =
+    matchImpl(keyword, logic, ranked = false)
+
+  /** MatchQuery with TF-IDF ranking, rank-identical to
+    * `/root/reference/sorter.go:22-41` with the tie-break pinned to
+    * ascending doc_ord (the reference's unstable sort leaves ties undefined). */
+  def matchQueryRanked(keyword: String, logic: Logic): DataFrame =
+    matchImpl(keyword, logic, ranked = true)
+
+  private def matchImpl(keyword: String, logic: Logic, ranked: Boolean): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct // IN-lookup set semantics
+    if (qTerms.isEmpty) return emptyDocs(ranked)
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(ranked)
+    if (logic == And && rts.size != qTerms.size) return emptyDocs(ranked)
+
+    val agg = scoredMatches(rts, if (ranked) tfIdfExpr else lit(0.0))
+    val matched = logic match {
+      case And => agg.filter(col("nterms") === lit(rts.size))
+      case Or  => agg
+    }
+    fetchDocs(matched, ranked)
+  }
+
+  /** PhraseQuery: all terms must resolve (`searcher.go:230-232`), docs must
+    * contain every query position's term, and the position sets — each
+    * shifted left by its query ordinal — must share a common element
+    * (`searcher.go:277-314`). The shift-and-intersect runs as a native
+    * higher-order `aggregate(array_intersect)` inside the doc-level
+    * aggregation: no UDF, no driver loop. Single-term phrases degenerate to
+    * match-any (`searcher_test.go:209-218`). */
+  def phraseQuery(phrase: String, ranked: Boolean = false): DataFrame = {
+    val qTerms = analyzer.terms(phrase) // NOT deduped: each ordinal matters
+    if (qTerms.isEmpty) return emptyDocs(ranked)
+    val rtsByTerm = resolve(qTerms.distinct).map(rt => rt.term -> rt).toMap
+    if (rtsByTerm.size != qTerms.distinct.size) return emptyDocs(ranked) // some term unknown
+    val slots = qTerms.zipWithIndex.map { case (t, i) => (rtsByTerm(t).termId, i) }
+    val slotsDf = slots.toDF("term_id", "q_pos")
+    val k = slots.size
+
+    val ids = slots.map(_._1).distinct
+    val cand = index.postings
+      .filter(col("term_id").isin(ids: _*))
+      .join(broadcast(slotsDf), "term_id")
+      .select(col("doc_ord"), col("q_pos"), col("positions"), col("tf"), col("term_id"))
+
+    val rel = (x: Column) =>
+      transform(x.getField("positions"), p => p - x.getField("q_pos"))
+    val grouped = cand
+      .groupBy(col("doc_ord"))
+      .agg(
+        count(lit(1)).as("nslots"),
+        collect_list(struct(col("q_pos"), col("positions"))).as("pls")
+      )
+      .filter(col("nslots") === lit(k))
+      .withColumn(
+        "common",
+        aggregate(
+          col("pls"),
+          lit(null).cast("array<int>"),
+          (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x)))
+        )
+      )
+      .filter(size(col("common")) > 0)
+
+    if (!ranked) fetchDocs(grouped.withColumn("score", lit(0.0)), ranked = false)
+    else {
+      // score the phrase-matched docs with TF-IDF over the phrase's terms
+      val rts = rtsByTerm.values.toSeq
+      val scored = scoredMatches(rts, tfIdfExpr)
+        .join(grouped.select("doc_ord"), "doc_ord", "left_semi")
+      fetchDocs(scored, ranked = true)
+    }
+  }
+
+  /** Exhaustive BM25 top-k (OR semantics over the query terms): the oracle
+    * plan the block-max WAND path must be rank-identical to. Compiles to
+    * TakeOrderedAndProject — per-partition heaps + driver merge, no global
+    * sort. */
+  def bm25TopK(keyword: String, k: Int): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val scored = scoredMatches(rts, bm25Expr)
+    index.docs
+      .join(scored.select("doc_ord", "score"), "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** All matched docs with BM25 scores (no top-k) — used by oracles where a
+    * stable full set beats a float-boundary-sensitive top-k. */
+  def bm25All(keyword: String): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    fetchDocs(scoredMatches(rts, bm25Expr), ranked = true)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.analysis
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The Catalyst column path (native functions or UDF fallback) must be
+  * behaviourally identical to the pure-Scala `Analyzer.analyze` — the index
+  * uses the former, query analysis uses the latter, and term matching relies
+  * on their agreement. (No scalatestplus bridge in the offline cache, so we
+  * draw a deterministic sample from the Gen with a fixed seed.) */
+class AnalyzerColumnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf(" ", ",", "!", "　", ":(", "日本", "ば", "'s", "-", "123")
+  )).map(_.mkString)
+
+  private def check(a: Analyzer, inputs: Seq[String]): Unit = {
+    val df = inputs.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "text")
+    val got = df.select(col("id"), a.termsColumn(col("text")).as("terms"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    inputs.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i) == a.terms(s), s"input=${s.take(60)}")
+    }
+  }
+
+  private val analyzers = Seq(
+    "standard" -> Analyzer.standard(),
+    "standard+stop" -> Analyzer.standard(stopWords = Seq("a", "the", "i")),
+    "standard+stem(udf)" -> Analyzer.standard(stem = true),
+    "charfilter+standard" -> Analyzer(
+      Seq(MappingCharFilter(Map(":(" -> "sad", "-" -> " "))),
+      StandardTokenizer(), Seq(LowercaseFilter())),
+    "ngram2" -> Analyzer(Nil, NgramTokenizer(2), Seq(LowercaseFilter())),
+    "ngram3+stop" -> Analyzer(Nil, NgramTokenizer(3), Seq(LowercaseFilter(), StopWordFilter(Seq("abc"))))
+  )
+
+  private val sampleInputs: Seq[String] =
+    Gen.listOfN(150, textGen)(Gen.Parameters.default, Seed(42L)).getOrElse(Nil) ++
+      Seq("", " ", "a", "I feel TIRED :(", "日本昔ばなし", "aa bb cc aa",
+        "the the the", "Ruby PHP JS", "x'y's z")
+
+  analyzers.foreach { case (name, a) =>
+    test(s"column path == scala path: $name") {
+      assert(sampleInputs.size > 150)
+      check(a, sampleInputs)
+    }
+  }
+
+  test("native path is used (no UDF) for standard+lowercase+stopword") {
+    val a = Analyzer.standard(stopWords = Seq("the"))
+    val plan = spark.range(1).selectExpr("'x y the z' as text")
+      .select(a.termsColumn(col("text"))).queryExecution.analyzed.toString()
+    assert(!plan.toLowerCase.contains("udf"), s"expected no UDF in: $plan")
+  }
+}
