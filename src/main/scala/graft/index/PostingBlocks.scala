@@ -1,0 +1,103 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** One compressed block of up to `blockSize` postings for (term, doc-range
+  * bucket): delta-packed ascending docIDs, varint tfs and doc lengths, plus
+  * the block-max metadata WAND prunes with (SURVEY.md §4.3).
+  *
+  * `max_q` is the block's maximum of the BM25 term quotient
+  * `tf / (tf + k1*(1-b + b*dl/avgdl))` — the score contribution before the
+  * (per-query, per-term) idf multiplier, so one build serves any query.
+  *
+  * Blocks never span doc-range buckets: queries partition work by bucket
+  * (doc-space parallelism), each bucket running an independent WAND that
+  * needs all of its terms' blocks co-located.
+  */
+final case class PostingBlockRow(
+    term_id: Long,
+    bucket: Long,
+    min_doc: Long,
+    max_doc: Long,
+    n: Int,
+    max_q: Double,
+    docs: Array[Byte],
+    tfs: Array[Byte],
+    dls: Array[Byte]
+)
+
+final case class BlockParams(
+    blockSize: Int = 128,
+    bucketSpan: Long = 1L << 16,
+    k1: Double = 1.2,
+    b: Double = 0.75
+)
+
+object PostingBlocks {
+
+  /** idf-free BM25 term contribution `(tf*(k1+1)) / (tf + k1*((1-b)+(b*dl)/avgdl))`
+    * — the quantity the WAND scorer computes (times idf), so block `max_q`
+    * upper-bounds exactly what gets scored. */
+  def quotient(tf: Long, dl: Long, avgdl: Double, p: BlockParams): Double = {
+    val tfd = tf.toDouble
+    (tfd * (p.k1 + 1)) / (tfd + p.k1 * ((1 - p.b) + (p.b * dl.toDouble) / avgdl))
+  }
+
+  /** Build the block table. The shape the north_star names: shuffle once on
+    * the bucket, `sortWithinPartitions(bucket, term_id, doc_ord)`, then a
+    * streaming `mapPartitions` packs consecutive runs — no per-group
+    * materialization beyond one block. */
+  def build(index: TextIndex, params: BlockParams = BlockParams()): Dataset[PostingBlockRow] = {
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val avgdl = index.avgDocLen
+    val p = params
+
+    val rows = index.postings
+      .select(col("term_id"), col("doc_ord"), col("tf").cast("long").as("tf"))
+      .join(index.docStats.select(col("doc_ord"), col("token_count").cast("long").as("dl")), "doc_ord")
+      .withColumn("bucket", floor(col("doc_ord") / lit(p.bucketSpan)).cast("long"))
+      .select(col("term_id"), col("bucket"), col("doc_ord"), col("tf"), col("dl"))
+      .as[(Long, Long, Long, Long, Long)]
+
+    rows
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("term_id"), col("doc_ord"))
+      .mapPartitions { it =>
+        new Iterator[PostingBlockRow] {
+          private val buf = it.buffered
+          override def hasNext: Boolean = buf.hasNext
+          override def next(): PostingBlockRow = {
+            val (tid, bkt, _, _, _) = buf.head
+            val docs = Array.newBuilder[Long]
+            val tfs = Array.newBuilder[Long]
+            val dls = Array.newBuilder[Long]
+            var n = 0
+            var maxQ = 0.0
+            var minDoc = Long.MaxValue
+            var maxDoc = Long.MinValue
+            while (buf.hasNext && n < p.blockSize && {
+              val (t, bk, _, _, _) = buf.head; t == tid && bk == bkt
+            }) {
+              val (_, _, d, tf, dl) = buf.next()
+              docs += d; tfs += tf; dls += dl
+              if (d < minDoc) minDoc = d
+              if (d > maxDoc) maxDoc = d
+              val q = quotient(tf, dl, avgdl, p)
+              if (q > maxQ) maxQ = q
+              n += 1
+            }
+            PostingBlockRow(tid, bkt, minDoc, maxDoc, n, maxQ,
+              BlockCodec.packDeltas(docs.result()),
+              BlockCodec.packVarints(tfs.result()),
+              BlockCodec.packVarints(dls.result()))
+          }
+        }
+      }
+  }
+
+  def decodeDocs(b: PostingBlockRow): Array[Long] = BlockCodec.unpackDeltas(b.docs, b.n)
+  def decodeTfs(b: PostingBlockRow): Array[Long] = BlockCodec.unpackVarints(b.tfs, b.n)
+  def decodeDls(b: PostingBlockRow): Array[Long] = BlockCodec.unpackVarints(b.dls, b.n)
+}

@@ -1,0 +1,225 @@
+package graft.query
+
+import graft.index.{BlockParams, PostingBlockRow, PostingBlocks}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Distributed block-max WAND top-k (SURVEY.md §4.3 item 2).
+  *
+  * Work is partitioned over doc-range buckets (each bucket holds all query
+  * terms' blocks for its doc range, co-located at build time): every bucket
+  * runs an independent WAND with its own k-heap and emits at most k local
+  * candidates; the global `orderBy(score desc, doc_ord asc).limit(k)` merge
+  * then touches only `k × nBuckets` rows — no partition ever materializes
+  * full posting intersections. Pruning uses per-term global upper bounds for
+  * pivot selection and per-block maxima for skip decisions, both strict
+  * (`< threshold`) and padded by 1 ulp-scale epsilon against float
+  * re-association, so ties survive and the result is rank-identical to the
+  * exhaustive BM25 plan — property-tested in BlockMaxWandSpec.
+  */
+object BlockMaxWand {
+
+  /** Safety factor on upper bounds: bounds and scores are computed with
+    * slightly different operation orders (bound: weight * max_q; score:
+    * (weight * num) / den), so a bound can undershoot the true score by an
+    * ulp. Inflating bounds keeps pruning lossless; it never affects scores. */
+  private val UbPad = 1.0 + 1e-9
+
+  private final case class Hit(doc: Long, score: Double)
+
+  // dequeue() returns the WORST hit: lowest score, then largest doc —
+  // mirror of the exhaustive plan's (score desc, doc_ord asc) ordering.
+  private val worstFirst: Ordering[Hit] =
+    Ordering.by[Hit, (Double, Long)](h => (-h.score, h.doc))
+
+  /** Top-k over the block table.
+    *
+    * @param weights term_id -> idf weight (must be positive)
+    * @param params  the BlockParams the blocks were built with
+    * @param avgdl   average doc length the blocks were built with
+    */
+  def topK(
+      blocks: Dataset[PostingBlockRow],
+      weights: Map[Long, Double],
+      k: Int,
+      params: BlockParams,
+      avgdl: Double
+  ): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    require(k > 0, "k must be positive")
+    if (weights.isEmpty) return Seq.empty[(Long, Double)].toDF("doc_ord", "score")
+    val ids = weights.keys.toSeq
+    val bw = spark.sparkContext.broadcast((weights, params, avgdl))
+
+    blocks
+      .filter(col("term_id").isin(ids: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val (w, p, adl) = bw.value
+        val cursors = rows.toVector.groupBy(_.term_id).iterator.map {
+          case (tid, bs) => new Cursor(w(tid), bs.sortBy(_.min_doc), p, adl)
+        }.toArray
+        wand(cursors, k)
+      }
+      .toDF("doc_ord", "score")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** Lazy-decoding cursor over one term's doc-ascending block list. */
+  private final class Cursor(
+      val weight: Double,
+      blocks: Vector[PostingBlockRow],
+      params: BlockParams,
+      avgdl: Double
+  ) {
+    private var bi = 0
+    private var pi = 0
+    private var docs: Array[Long] = null
+    private var tfs: Array[Long] = null
+    private var dls: Array[Long] = null
+
+    val globalUb: Double =
+      weight * blocks.iterator.map(_.max_q).max * UbPad
+
+    decodeIfNeeded()
+
+    private def decodeIfNeeded(): Unit =
+      if (docs == null && bi < blocks.length) {
+        val blk = blocks(bi)
+        docs = PostingBlocks.decodeDocs(blk)
+        tfs = PostingBlocks.decodeTfs(blk)
+        dls = PostingBlocks.decodeDls(blk)
+      }
+
+    def exhausted: Boolean = bi >= blocks.length
+    def curDoc: Long = if (exhausted) Long.MaxValue else docs(pi)
+
+    /** Same operation order as the exhaustive Column expression
+      * `w * (tf*(k1+1)) / (tf + k1*((1-b) + (b*dl)/avgdl))` so scores agree
+      * with the oracle plan to the last ulp per term. */
+    def curScore: Double = {
+      val tf = tfs(pi).toDouble
+      val dl = dls(pi).toDouble
+      (weight * (tf * (params.k1 + 1))) /
+        (tf + params.k1 * ((1 - params.b) + (params.b * dl) / avgdl))
+    }
+
+    def next(): Unit = {
+      pi += 1
+      if (pi >= blocks(bi).n) { bi += 1; pi = 0; docs = null; decodeIfNeeded() }
+    }
+
+    /** Move to the first posting with doc >= d; skips whole blocks without
+      * decoding them. */
+    def advanceTo(d: Long): Unit = {
+      if (exhausted || curDoc >= d) return
+      while (bi < blocks.length && blocks(bi).max_doc < d) { bi += 1; pi = 0; docs = null }
+      if (bi >= blocks.length) { docs = null; return }
+      decodeIfNeeded()
+      var lo = pi
+      var hi = blocks(bi).n - 1
+      if (docs(lo) >= d) return
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (docs(mid) < d) lo = mid else hi = mid - 1
+      }
+      pi = lo + 1
+      if (pi >= blocks(bi).n) { bi += 1; pi = 0; docs = null; decodeIfNeeded() }
+    }
+
+    /** Block-max bound for docs >= d (0 if none); no decode, no mutation. */
+    def shallowUb(d: Long): Double = {
+      var i = bi
+      while (i < blocks.length && blocks(i).max_doc < d) i += 1
+      if (i >= blocks.length) 0.0 else weight * blocks(i).max_q * UbPad
+    }
+
+    /** max_doc of the block shallowUb(d) refers to (MaxValue if none). */
+    def shallowMaxDoc(d: Long): Long = {
+      var i = bi
+      while (i < blocks.length && blocks(i).max_doc < d) i += 1
+      if (i >= blocks.length) Long.MaxValue else blocks(i).max_doc
+    }
+  }
+
+  private def wand(cursors0: Array[Cursor], k: Int): Iterator[(Long, Double)] = {
+    val heap = mutable.PriorityQueue.empty[Hit](worstFirst)
+    val all = cursors0.filterNot(_.exhausted)
+    if (all.isEmpty) return Iterator.empty
+
+    def threshold: Double = if (heap.size < k) Double.NegativeInfinity else heap.head.score
+    def qualifies(s: Double, d: Long): Boolean =
+      heap.size < k || {
+        val w = heap.head
+        s > w.score || (s == w.score && d < w.doc)
+      }
+
+    var done = false
+    while (!done) {
+      val live = all.filterNot(_.exhausted).sortBy(_.curDoc)
+      if (live.isEmpty) done = true
+      else {
+        // pivot: minimal prefix whose global-ub sum could reach threshold
+        var acc = 0.0
+        var p = -1
+        var i = 0
+        while (p < 0 && i < live.length) {
+          acc += live(i).globalUb
+          if (acc >= threshold) p = i
+          i += 1
+        }
+        if (p < 0) done = true // total bound below threshold: nothing left can qualify
+        else {
+          val pivotDoc = live(p).curDoc
+          while (p + 1 < live.length && live(p + 1).curDoc == pivotDoc) p += 1
+
+          if (live(0).curDoc == pivotDoc) {
+            var bm = 0.0
+            var j = 0
+            while (j <= p) { bm += live(j).shallowUb(pivotDoc); j += 1 }
+            if (bm >= threshold) {
+              // fully score the pivot
+              var s = 0.0
+              var j2 = 0
+              while (j2 <= p) {
+                if (live(j2).curDoc == pivotDoc) { s += live(j2).curScore; live(j2).next() }
+                j2 += 1
+              }
+              if (qualifies(s, pivotDoc)) {
+                heap.enqueue(Hit(pivotDoc, s))
+                if (heap.size > k) heap.dequeue()
+              }
+            } else {
+              // block-max skip: past the current blocks, capped by the next
+              // cursor's doc so no contribution is ever missed
+              var d2 = Long.MaxValue
+              var j3 = 0
+              while (j3 <= p) {
+                val m = live(j3).shallowMaxDoc(pivotDoc)
+                if (m < d2) d2 = m
+                j3 += 1
+              }
+              var target = if (d2 == Long.MaxValue) Long.MaxValue else d2 + 1
+              if (p + 1 < live.length && live(p + 1).curDoc < target)
+                target = live(p + 1).curDoc
+              var j4 = 0
+              while (j4 <= p) { live(j4).advanceTo(target); j4 += 1 }
+            }
+          } else {
+            // move lagging cursors up to the pivot
+            var j5 = 0
+            while (j5 < live.length && live(j5).curDoc < pivotDoc) {
+              live(j5).advanceTo(pivotDoc)
+              j5 += 1
+            }
+          }
+        }
+      }
+    }
+    heap.dequeueAll.reverse.iterator.map((h: Hit) => (h.doc, h.score))
+  }
+}

@@ -1,8 +1,8 @@
 package graft.query
 
 import graft.analysis.Analyzer
-import graft.index.TextIndex
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.index.{BlockParams, PostingBlockRow, PostingBlocks, TextIndex}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 sealed trait Logic
@@ -20,14 +20,22 @@ final case class ResolvedTerm(term: String, termId: Long, df: Long)
   * (intersection/union + scoring in the same pass), and a top-k or
   * doc_ord-ascending sort. No per-term round-trips, no driver-side cursors.
   */
-final class Searcher(val index: TextIndex, val analyzer: Analyzer) {
+final class Searcher(
+    val index: TextIndex,
+    val analyzer: Analyzer,
+    val blockParams: BlockParams = BlockParams()
+) {
 
   private val spark = index.docs.sparkSession
   import spark.implicits._
 
-  /** BM25 parameters (standard Robertson defaults). */
-  val k1 = 1.2
-  val b = 0.75
+  /** BM25 parameters (standard Robertson defaults via BlockParams). */
+  val k1: Double = blockParams.k1
+  val b: Double = blockParams.b
+
+  /** Block table for the WAND path, built once on first use. */
+  lazy val blocks: Dataset[PostingBlockRow] =
+    PostingBlocks.build(index, blockParams).cache()
 
   // ---------------------------------------------------------------- helpers
 
@@ -183,6 +191,17 @@ final class Searcher(val index: TextIndex, val analyzer: Analyzer) {
       .join(scored.select("doc_ord", "score"), "doc_ord")
       .orderBy(desc("score"), asc("doc_ord"))
       .limit(k)
+  }
+
+  /** Block-max WAND BM25 top-k — rank-identical to `bm25TopK` (lossless
+    * pruning; see BlockMaxWand). Returns (doc_ord, score) joined with docs. */
+  def bm25TopKWand(keyword: String, k: Int): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val weights = rts.map(rt => rt.termId -> bm25Idf(rt.df)).toMap
+    val top = BlockMaxWand.topK(blocks, weights, k, blockParams, index.avgDocLen)
+    index.docs.join(top, "doc_ord").orderBy(desc("score"), asc("doc_ord"))
   }
 
   /** All matched docs with BM25 scores (no top-k) — used by oracles where a
