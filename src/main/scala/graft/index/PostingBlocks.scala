@@ -48,15 +48,22 @@ object PostingBlocks {
     * the bucket, `sortWithinPartitions(bucket, term_id, doc_ord)`, then a
     * streaming `mapPartitions` packs consecutive runs — no per-group
     * materialization beyond one block. */
-  def build(index: TextIndex, params: BlockParams = BlockParams()): Dataset[PostingBlockRow] = {
-    val spark = index.postings.sparkSession
+  def build(index: TextIndex, params: BlockParams = BlockParams()): Dataset[PostingBlockRow] =
+    buildFrom(index.postings, index.docStats, index.avgDocLen, params)
+
+  def buildFrom(
+      postings: DataFrame,
+      docStats: DataFrame,
+      avgdl: Double,
+      params: BlockParams
+  ): Dataset[PostingBlockRow] = {
+    val spark = postings.sparkSession
     import spark.implicits._
-    val avgdl = index.avgDocLen
     val p = params
 
-    val rows = index.postings
+    val rows = postings
       .select(col("term_id"), col("doc_ord"), col("tf").cast("long").as("tf"))
-      .join(index.docStats.select(col("doc_ord"), col("token_count").cast("long").as("dl")), "doc_ord")
+      .join(docStats.select(col("doc_ord"), col("token_count").cast("long").as("dl")), "doc_ord")
       .withColumn("bucket", floor(col("doc_ord") / lit(p.bucketSpan)).cast("long"))
       .select(col("term_id"), col("bucket"), col("doc_ord"), col("tf"), col("dl"))
       .as[(Long, Long, Long, Long, Long)]

@@ -23,7 +23,10 @@ final case class TextIndex(
     termDict: DataFrame,
     postings: DataFrame,
     numDocs: Long,
-    avgDocLen: Double
+    avgDocLen: Double,
+    termBuckets: Int = 0 // >0 when postings/term_dict carry a t_bucket
+                         // partition column (persisted layout) usable for
+                         // partition pruning at query time
 ) {
   def cache(): TextIndex = {
     docs.cache(); docStats.cache(); termDict.cache(); postings.cache()

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape: candidate generation is always a key-equality join
+  * (hash/LSH bucket), never an unblocked cross join; exact similarity is
+  * verified only on candidates.
+  */
+object Dedup {
+
+  /** Exact dedup on the normalized token stream: one row per distinct
+    * content, keeping the smallest id (a single hash aggregation — the
+    * map-side combine collapses duplicates before the shuffle). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), concat_ws(" ", TextStats.tokensCol(col(textCol))).as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("keep_id"), col("dup_cnt"))
+
+  /** Word n-gram (shingle) array of the normalized tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextStats.tokensCol(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double")
+        / size(array_union(a, b)).cast("double"))
+
+  /** Blocked exact n-gram Jaccard: candidate pairs share `blockCol` (e.g.
+    * source) — the blocking that keeps this linear-ish instead of N².
+    * Returns (id_a, id_b, jaccard) for pairs above `threshold`. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      n: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val withSh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      shingles(col(textCol), n).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("blk"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature column: for each of `numHashes` seeded affine
+    * permutations over xxhash64(shingle), the minimum value. Empty shingle
+    * sets get Long.MaxValue rows (never collide with real content). */
+  def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val rnd = new java.util.Random(seed)
+    val p = 1000000007L // (h mod p) * a + b stays well inside a long
+    val coeffs = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+    val mins = coeffs.map { case (ca, cb) =>
+      when(size(sh) === 0, lit(Long.MaxValue)).otherwise(
+        array_min(transform(sh, s =>
+          pmod(pmod(xxhash64(s), lit(p)) * lit(ca) + lit(cb), lit(p)))))
+    }
+    array(mins.toIndexedSeq: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs: shingle → signature → band
+    * buckets → bucket-equality join (the scale path) → exact Jaccard verify
+    * on candidates only.
+    *
+    * @return (id_a, id_b, jaccard) for verified candidates ≥ threshold
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // persisted once: both band-join sides and the verify join read it;
+    // without this the shingle+signature chain is recomputed 4x
+    val withSh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")).persist()
+
+    // band key rows carry ONLY (id, band, bucket) — the heavy shingle arrays
+    // never enter the candidate join's shuffle
+    val banded = withSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(lit("band"), bnd,
+            concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand))))))
+          .as(Seq("band", "bucket")))
+
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair can collide in several bands
+
+    // exact-Jaccard verification only on candidates
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset (unit weights): bit i is set
+    * when more token-hashes have bit i than not. Fully native columns. */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextStats.tokensCol(col(textCol))
+    // one bit-majority aggregate per bit position (shift amounts must be
+    // Scala literals — functions.shiftright takes Int), OR-folded into a
+    // single long; everything stays native/codegen'd
+    // hash every token exactly once (a materialized projection between the
+    // two selects), then take 64 bit-majority votes over the long array —
+    // NOT xxhash64 inside each of the 64 folds
+    val hashed = docs.select(col(idCol),
+      transform(toks, t => xxhash64(t)).as("th"))
+    val simhash = (0 until 64).map { i =>
+      val vote = aggregate(col("th"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    hashed.select(col(idCol), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs via banding on 16-bit chunks (hamming ≤ 3 ⇒ at
+    * least one of 4 chunks equal — pigeonhole), verified by exact hamming
+    * distance. Returns (id_a, id_b, hamming ≤ maxHamming). */
+  def simhashPairs(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val sh = simhash64(docs, idCol, textCol).select(col(idCol).as("id"), col("simhash"))
+    val chunks = (0 until 4).map(c =>
+      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)))
+    // persisted: the self-join would recompute 64 hash-votes per row twice
+    val chunked = sh.select(col("id"), col("simhash"),
+      posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")))
+      .persist()
+    val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold among candidates sharing
+    * an LSH bucket (random-hyperplane signs; see Similarity.lshBuckets). */
+  def embeddingCosinePairs(
+      emb: DataFrame,
+      threshold: Double,
+      planes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L
+  ): DataFrame = {
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes, dim = -1, seed))
+      .persist() // read by both self-join sides
+    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+
+  /** Keep-one representative view from a pair list: drop every id that
+    * appears as the larger member of a dup pair (transitive enough for
+    * near-dup filtering pipelines; exact clustering is a later round). */
+  def dropDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+}

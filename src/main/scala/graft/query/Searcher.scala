@@ -9,7 +9,16 @@ sealed trait Logic
 case object And extends Logic // `/root/reference/query.go:13-18` Logic=AND
 case object Or extends Logic  //                                  Logic=OR
 
-final case class ResolvedTerm(term: String, termId: Long, df: Long)
+final case class ResolvedTerm(term: String, termId: Long, df: Long, bucket: Int = -1)
+
+object Searcher {
+  /** Searcher over a persisted index: reuses its WAND block table and block
+    * parameters instead of rebuilding them. */
+  def apply(p: graft.storage.PersistedIndex, analyzer: Analyzer): Searcher =
+    new Searcher(p.index, analyzer,
+      BlockParams(blockSize = p.manifest.blockSize, bucketSpan = p.manifest.bucketSpan),
+      Some(p.blocks))
+}
 
 /** Query planning for the inverted index.
   *
@@ -23,7 +32,8 @@ final case class ResolvedTerm(term: String, termId: Long, df: Long)
 final class Searcher(
     val index: TextIndex,
     val analyzer: Analyzer,
-    val blockParams: BlockParams = BlockParams()
+    val blockParams: BlockParams = BlockParams(),
+    preBuiltBlocks: Option[Dataset[PostingBlockRow]] = None
 ) {
 
   private val spark = index.docs.sparkSession
@@ -33,9 +43,10 @@ final class Searcher(
   val k1: Double = blockParams.k1
   val b: Double = blockParams.b
 
-  /** Block table for the WAND path, built once on first use. */
+  /** Block table for the WAND path: the persisted table when the index was
+    * loaded from storage, otherwise built once on first use. */
   lazy val blocks: Dataset[PostingBlockRow] =
-    PostingBlocks.build(index, blockParams).cache()
+    preBuiltBlocks.getOrElse(PostingBlocks.build(index, blockParams).cache())
 
   // ---------------------------------------------------------------- helpers
 
@@ -43,13 +54,29 @@ final class Searcher(
     * SQL IN lookup in `/root/reference/storage_rdb_Impl.go:134-149`. */
   def resolve(terms: Seq[String]): Seq[ResolvedTerm] = {
     if (terms.isEmpty) return Nil
+    val hasBucket = index.termBuckets > 0
+    val cols = if (hasBucket) Seq("term", "term_id", "df", "t_bucket")
+               else Seq("term", "term_id", "df")
     val found = index.termDict
       .filter(col("term").isin(terms.distinct: _*))
-      .select("term", "term_id", "df")
+      .select(cols.map(col): _*)
       .collect()
-      .map(r => r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1), r.getLong(2)))
+      .map(r => r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1), r.getLong(2),
+        if (hasBucket) r.getInt(3) else -1))
       .toMap
     terms.flatMap(found.get) // query order preserved (ORDER BY FIELD parity)
+  }
+
+  /** Postings scan restricted to the query terms — with t_bucket partition
+    * pruning when the index is a persisted bucketed layout, so only the
+    * touched term-bucket directories are read at all
+    * (the Spark analogue of `GetInvertedIndexByTokenIDs`,
+    * `/root/reference/storage_rdb_Impl.go:151-172`). */
+  private def postingsFor(rts: Seq[ResolvedTerm]): DataFrame = {
+    val byId = index.postings.filter(col("term_id").isin(rts.map(_.termId): _*))
+    if (index.termBuckets > 0)
+      byId.filter(col("t_bucket").isin(rts.map(_.bucket).distinct: _*))
+    else byId
   }
 
   private def emptyDocs(withScore: Boolean): DataFrame = {
@@ -71,8 +98,7 @@ final class Searcher(
   private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame = {
     val weights = rts.map(rt => (rt.termId, tfIdfWeight(rt.df), bm25Idf(rt.df)))
       .toDF("term_id", "w_tfidf", "w_bm25")
-    index.postings
-      .filter(col("term_id").isin(rts.map(_.termId): _*))
+    postingsFor(rts)
       .join(broadcast(weights), "term_id")
       .join(index.docStats, "doc_ord")
       .groupBy(col("doc_ord"))
@@ -143,9 +169,7 @@ final class Searcher(
     val slotsDf = slots.toDF("term_id", "q_pos")
     val k = slots.size
 
-    val ids = slots.map(_._1).distinct
-    val cand = index.postings
-      .filter(col("term_id").isin(ids: _*))
+    val cand = postingsFor(rtsByTerm.values.toSeq)
       .join(broadcast(slotsDf), "term_id")
       .select(col("doc_ord"), col("q_pos"), col("positions"), col("tf"), col("term_id"))
 

@@ -1,0 +1,197 @@
+package graft.storage
+
+import graft.analysis.Analyzer
+import graft.index.{BlockParams, PostingBlockRow, PostingBlocks, TextIndex}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent, resumable index build over partitioned Parquet with
+  * Iceberg-style manifest + commit markers (SURVEY.md §2.6, north_rule).
+  *
+  * Layout under `path/`:
+  * {{{
+  *   docs/                          doc_ord + passthrough columns + text
+  *   doc_stats/                     doc_ord, token_count
+  *   _stage/raw/t_bucket=N/         (term, doc_ord, positions, tf) checkpoint
+  *   term_dict/                     term_id, term, df, cf, t_bucket
+  *   postings/t_bucket=N/           term_id, doc_ord, positions, tf
+  *   blocks/bucket=N/               WAND block table (doc-range partitioned)
+  *   _markers/<stage>.json          atomic per-stage commit + metrics
+  *   manifest.json                  overall commit (written last)
+  * }}}
+  *
+  * Resumability: every stage (and every postings write-group) is guarded by
+  * an atomic marker; a restarted build skips committed work and recomputes
+  * nothing upstream of the `_stage/raw` checkpoint — analysis runs at most
+  * once per build. Idempotence of retried groups comes from dynamic
+  * partition overwrite (a group owns a disjoint set of t_bucket partitions).
+  *
+  * Skew: the raw checkpoint is written with an explicit salt on doc_ord in
+  * the repartition key, so a hot term's bucket is produced by `saltFactor`
+  * parallel tasks instead of one (north_rule's explicit skew handling); the
+  * doc-range-bucketed block table re-spreads hot terms again at query time.
+  */
+final case class StorageParams(
+    termBuckets: Int = 64,
+    writeGroups: Int = 8,
+    saltFactor: Int = 8,
+    blockParams: BlockParams = BlockParams()
+)
+
+final case class PersistedIndex(
+    index: TextIndex,
+    blocks: Dataset[PostingBlockRow],
+    manifest: IndexManifest
+)
+
+/** Thrown by tests via `failAfter` to simulate a crashed build. */
+final class InjectedFailure(stage: String)
+  extends RuntimeException(s"injected failure after stage $stage")
+
+object ParquetIndexStorage {
+
+  private def marker(path: String, stage: String) = s"$path/_markers/$stage.json"
+
+  /** Build (or resume building) a persisted index.
+    *
+    * @param docs      input with dense doc_ord + `textCol` (+ passthrough)
+    * @param failAfter test hook: throw after completing the named stage
+    */
+  def build(
+      docs: DataFrame,
+      analyzer: Analyzer,
+      path: String,
+      params: StorageParams = StorageParams(),
+      sourceDesc: String = "unknown",
+      textCol: String = "text",
+      failAfter: Option[String] = None
+  ): IndexManifest = {
+    val spark = docs.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val p = params
+    val lineage = Map(
+      "source" -> sourceDesc,
+      "analyzer" -> analyzer.describe,
+      "termBuckets" -> p.termBuckets.toString,
+      "blockSize" -> p.blockParams.blockSize.toString,
+      "bucketSpan" -> p.blockParams.bucketSpan.toString
+    )
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageMarker]
+
+    def runStage(name: String)(body: => StageMarker): StageMarker = {
+      val existing = ManifestIO.read(marker(path, name), classOf[StageMarker])
+      val m = existing.getOrElse {
+        val t0 = System.currentTimeMillis()
+        val res = body
+        val m0 = res.copy(durationMs = System.currentTimeMillis() - t0)
+        ManifestIO.write(marker(path, name), m0)
+        m0
+      }
+      stages += m
+      if (failAfter.contains(name)) throw new InjectedFailure(name)
+      m
+    }
+
+    // ---- stage: docs + doc_stats ----------------------------------------
+    val docsMarker = runStage("docs") {
+      docs.write.mode("overwrite").parquet(s"$path/docs")
+      val analyzed = spark.read.parquet(s"$path/docs")
+        .select(col("doc_ord"), analyzer.termsColumn(col(textCol)).as("terms"))
+      analyzed.select(col("doc_ord"), size(col("terms")).as("token_count"))
+        .write.mode("overwrite").parquet(s"$path/doc_stats")
+      val r = spark.read.parquet(s"$path/doc_stats")
+        .agg(count(lit(1)), coalesce(avg(col("token_count")), lit(0.0)),
+          coalesce(sum(col("token_count")), lit(0L))).head()
+      StageMarker("docs", r.getLong(0), 0,
+        lineage ++ Map("avgdl" -> r.getDouble(1).toString, "tokens" -> r.getLong(2).toString))
+    }
+    val numDocs = docsMarker.rows
+    val avgdl = docsMarker.lineage("avgdl").toDouble
+
+    // ---- stage: raw postings checkpoint (analysis runs HERE, once) ------
+    runStage("raw") {
+      val analyzed = spark.read.parquet(s"$path/docs")
+        .select(col("doc_ord"), analyzer.termsColumn(col(textCol)).as("terms"))
+      val byTermDoc = analyzed
+        .select(col("doc_ord"), posexplode(col("terms")).as(Seq("pos", "term")))
+        .groupBy(col("term"), col("doc_ord"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"),
+          count(lit(1)).cast("int").as("tf"))
+        .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(p.termBuckets)).cast("int"))
+      byTermDoc
+        .repartition(col("t_bucket"), pmod(col("doc_ord"), lit(p.saltFactor)))
+        .write.mode("overwrite").partitionBy("t_bucket").parquet(s"$path/_stage/raw")
+      StageMarker("raw", -1, 0, lineage)
+    }
+
+    // ---- stage: term dictionary -----------------------------------------
+    runStage("dict") {
+      val raw = spark.read.parquet(s"$path/_stage/raw")
+      val termStats = raw.groupBy(col("term"), col("t_bucket"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      graft.index.Ids.withDenseOrdinal(termStats, "term_id", Seq("term"))
+        .select("term_id", "term", "df", "cf", "t_bucket")
+        .write.mode("overwrite").parquet(s"$path/term_dict")
+      StageMarker("dict", spark.read.parquet(s"$path/term_dict").count(), 0, lineage)
+    }
+
+    // ---- stage: final postings, in resumable bucket groups ---------------
+    val groups = 0 until p.writeGroups
+    groups.foreach { g =>
+      runStage(s"postings_g$g") {
+        val buckets = (0 until p.termBuckets).filter(_ % p.writeGroups == g)
+        val raw = spark.read.parquet(s"$path/_stage/raw")
+          .filter(col("t_bucket").isin(buckets: _*))
+        val dict = spark.read.parquet(s"$path/term_dict")
+          .filter(col("t_bucket").isin(buckets: _*))
+          .select("term", "term_id")
+        val fin = raw.join(dict, "term")
+          .select("term_id", "doc_ord", "positions", "tf", "t_bucket")
+        fin.write.mode("overwrite").partitionBy("t_bucket").parquet(s"$path/postings")
+        val metrics = spark.read.parquet(s"$path/postings")
+          .filter(col("t_bucket").isin(buckets: _*))
+          .groupBy(col("t_bucket"))
+          .agg(count(lit(1)).as("postings"), sum(col("tf")).as("tokens"),
+            approx_count_distinct(col("term_id")).as("terms"))
+          .collect()
+          .map(r => BucketMetrics(r.getInt(0), r.getLong(3), r.getLong(1), r.getLong(2), 0))
+        StageMarker(s"postings_g$g", metrics.map(_.postings).sum, 0, lineage, metrics.toSeq)
+      }
+    }
+
+    // ---- stage: WAND block table -----------------------------------------
+    runStage("blocks") {
+      val postings = spark.read.parquet(s"$path/postings")
+      val docStats = spark.read.parquet(s"$path/doc_stats")
+      PostingBlocks.buildFrom(postings, docStats, avgdl, p.blockParams)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/blocks")
+      StageMarker("blocks", spark.read.parquet(s"$path/blocks").count(), 0, lineage)
+    }
+
+    val mf = IndexManifest(1, sourceDesc, analyzer.describe, numDocs, avgdl,
+      p.termBuckets, p.blockParams.blockSize, p.blockParams.bucketSpan, stages.toSeq)
+    ManifestIO.write(s"$path/manifest.json", mf)
+    mf
+  }
+
+  def read(spark: SparkSession, path: String): PersistedIndex = {
+    import spark.implicits._
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    val index = TextIndex(
+      docs = spark.read.parquet(s"$path/docs"),
+      docStats = spark.read.parquet(s"$path/doc_stats"),
+      termDict = spark.read.parquet(s"$path/term_dict"),
+      postings = spark.read.parquet(s"$path/postings"),
+      numDocs = mf.numDocs,
+      avgDocLen = mf.avgDocLen,
+      termBuckets = mf.termBuckets
+    )
+    // partition column comes back as int — restore the case-class schema
+    val blocks = spark.read.parquet(s"$path/blocks")
+      .select(col("term_id"), col("bucket").cast("long"), col("min_doc"),
+        col("max_doc"), col("n"), col("max_q"), col("docs"), col("tfs"), col("dls"))
+      .as[PostingBlockRow]
+    PersistedIndex(index, blocks, mf)
+  }
+}

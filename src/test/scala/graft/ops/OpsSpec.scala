@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus with planted exact + near duplicates
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "src0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "src0"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat", "src0"),   // near dup of 0
+    (3L, "completely different content about spark sql engines", "src0"),
+    (4L, "the quick brown fox jumps over the lazy dog today", "src1"), // near dup, other block
+    (5L, "spark sql engines and how to tune them properly", "src1"),
+    (6L, "Der Hund und die Katze und der Vogel", "src1"),
+    (7L, "el perro y la casa de que los gatos", "src1"),
+    (8L, "", "src1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(docs).orderBy("keep_id").collect()
+    val m = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(0L) == 2L) // docs 0 and 1
+    assert(m(2L) == 1L)
+    assert(out.map(_.getLong(1)).sum == 9L)
+  }
+
+  test("ngram jaccard finds the planted near-dup within its block") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "source", threshold = 0.3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 }) // exact
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 2L })             // near
+    // cross-block pair (0,4) must NOT appear: blocking is the contract
+    assert(!pairs.exists { case (a, b, _) => a == 0L && b == 4L })
+  }
+
+  test("minhash LSH candidates contain all high-jaccard pairs (recall)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "source", threshold = 0.7, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, threshold = 0.7, numHashes = 32, bands = 16, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands of 2 rows: P(detect) at j=0.7 is ~1-(1-0.49)^16 ≈ 1.0
+    assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
+    // verified jaccard means no false positives above threshold either
+    val verified = Dedup.minhashLshPairs(docs, 0.7, 32, 16, 2)
+      .collect().map(r => r.getDouble(2))
+    assert(verified.forall(_ >= 0.7))
+  }
+
+  test("simhash: identical docs get identical hashes; near-dups are close") {
+    val h = Dedup.simhash64(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(1L))
+    val near = java.lang.Long.bitCount(h(0L) ^ h(2L))
+    val far = java.lang.Long.bitCount(h(0L) ^ h(3L))
+    assert(near < far, s"near=$near far=$far")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("quality + token count + langid + fingerprints are deterministic and sane") {
+    val q = TextStats.quality(docs).orderBy("doc_id").collect()
+    assert(q(8).getLong(1) == 0L) // empty doc: n_chars 0
+    assert(q(0).getDouble(4) > 0.2) // stopword-heavy English line
+    val tc = TextStats.tokenCount(docs).orderBy("doc_id").collect()
+    assert(tc(0).getLong(1) == 9L)
+    assert(tc(8).getLong(1) == 0L)
+    val lang = TextStats.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lang(0L) == "en" && lang(6L) == "de" && lang(7L) == "es" && lang(8L) == "und")
+    val fp = TextStats.fingerprintMd5(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
+    val fr = TextStats.fingerprintRolling(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fr(0L) == TextStats.rollingRef("the quick brown fox jumps over the lazy dog"))
+    assert(fr(8L) == 0L)
+  }
+
+  // ---- embeddings -----------------------------------------------------
+
+  private lazy val emb = {
+    val rnd = new java.util.Random(42)
+    val base = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    def jitter(eps: Float) = base.map(x => x + eps * rnd.nextFloat())
+    (Seq(
+      (0L, base.toSeq, 0),
+      (1L, jitter(0.01f).toSeq, 0),            // near-identical to 0
+      (2L, jitter(0.5f).toSeq, 0),
+      (3L, Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq, 1),
+      (4L, Array.fill(8)(rnd.nextFloat() * 2 - 1).toSeq, 1),
+      (5L, base.map(-_).toSeq, 1)              // antipode of 0
+    )).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("brute-force cosine top-k ranks the planted neighbor first") {
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0L), k = 3)
+      .orderBy("rank").collect()
+    assert(top(0).getLong(2) == 1L)       // nearest = jittered copy
+    assert(top(0).getDouble(3) > 0.99)
+    assert(!top.map(_.getLong(2)).contains(5L)) // antipode not in top-3
+  }
+
+  test("LSH top-k achieves recall@3 >= 2/3 vs brute force on this corpus") {
+    val queries = emb.filter(col("vec_id").isin(0L, 3L))
+    val bf = Similarity.bruteForceTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 3, planes = 2, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty)
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall=$recall bf=$bf lsh=$lsh")
+    assert(lsh.contains((0L, 1L))) // the near-identical pair must share buckets
+  }
+
+  test("blocked cosine pairs: same-label near pair found, cross-label excluded") {
+    val pairs = Similarity.cosinePairsBlocked(emb, "label", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.forall { case (a, b) => !(a == 0L && b == 5L) })
+    val dd = Dedup.embeddingCosinePairs(emb, threshold = 0.99, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dd.contains((0L, 1L)))
+  }
+
+  test("multimodal plumbing: schema, determinism, stub features") {
+    val withMedia = Multimodal.withSyntheticMedia(docs)
+    assert(withMedia.schema("media").dataType.typeName == "binary")
+    val dec = new Multimodal.StubDecoder(8)
+    val f1 = Multimodal.extractFeatures(withMedia, dec).orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(withMedia.repartition(5), dec).orderBy("doc_id").collect()
+    assert(f1.length == 9)
+    assert(f1.map(_.getSeq[Float](1)).zip(f2.map(_.getSeq[Float](1))).forall { case (a, b) => a == b },
+      "features must be deterministic under repartitioning")
+    assert(f1.head.getSeq[Float](1).size == 8)
+  }
+}
