@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: with the default tiny -Xms, G1 continually
+  // commits/uncommits regions under Spark's allocation pattern, producing
+  // kernel-time storms (88%+ sys) and 4-30x slowdowns in this VM. Measured:
+  // a 135k-doc index build dropped from 80-160s to <20s at local[32].
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

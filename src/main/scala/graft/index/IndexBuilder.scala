@@ -9,23 +9,68 @@ import org.apache.spark.sql.functions._
   * The reference indexes row-at-a-time with an in-memory buffer and a
   * threshold-triggered merge into MySQL (`/root/reference/indexer.go:20-61`),
   * paying 1-2 DB round-trips per token occurrence. The Spark-native build is
-  * one declarative DAG — analyze → posexplode → hash-aggregate → dictionary
-  * join — whose two shuffles (`groupBy(term, doc)` and the dict join) replace
-  * the buffer/merge dance entirely; partial (map-side) aggregation collapses
-  * repeated terms before anything crosses the network.
+  * one DAG: a fused analyze+group mapPartitions pass over the documents
+  * (narrow — no shuffle), then a hash-aggregated term dictionary and a
+  * dictionary join; doc stats fall out of the same pass as `sum(tf)`.
   */
 object IndexBuilder {
+
+  /** (doc_ord, term, positions, tf) rows straight from (doc_ord, text):
+    * analysis AND per-term position grouping fused into one mapPartitions
+    * pass using the same pure-Scala Analyzer the query side uses (parity by
+    * construction). Positions are ordinals within one document's filtered
+    * token stream (`/root/reference/indexer.go:64-71`) — an intra-row
+    * grouping, so no shuffle is needed.
+    *
+    * Why not declarative: `groupBy(term, doc).agg(collect_list(pos))` plans
+    * as ObjectHashAggregate (sort-based fallback past 128 groups, per-group
+    * buffer reflection — measured minutes at 55M tokens), and higher-order
+    * `transform/filter` columns evaluate interpreted, not codegen'd
+    * (measured ~4ms/doc). This is the one spot where mapPartitions is the
+    * Spark-honest answer, and the north_star names it for posting build.
+    */
+  def docTermPostings(docs: DataFrame, analyzer: Analyzer, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_ord"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (doc, text) =>
+          val terms = analyzer.analyze(if (text == null) "" else text)
+          val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+          var i = 0
+          terms.foreach { t =>
+            var b = m.get(t.term)
+            if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; m.put(t.term, b) }
+            b += i
+            i += 1
+          }
+          // dl (= Document.TokenCount) denormalized onto every posting row:
+          // +4 bytes buys freedom from any doc_stats join at block-build and
+          // query time — at 10^12 docs that join is a full shuffle
+          val dl = i
+          val out = new Array[(Long, String, Seq[Int], Int, Int)](m.size)
+          var j = 0
+          val e = m.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            val pos = kv.getValue.result()
+            out(j) = (doc, kv.getKey, scala.collection.immutable.ArraySeq.unsafeWrapArray(pos), pos.length, dl)
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_ord", "term", "positions", "tf", "dl")
+  }
 
   /** Build from any DataFrame that has a dense `doc_ord:long` and a text
     * column. Extra columns on `docs` are kept (for returning documents).
     *
-    * @param docOrdCol  name of the dense document ordinal column
-    * @param textCol    name of the indexed text column
+    * @param materialize cache + count every output DF (and drop intermediate
+    *                    caches) so the analyze+group pass runs exactly once,
+    *                    not once per downstream consumer.
     */
-  /** @param materialize cache + count every output DF (and drop the
-    *                     intermediate analysis/aggregation caches) so the
-    *                     expensive analyze→explode→agg chain runs exactly
-    *                     once, not once per downstream consumer. */
   def build(
       docsIn: DataFrame,
       analyzer: Analyzer,
@@ -36,28 +81,18 @@ object IndexBuilder {
     val docs = if (docOrdCol == "doc_ord") docsIn
                else docsIn.withColumnRenamed(docOrdCol, "doc_ord")
 
-    // One pass of analysis per document; token position = ordinal in the
-    // filtered stream (`/root/reference/indexer.go:64-71`).
-    val analyzed0 = docs
-      .select(col("doc_ord"), analyzer.termsColumn(col(textCol)).as("terms"))
-    val analyzed = if (materialize) analyzed0.persist() else analyzed0
-
-    val docStats = analyzed
-      .select(col("doc_ord"), size(col("terms")).as("token_count"))
-
-    val tokens = analyzed
-      .select(col("doc_ord"), posexplode(col("terms")).as(Seq("pos", "term")))
-
-    // (term, doc) aggregation: sorted positions + tf. Map-side combine makes
-    // this the skew-safe first reduction (hot terms still fan out across
-    // doc_ord values, so no single reducer key explodes here).
-    val byTermDoc0 = tokens
-      .groupBy(col("term"), col("doc_ord"))
-      .agg(
-        sort_array(collect_list(col("pos"))).as("positions"),
-        count(lit(1)).cast("int").as("tf")
-      )
+    val byTermDoc0 = docTermPostings(docs, analyzer, textCol)
     val byTermDoc = if (materialize) byTermDoc0.persist() else byTermDoc0
+
+    // Document.TokenCount = size of the filtered stream = the denormalized
+    // dl (`/root/reference/indexer.go:21-22`). Zero-token docs carry no
+    // postings and can never match, so their absence here is harmless;
+    // N and avgdl are computed against the full docs table below.
+    // Map-side combine collapses this to one row per (partition, doc)
+    // before the shuffle.
+    val docStats = byTermDoc
+      .groupBy(col("doc_ord"))
+      .agg(max(col("dl")).cast("int").as("token_count"))
 
     // Term dictionary with document/collection frequencies; term_id assigned
     // by deterministic term order (vs the reference's DB auto-increment,
@@ -65,28 +100,38 @@ object IndexBuilder {
     val termStats = byTermDoc
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-    val termDict = Ids.withDenseOrdinal(termStats, "term_id", Seq("term"))
-      .select("term_id", "term", "df", "cf")
+    val (termDictRaw, dictCleanup) =
+      Ids.withDenseOrdinalHandle(termStats, "term_id", Seq("term"))
+    val termDict = termDictRaw.select("term_id", "term", "df", "cf")
 
+    // postings is a broadcast-join VIEW over the one materialized store
+    // (byTermDoc) — the id swap costs a hash probe per row at read time
+    // instead of a second 100M+-row cache build (measured 98s at 115M rows).
+    // The dict side is hinted broadcast: its lineage passes through
+    // mapPartitions, which blocks size estimation, so Catalyst would
+    // otherwise plan a shuffle join even for a 20k-term vocabulary.
     val postings = byTermDoc
-      .join(termDict.select("term_id", "term"), "term")
-      .select("term_id", "doc_ord", "positions", "tf")
+      .join(broadcast(termDict.select("term_id", "term")), "term")
+      .select("term_id", "doc_ord", "positions", "tf", "dl")
 
     val (docsF, docStatsF, termDictF, postingsF) =
       if (materialize) {
         val d = docs.cache(); val ds = docStats.cache()
-        val td = termDict.cache(); val po = postings.cache()
-        ds.count(); td.count(); po.count(); d.count()
-        analyzed.unpersist(); byTermDoc.unpersist()
-        (d, ds, td, po)
+        val td = termDict.cache()
+        byTermDoc.count() // the single big materialization
+        ds.count(); td.count(); d.count()
+        dictCleanup()
+        (d, ds, td, postings)
       } else (docs, docStats, termDict, postings)
 
     val (n, avgdl) = {
-      val r = docStatsF.agg(
-        count(lit(1)).as("n"),
-        coalesce(avg(col("token_count")), lit(0.0)).as("avgdl")
-      ).head()
-      (r.getLong(0), r.getDouble(1))
+      // exact integer arithmetic, one division: avg() would sum doubles in
+      // partition order and make avgdl (hence every BM25 score) differ in
+      // the last ulp across parallelism levels
+      val nn = docsF.count()
+      val tokens = docStatsF.agg(
+        coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+      (nn, if (nn == 0) 0.0 else tokens.toDouble / nn)
     }
 
     TextIndex(docsF, docStatsF, termDictF, postingsF, n, avgdl)
@@ -100,9 +145,11 @@ object IndexBuilder {
     */
   def buildFromTurns(turns: DataFrame, analyzer: Analyzer,
       materialize: Boolean = false): TextIndex = {
-    val docs = Ids.withDenseOrdinal(
+    val (docs, cleanup) = Ids.withDenseOrdinalHandle(
       turns.select("conv_id", "turn_idx", "text"),
       "doc_ord", Seq("conv_id", "turn_idx"))
-    build(docs, analyzer, materialize = materialize)
+    val idx = build(docs, analyzer, materialize = materialize)
+    if (materialize) cleanup() // docs are cached + counted by build()
+    idx
   }
 }

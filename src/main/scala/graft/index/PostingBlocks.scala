@@ -61,9 +61,18 @@ object PostingBlocks {
     import spark.implicits._
     val p = params
 
-    val rows = postings
-      .select(col("term_id"), col("doc_ord"), col("tf").cast("long").as("tf"))
-      .join(docStats.select(col("doc_ord"), col("token_count").cast("long").as("dl")), "doc_ord")
+    // dl is denormalized onto posting rows by the fused build; only join
+    // doc_stats for legacy inputs without it (that join is a full shuffle
+    // at scale — the denormalized path avoids it)
+    val withDl =
+      if (postings.columns.contains("dl"))
+        postings.select(col("term_id"), col("doc_ord"),
+          col("tf").cast("long").as("tf"), col("dl").cast("long").as("dl"))
+      else postings
+        .select(col("term_id"), col("doc_ord"), col("tf").cast("long").as("tf"))
+        .join(docStats.select(col("doc_ord"), col("token_count").cast("long").as("dl")), "doc_ord")
+
+    val rows = withDl
       .withColumn("bucket", floor(col("doc_ord") / lit(p.bucketSpan)).cast("long"))
       .select(col("term_id"), col("bucket"), col("doc_ord"), col("tf"), col("dl"))
       .as[(Long, Long, Long, Long, Long)]

@@ -94,13 +94,18 @@ final class Searcher(
     math.log(1.0 + (index.numDocs - df + 0.5) / (df + 0.5))
 
   /** Per-doc aggregation over the postings of the resolved terms: number of
-    * distinct query terms present + the requested score sum, in ONE pass. */
+    * distinct query terms present + the requested score sum, in ONE pass.
+    * Doc length comes from the denormalized `dl` on the posting rows (no
+    * doc_stats join per query); legacy indexes without it fall back. */
   private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame = {
     val weights = rts.map(rt => (rt.termId, tfIdfWeight(rt.df), bm25Idf(rt.df)))
       .toDF("term_id", "w_tfidf", "w_bm25")
-    postingsFor(rts)
+    val base = postingsFor(rts)
+    val withDl =
+      if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
+      else base.join(index.docStats, "doc_ord")
+    withDl
       .join(broadcast(weights), "term_id")
-      .join(index.docStats, "doc_ord")
       .groupBy(col("doc_ord"))
       .agg(count(lit(1)).as("nterms"), sum(scoreExpr).as("score"))
   }

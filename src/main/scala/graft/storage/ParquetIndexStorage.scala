@@ -92,31 +92,19 @@ object ParquetIndexStorage {
       m
     }
 
-    // ---- stage: docs + doc_stats ----------------------------------------
+    // ---- stage: docs ------------------------------------------------------
     val docsMarker = runStage("docs") {
       docs.write.mode("overwrite").parquet(s"$path/docs")
-      val analyzed = spark.read.parquet(s"$path/docs")
-        .select(col("doc_ord"), analyzer.termsColumn(col(textCol)).as("terms"))
-      analyzed.select(col("doc_ord"), size(col("terms")).as("token_count"))
-        .write.mode("overwrite").parquet(s"$path/doc_stats")
-      val r = spark.read.parquet(s"$path/doc_stats")
-        .agg(count(lit(1)), coalesce(avg(col("token_count")), lit(0.0)),
-          coalesce(sum(col("token_count")), lit(0L))).head()
-      StageMarker("docs", r.getLong(0), 0,
-        lineage ++ Map("avgdl" -> r.getDouble(1).toString, "tokens" -> r.getLong(2).toString))
+      StageMarker("docs", spark.read.parquet(s"$path/docs").count(), 0, lineage)
     }
     val numDocs = docsMarker.rows
-    val avgdl = docsMarker.lineage("avgdl").toDouble
 
     // ---- stage: raw postings checkpoint (analysis runs HERE, once) ------
     runStage("raw") {
-      val analyzed = spark.read.parquet(s"$path/docs")
-        .select(col("doc_ord"), analyzer.termsColumn(col(textCol)).as("terms"))
-      val byTermDoc = analyzed
-        .select(col("doc_ord"), posexplode(col("terms")).as(Seq("pos", "term")))
-        .groupBy(col("term"), col("doc_ord"))
-        .agg(sort_array(collect_list(col("pos"))).as("positions"),
-          count(lit(1)).cast("int").as("tf"))
+      // fused analyze+group mapPartitions pass (see
+      // IndexBuilder.docTermPostings) — no shuffle, no ObjectHashAggregate
+      val byTermDoc = graft.index.IndexBuilder
+        .docTermPostings(spark.read.parquet(s"$path/docs"), analyzer, textCol)
         .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(p.termBuckets)).cast("int"))
       byTermDoc
         .repartition(col("t_bucket"), pmod(col("doc_ord"), lit(p.saltFactor)))
@@ -124,14 +112,32 @@ object ParquetIndexStorage {
       StageMarker("raw", -1, 0, lineage)
     }
 
+    // ---- stage: doc stats (token_count = Σ tf from the raw checkpoint) ----
+    val statsMarker = runStage("stats") {
+      spark.read.parquet(s"$path/_stage/raw")
+        .groupBy(col("doc_ord"))
+        .agg(sum(col("tf")).cast("int").as("token_count"))
+        .write.mode("overwrite").parquet(s"$path/doc_stats")
+      val tokens = spark.read.parquet(s"$path/doc_stats")
+        .agg(coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+      // exact sum/count division (not avg()): keeps avgdl — and with it all
+      // BM25 scores — bit-identical across parallelism levels
+      val avgdl0 = if (numDocs == 0) 0.0 else tokens.toDouble / numDocs
+      StageMarker("stats", numDocs, 0,
+        lineage ++ Map("avgdl" -> avgdl0.toString, "tokens" -> tokens.toString))
+    }
+    val avgdl = statsMarker.lineage("avgdl").toDouble
+
     // ---- stage: term dictionary -----------------------------------------
     runStage("dict") {
       val raw = spark.read.parquet(s"$path/_stage/raw")
       val termStats = raw.groupBy(col("term"), col("t_bucket"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
-      graft.index.Ids.withDenseOrdinal(termStats, "term_id", Seq("term"))
-        .select("term_id", "term", "df", "cf", "t_bucket")
+      val (withIds, cleanup) =
+        graft.index.Ids.withDenseOrdinalHandle(termStats, "term_id", Seq("term"))
+      withIds.select("term_id", "term", "df", "cf", "t_bucket")
         .write.mode("overwrite").parquet(s"$path/term_dict")
+      cleanup()
       StageMarker("dict", spark.read.parquet(s"$path/term_dict").count(), 0, lineage)
     }
 
@@ -146,7 +152,7 @@ object ParquetIndexStorage {
           .filter(col("t_bucket").isin(buckets: _*))
           .select("term", "term_id")
         val fin = raw.join(dict, "term")
-          .select("term_id", "doc_ord", "positions", "tf", "t_bucket")
+          .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
         fin.write.mode("overwrite").partitionBy("t_bucket").parquet(s"$path/postings")
         val metrics = spark.read.parquet(s"$path/postings")
           .filter(col("t_bucket").isin(buckets: _*))
