@@ -1,9 +1,8 @@
 package graft.index
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.LongType
 
 /** Dense, deterministic 0-based ordinal assignment by global key order —
@@ -14,9 +13,9 @@ import org.apache.spark.sql.types.LongType
   * equivalent must not be `row_number() OVER (ORDER BY ...)` (one partition).
   * Instead: range-repartition on the key, sort within partitions, count per
   * partition (a tiny driver-side array), broadcast the cumulative offsets,
-  * and assign `offset(partition) + local_index` in a single mapPartitions.
+  * and assign `offset(partition) + local_index`.
   *
-  * CORRECTNESS NOTE: the range-partitioned input MUST be persisted before
+  * CORRECTNESS NOTE 1: the range-partitioned input MUST be persisted before
   * the two passes. RangePartitioner seeds its reservoir sampling from the
   * ephemeral RDD id, so two separate actions on the same lazy plan can see
   * DIFFERENT range bounds — the count pass and the assign pass would then
@@ -24,6 +23,17 @@ import org.apache.spark.sql.types.LongType
   * Persisting pins one materialized partitioning for both passes. Callers
   * that materialize the output should invoke the returned cleanup to free
   * the pinned input (at extreme scale, substitute a parquet checkpoint).
+  *
+  * CORRECTNESS NOTE 2: both passes run on ONE captured RDD via
+  * `mapPartitionsWithIndex`, whose partition index is pinned to that RDD at
+  * plan time. The round-1 implementation used `TaskContext.getPartitionId()`
+  * inside a Dataset `mapPartitions`, which is the id of whatever STAGE the
+  * operator ends up fused into: when a downstream consumer unions the
+  * ordained frame with other data (IndexMerge does, and `foreachBatch`
+  * force-disables AQE so nothing re-plans around it), the stage's partition
+  * ids shift past the offsets array and — with the then-silent `else 0L`
+  * fallback — every row restarted at offset 0, silently minting duplicate
+  * ids. Out-of-contract partition ids now fail the job loudly.
   */
 object Ids {
 
@@ -49,26 +59,35 @@ object Ids {
     val sorted = df.repartitionByRange(np, keys: _*).sortWithinPartitions(keys: _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val counts = sorted
-      .groupBy(spark_partition_id().as("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
-    val offsets = new Array[Long](maxPid + 1)
+    // ONE RDD for both passes: its partition indices are immutable plan-time
+    // facts, immune to downstream stage fusion (see CORRECTNESS NOTE 2).
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator(pid -> {
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+      }), preservesPartitioning = true)
+      .collect().toMap
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
     var acc = 0L
     var p = 0
-    while (p <= maxPid) { offsets(p) = acc; acc += counts.getOrElse(p, 0L); p += 1 }
+    while (p < nParts) { offsets(p) = acc; acc += counts.getOrElse(p, 0L); p += 1 }
     val bc = spark.sparkContext.broadcast(offsets)
 
     val outSchema = sorted.schema.add(idCol, LongType, nullable = false)
-    val out = sorted.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
-      var i = if (pid < bc.value.length) bc.value(pid) else 0L
+    val outRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (pid >= bc.value.length)
+        throw new IllegalStateException(
+          s"dense-ordinal partition id $pid out of range (${bc.value.length} offsets); " +
+            "the pinned input's partitioning changed between passes")
+      var i = bc.value(pid)
       it.map { r =>
         val o = Row.fromSeq(r.toSeq :+ i)
         i += 1
         o
       }
-    }(Encoders.row(outSchema))
+    }
+    val out = spark.createDataFrame(outRdd, outSchema)
     (out, () => { sorted.unpersist(); () })
   }
 }
