@@ -10,10 +10,13 @@ trait Tokenizer extends Serializable {
 
 /** Split on any code point that is not a Unicode letter or number,
   * dropping empty segments (`/root/reference/tokenizer.go:14-29` uses
-  * `unicode.IsLetter/IsNumber`; Java's `Character.isLetter/isDigit` over
-  * code points matches on the categories the tests exercise).
+  * `unicode.IsLetter/IsNumber`). "Number" is the full \p{N} class —
+  * Nd+Nl+No, matching Go's `unicode.IsNumber` and the native column
+  * path's `\p{N}` — NOT `Character.isDigit` (Nd only), which would drop
+  * 'Ⅷ' (Nl) and '½' (No) that the column path keeps.
   */
 final case class StandardTokenizer() extends Tokenizer {
+  import StandardTokenizer.isNumberCp
   override def tokenize(s: String): TokenStream = {
     val out = Vector.newBuilder[Token]
     val sb = new java.lang.StringBuilder
@@ -21,7 +24,7 @@ final case class StandardTokenizer() extends Tokenizer {
     val n = s.length
     while (i < n) {
       val cp = s.codePointAt(i)
-      if (Character.isLetter(cp) || Character.isDigit(cp)) sb.appendCodePoint(cp)
+      if (Character.isLetter(cp) || isNumberCp(cp)) sb.appendCodePoint(cp)
       else if (sb.length > 0) { out += Token(sb.toString); sb.setLength(0) }
       i += Character.charCount(cp)
     }
@@ -34,6 +37,14 @@ object StandardTokenizer {
   /** The equivalent split pattern for the Catalyst column path (Java regex
     * classes \p{L}\p{N} match Go's unicode.IsLetter/IsNumber categories). */
   val SplitPattern = "[^\\p{L}\\p{N}]+"
+
+  /** \p{N} = Nd + Nl + No (Go `unicode.IsNumber`). */
+  private[analysis] def isNumberCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER.toInt ||
+      t == Character.LETTER_NUMBER.toInt ||
+      t == Character.OTHER_NUMBER.toInt
+  }
 }
 
 /** Character n-grams over code points: `len(runes)+1-n` grams; n greater

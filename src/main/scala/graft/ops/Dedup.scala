@@ -142,20 +142,38 @@ object Dedup {
     hashed.select(col(idCol), simhash.as("simhash"))
   }
 
-  /** SimHash near-dup pairs via banding on 16-bit chunks (hamming ≤ 3 ⇒ at
-    * least one of 4 chunks equal — pigeonhole), verified by exact hamming
-    * distance. Returns (id_a, id_b, hamming ≤ maxHamming). */
+  /** SimHash near-dup pairs via pigeonhole banding: the 64-bit hash is cut
+    * into `maxHamming + 1` chunks, so any pair within the hamming budget
+    * has at least one chunk with ZERO differing bits — i.e. banding on
+    * chunk equality is recall-lossless for the contract, for ANY
+    * maxHamming (the round-1 fixed 4×16-bit split silently dropped pairs
+    * with hamming 4..maxHamming whose four chunks all differed). Chunk
+    * widths are ⌈64/c⌉ or ⌊64/c⌋. Candidates are verified by exact hamming.
+    *
+    * Scale note: more chunks ⇒ narrower keys ⇒ bigger buckets — with
+    * maxHamming 10 each of the 11 chunks has only 5-6 bits, so at corpus
+    * scale the candidate join needs a second-level key (prefix of the
+    * remaining bits, verified hamming per level — multi-index hashing);
+    * keep maxHamming ≤ 7 (8-bit chunks) for 10^9+ corpora.
+    *
+    * Returns (id_a, id_b, hamming ≤ maxHamming). */
   def simhashPairs(
       docs: DataFrame,
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame = {
-    val sh = simhash64(docs, idCol, textCol).select(col(idCol).as("id"), col("simhash"))
-    val chunks = (0 until 4).map(c =>
-      shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xffffL)))
+  ): DataFrame =
+    simhashPairsFromHashes(simhash64(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash")), maxHamming)
+
+  /** Banding + verify over precomputed (id, simhash) rows — the candidate
+    * machinery of [[simhashPairs]], exposed so recall (pigeonhole) and
+    * bucket-size properties can be pinned on planted/synthetic hashes. */
+  def simhashPairsFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
+    val chunks = simhashChunkCols(maxHamming)
     // persisted: the self-join would recompute 64 hash-votes per row twice
-    val chunked = sh.select(col("id"), col("simhash"),
+    val chunked = hashes.select(col("id"), col("simhash"),
       posexplode(array(chunks: _*)).as(Seq("chunk", "ckey")))
       .persist()
     val a = chunked.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("simhash").as("h_a"))
@@ -168,27 +186,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
+  /** The `maxHamming + 1` chunk-key columns over a `simhash` column. */
+  def simhashChunkCols(maxHamming: Int): Seq[Column] = {
+    val nChunks = maxHamming + 1
+    val baseW = 64 / nChunks
+    val extra = 64 % nChunks // first `extra` chunks are one bit wider
+    val bounds = (0 until nChunks).scanLeft(0)((off, c) =>
+      off + baseW + (if (c < extra) 1 else 0))
+    (0 until nChunks).map { c =>
+      val lo = bounds(c); val w = bounds(c + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold among candidates sharing
-    * an LSH bucket (random-hyperplane signs; see Similarity.lshBuckets). */
+    * any of `tables` independent LSH buckets (random-hyperplane signs; see
+    * Similarity.lshBucket). Defaults are the scale shape: 16 planes keep
+    * the self-join within each bucket at N²/2^16 expected work, and
+    * multi-table OR-amplification buys back the recall that narrow buckets
+    * cost (one 16-plane table misses ~? of true near-dups; L tables miss
+    * miss^L). Candidate rows carry only (table, bucket, id) — vectors
+    * rejoin for verification. */
   def embeddingCosinePairs(
       emb: DataFrame,
       threshold: Double,
-      planes: Int = 8,
+      planes: Int = 16,
+      tables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L
   ): DataFrame = {
-    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), planes, dim = -1, seed))
-      .persist() // read by both self-join sides
-    val a = withB.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withB.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    val bucketStructs = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        Similarity.lshBucket(col("v"), planes, dim = -1, seed + t * 7919L).as("b")))
+    // payload-free band rows: the heavy vectors never enter the candidate join
+    val banded = base
+      .select(col("id"), explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+    val cand = banded.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair can collide in several tables
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 
   /** Keep-one representative view from a pair list: drop every id that

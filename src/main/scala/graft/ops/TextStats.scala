@@ -93,11 +93,20 @@ object TextStats {
       ).as("fp_roll"))
   }
 
-  /** Scala reference of fingerprintRolling for tests. */
+  /** Scala reference of fingerprintRolling for tests. Iterates CODE POINTS:
+    * Spark's `split(s, "")` yields one element per code point (surrogate
+    * pairs stay together) and `ascii` returns the full code point (probed:
+    * 'é'→233, '日'→26085, '𝄞'→119070), so a UTF-16 code-unit fold would
+    * disagree on every supplementary character. */
   def rollingRef(normalized: String): Long = {
     val m = 1000000007L
     var acc = 0L
-    normalized.foreach { c => acc = java.lang.Math.floorMod(acc * 31L + c.toInt, m) }
+    var i = 0
+    while (i < normalized.length) {
+      val cp = normalized.codePointAt(i)
+      acc = java.lang.Math.floorMod(acc * 31L + cp, m)
+      i += Character.charCount(cp)
+    }
     acc
   }
 }

@@ -12,11 +12,14 @@ case object Or extends Logic  //                                  Logic=OR
 final case class ResolvedTerm(term: String, termId: Long, df: Long, bucket: Int = -1)
 
 object Searcher {
-  /** Searcher over a persisted index: reuses its WAND block table and block
-    * parameters instead of rebuilding them. */
+  /** Searcher over a persisted index: reuses its WAND block table and the
+    * FULL block parameters — including the k1/b the block maxima were built
+    * with (manifest formatVersion 2); scoring a reloaded index with default
+    * params would make WAND's bounds silently lossy. */
   def apply(p: graft.storage.PersistedIndex, analyzer: Analyzer): Searcher =
     new Searcher(p.index, analyzer,
-      BlockParams(blockSize = p.manifest.blockSize, bucketSpan = p.manifest.bucketSpan),
+      BlockParams(blockSize = p.manifest.blockSize, bucketSpan = p.manifest.bucketSpan,
+        k1 = p.manifest.k1, b = p.manifest.b),
       Some(p.blocks))
 }
 

@@ -37,7 +37,12 @@ final case class IndexManifest(
     termBuckets: Int,
     blockSize: Int,
     bucketSpan: Long,
-    stages: Seq[StageMarker]
+    stages: Seq[StageMarker],
+    // BM25 params are part of the index contract (formatVersion 2): the WAND
+    // block maxima are built WITH them, so a reloaded index scored with
+    // different k1/b would prune against stale bounds — silently lossy.
+    k1: Double = 1.2,
+    b: Double = 0.75
 )
 
 object ManifestIO {

@@ -67,7 +67,6 @@ object ParquetIndexStorage {
       failAfter: Option[String] = None
   ): IndexManifest = {
     val spark = docs.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val p = params
     val lineage = Map(
       "source" -> sourceDesc,
@@ -153,7 +152,13 @@ object ParquetIndexStorage {
           .select("term", "term_id")
         val fin = raw.join(dict, "term")
           .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
-        fin.write.mode("overwrite").partitionBy("t_bucket").parquet(s"$path/postings")
+        // per-write dynamic overwrite (NOT a session-conf mutation, which
+        // would silently change overwrite semantics for the caller's other
+        // partitioned writes): each group owns a disjoint t_bucket set, so
+        // a retried group replaces only its own partitions — with the
+        // default static mode this write would wipe the other groups' work
+        fin.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("t_bucket").parquet(s"$path/postings")
         val metrics = spark.read.parquet(s"$path/postings")
           .filter(col("t_bucket").isin(buckets: _*))
           .groupBy(col("t_bucket"))
@@ -174,8 +179,9 @@ object ParquetIndexStorage {
       StageMarker("blocks", spark.read.parquet(s"$path/blocks").count(), 0, lineage)
     }
 
-    val mf = IndexManifest(1, sourceDesc, analyzer.describe, numDocs, avgdl,
-      p.termBuckets, p.blockParams.blockSize, p.blockParams.bucketSpan, stages.toSeq)
+    val mf = IndexManifest(2, sourceDesc, analyzer.describe, numDocs, avgdl,
+      p.termBuckets, p.blockParams.blockSize, p.blockParams.bucketSpan, stages.toSeq,
+      k1 = p.blockParams.k1, b = p.blockParams.b)
     ManifestIO.write(s"$path/manifest.json", mf)
     mf
   }

@@ -41,7 +41,10 @@ class AnalyzerColumnSpec extends SparkSpec {
   private val sampleInputs: Seq[String] =
     Gen.listOfN(150, textGen)(Gen.Parameters.default, Seed(42L)).getOrElse(Nil) ++
       Seq("", " ", "a", "I feel TIRED :(", "日本昔ばなし", "aa bb cc aa",
-        "the the the", "Ruby PHP JS", "x'y's z")
+        "the the the", "Ruby PHP JS", "x'y's z",
+        // \p{N} beyond Nd: Ⅷ is Nl, ½ and ³ are No — Character.isDigit
+        // keeps none of them while the column path's \p{N} keeps all
+        "Ⅷ chapter", "½ cup", "x³ y", "٣ arabic")
 
   analyzers.foreach { case (name, a) =>
     test(s"column path == scala path: $name") {

@@ -76,6 +76,22 @@ class OpsSpec extends SparkSpec {
     assert(fr(8L) == 0L)
   }
 
+  test("rolling fingerprint == Scala reference on non-ASCII and non-BMP input") {
+    // é (BMP), CJK, and 𝐀 (U+1D400, supplementary plane — a surrogate PAIR
+    // in UTF-16): Spark folds code points, so the reference must too
+    val intl = Seq((0L, "café au lait"), (1L, "日本語 テスト"), (2L, "math 𝐀 symbol"))
+      .toDF("doc_id", "text")
+    val got = TextStats.fingerprintRolling(intl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val analyzer = graft.analysis.Analyzer.standard()
+    Seq((0L, "café au lait"), (1L, "日本語 テスト"), (2L, "math 𝐀 symbol")).foreach {
+      case (id, text) =>
+        val normalized = analyzer.terms(text).mkString(" ")
+        assert(got(id) == TextStats.rollingRef(normalized),
+          s"mismatch on '$text' (normalized '$normalized')")
+    }
+  }
+
   // ---- embeddings -----------------------------------------------------
 
   private lazy val emb = {
@@ -121,6 +137,45 @@ class OpsSpec extends SparkSpec {
     val dd = Dedup.embeddingCosinePairs(emb, threshold = 0.99, planes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dd.contains((0L, 1L)))
+  }
+
+  test("simhash pigeonhole: hamming-4..10 pair whose 16-bit chunks ALL differ is found") {
+    // bits 0, 16, 32, 48 set: every one of the old fixed 4x16-bit chunks
+    // differs, so the round-1 banding missed this pair even at maxHamming=10
+    val planted = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val hashes = Seq((0L, 0L), (1L, planted), (2L, -1L)).toDF("id", "simhash")
+    val pairs = Dedup.simhashPairsFromHashes(hashes, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((0L, 1L, 4L)), s"pigeonhole recall broken: $pairs")
+    assert(!pairs.exists { case (a, b, _) => (a, b) == (0L, 2L) }) // hamming 64 excluded
+  }
+
+  test("simhash banding buckets stay small at 1e5 synthetic scale (maxHamming=3)") {
+    val hashes = spark.range(100000).select(col("id"), xxhash64(col("id")).as("simhash"))
+    val sizes = hashes
+      .select(posexplode(array(Dedup.simhashChunkCols(3): _*)).as(Seq("chunk", "ckey")))
+      .groupBy("chunk", "ckey").count()
+      .agg(max("count").cast("long"), avg("count")).head()
+    val maxBucket = sizes.getLong(0)
+    // 4 chunks of 16 bits over 1e5 uniform hashes: E[bucket] ~ 1.5; a max
+    // above 50 would mean the chunk keys are not spreading
+    assert(maxBucket <= 50, s"max bucket $maxBucket, avg ${sizes.getDouble(1)}")
+  }
+
+  test("embedding LSH buckets spread at 2e4 synthetic scale (16 planes)") {
+    val n = 20000
+    val vecs = spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(15)),
+        j => (pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L).cast("double") / 1000.0)
+        .cast("array<float>").as("embedding"))
+    val sizes = vecs
+      .select(Similarity.lshBucket(col("embedding"), planes = 16, dim = 16).as("bucket"))
+      .groupBy("bucket").count()
+      .agg(max("count").cast("long"), count(lit(1))).head()
+    val maxBucket = sizes.getLong(0)
+    // the candidate self-join is quadratic WITHIN a bucket: the largest
+    // bucket must stay a tiny fraction of the corpus
+    assert(maxBucket < n / 100, s"max bucket $maxBucket of $n rows (${sizes.getLong(1)} buckets)")
   }
 
   test("multimodal plumbing: schema, determinism, stub features") {
