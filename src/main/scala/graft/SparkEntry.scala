@@ -1,9 +1,10 @@
 package graft
 
 import graft.analysis.Analyzer
-import graft.index.{BlockParams, IndexBuilder, TextIndex}
+import graft.index.BlockParams
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.query.{And, Or, Searcher}
+import graft.storage.{ParquetIndexStorage, StorageParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,15 +23,24 @@ object SparkEntry {
 
   private val analyzer = Analyzer.standard()
 
-  // one index per sf dir per session (Verify/Bench run many queries)
-  private val indexCache = scala.collection.mutable.HashMap.empty[String, (TextIndex, Searcher)]
+  // One index per sf dir per session (Verify/Bench run many queries) —
+  // served from the PERSISTED t_bucket-partitioned layout, so every query
+  // measures the scale path: partition-pruned postings scans (only the
+  // query terms' bucket directories are read) + the persisted WAND block
+  // table, not a full scan of an in-memory posting cache.
+  private val indexCache = scala.collection.mutable.HashMap.empty[String, Searcher]
   private def searcher(spark: SparkSession, dir: String): Searcher = indexCache.synchronized {
     indexCache.getOrElseUpdate(dir, {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("doc_ord", col("doc_id"))
-      val idx = IndexBuilder.build(docs, analyzer, materialize = true)
-      (idx, new Searcher(idx, analyzer, BlockParams(blockSize = 128, bucketSpan = 1024)))
-    })._2
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_idx_").toString + "/index"
+      ParquetIndexStorage.build(docs, analyzer, path,
+        StorageParams(termBuckets = 16, writeGroups = 4,
+          blockParams = BlockParams(blockSize = 128, bucketSpan = 1024)),
+        sourceDesc = dir)
+      Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    })
   }
 
   private def docsTable(s: SparkSession, dir: String): DataFrame =

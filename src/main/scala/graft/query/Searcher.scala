@@ -16,11 +16,12 @@ object Searcher {
     * FULL block parameters — including the k1/b the block maxima were built
     * with (manifest formatVersion 2); scoring a reloaded index with default
     * params would make WAND's bounds silently lossy. */
-  def apply(p: graft.storage.PersistedIndex, analyzer: Analyzer): Searcher =
+  def apply(p: graft.storage.PersistedIndex, analyzer: Analyzer,
+      sortUnranked: Boolean = true): Searcher =
     new Searcher(p.index, analyzer,
       BlockParams(blockSize = p.manifest.blockSize, bucketSpan = p.manifest.bucketSpan,
         k1 = p.manifest.k1, b = p.manifest.b),
-      Some(p.blocks))
+      Some(p.blocks), sortUnranked)
 }
 
 /** Query planning for the inverted index.
@@ -32,11 +33,18 @@ object Searcher {
   * (intersection/union + scoring in the same pass), and a top-k or
   * doc_ord-ascending sort. No per-term round-trips, no driver-side cursors.
   */
+/** @param sortUnranked when true (default), matchAll and unranked match/
+  *   phrase results are globally sorted ascending by doc_ord — the
+  *   reference's and/orMatch contract (`searcher.go:112-139`). At corpus
+  *   scale that is a full shuffle-sort of the matched set (for matchAll,
+  *   of the whole corpus); pass false to get scan order when the caller
+  *   re-sorts, top-k's, or writes the result anyway. */
 final class Searcher(
     val index: TextIndex,
     val analyzer: Analyzer,
     val blockParams: BlockParams = BlockParams(),
-    preBuiltBlocks: Option[Dataset[PostingBlockRow]] = None
+    preBuiltBlocks: Option[Dataset[PostingBlockRow]] = None,
+    val sortUnranked: Boolean = true
 ) {
 
   private val spark = index.docs.sparkSession
@@ -124,14 +132,20 @@ final class Searcher(
   private def fetchDocs(matched: DataFrame, ranked: Boolean): DataFrame = {
     val joined = index.docs.join(matched.select("doc_ord", "score"), "doc_ord")
     if (ranked) joined.orderBy(desc("score"), asc("doc_ord"))
-    else joined.drop("score").orderBy(asc("doc_ord"))
+    else {
+      val unranked = joined.drop("score")
+      if (sortUnranked) unranked.orderBy(asc("doc_ord")) else unranked
+    }
   }
 
   // ---------------------------------------------------------------- queries
 
   /** MatchAllQuery: every document, docID order
-    * (`/root/reference/searcher.go:18-30`). */
-  def matchAll(): DataFrame = index.docs.orderBy(asc("doc_ord"))
+    * (`/root/reference/searcher.go:18-30`) — or scan order with
+    * `sortUnranked=false` (a global sort of the corpus is a scale hazard;
+    * the reference's own "order" is just MySQL PK scan order). */
+  def matchAll(): DataFrame =
+    if (sortUnranked) index.docs.orderBy(asc("doc_ord")) else index.docs
 
   /** MatchQuery (AND/OR), unranked: ascending doc_ord like the reference's
     * and/orMatch cursor walks (`/root/reference/searcher.go:112-139`).

@@ -31,11 +31,20 @@ import org.apache.spark.sql.functions._
   * parallel tasks instead of one (north_rule's explicit skew handling); the
   * doc-range-bucketed block table re-spreads hot terms again at query time.
   */
+/** @param groupParallelism how many postings write-groups run CONCURRENTLY
+  *   (as parallel Spark jobs over disjoint t_bucket partition sets). Groups
+  *   exist for resumability granularity — a retried build redoes at most
+  *   1/writeGroups of the postings work — but running them serially leaves
+  *   the cluster idle between jobs (measured 2s/group of fixed scheduling +
+  *   commit cost). Disjoint dynamic-overwrite targets commit independently
+  *   on HDFS-like filesystems; set to 1 for object stores whose rename
+  *   semantics dislike concurrent committers on one table root. */
 final case class StorageParams(
     termBuckets: Int = 64,
     writeGroups: Int = 8,
     saltFactor: Int = 8,
-    blockParams: BlockParams = BlockParams()
+    blockParams: BlockParams = BlockParams(),
+    groupParallelism: Int = 8
 )
 
 final case class PersistedIndex(
@@ -86,7 +95,7 @@ object ParquetIndexStorage {
         ManifestIO.write(marker(path, name), m0)
         m0
       }
-      stages += m
+      stages.synchronized { stages += m }
       if (failAfter.contains(name)) throw new InjectedFailure(name)
       m
     }
@@ -141,8 +150,11 @@ object ParquetIndexStorage {
     }
 
     // ---- stage: final postings, in resumable bucket groups ---------------
+    // groups run as CONCURRENT Spark jobs (disjoint t_bucket partition
+    // sets; each commits its own marker) — serial groups leave the cluster
+    // idle between jobs, and wall time here is max(group), not sum
     val groups = 0 until p.writeGroups
-    groups.foreach { g =>
+    def runGroup(g: Int): StageMarker =
       runStage(s"postings_g$g") {
         val buckets = (0 until p.termBuckets).filter(_ % p.writeGroups == g)
         val raw = spark.read.parquet(s"$path/_stage/raw")
@@ -168,6 +180,21 @@ object ParquetIndexStorage {
           .map(r => BucketMetrics(r.getInt(0), r.getLong(3), r.getLong(1), r.getLong(2), 0))
         StageMarker(s"postings_g$g", metrics.map(_.postings).sum, 0, lineage, metrics.toSeq)
       }
+    // the injected-crash hook needs deterministic "later groups never ran"
+    // semantics — run strictly inline under it (a queued future would still
+    // execute after a failed one)
+    val gp = if (failAfter.isDefined) 1 else math.min(p.groupParallelism, p.writeGroups)
+    if (gp <= 1) groups.foreach(runGroup)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(gp)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        import scala.concurrent.duration.Duration
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(groups.map(g =>
+            scala.concurrent.Future(runGroup(g)))), Duration.Inf)
+      } finally pool.shutdown()
     }
 
     // ---- stage: WAND block table -----------------------------------------
