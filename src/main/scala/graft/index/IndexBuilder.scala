@@ -124,17 +124,18 @@ object IndexBuilder {
         (d, ds, td, postings)
       } else (docs, docStats, termDict, postings)
 
-    val (n, avgdl) = {
+    val (n, tokens) = {
       // exact integer arithmetic, one division: avg() would sum doubles in
       // partition order and make avgdl (hence every BM25 score) differ in
       // the last ulp across parallelism levels
       val nn = docsF.count()
-      val tokens = docStatsF.agg(
+      val tk = docStatsF.agg(
         coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
-      (nn, if (nn == 0) 0.0 else tokens.toDouble / nn)
+      (nn, tk)
     }
 
-    TextIndex(docsF, docStatsF, termDictF, postingsF, n, avgdl)
+    TextIndex(docsF, docStatsF, termDictF, postingsF, n,
+      if (n == 0) 0.0 else tokens.toDouble / n, totalTokens = tokens)
   }
 
   /** Build over a transcripts table per BASELINE.json `input_hint`:

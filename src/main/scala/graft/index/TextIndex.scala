@@ -24,10 +24,22 @@ final case class TextIndex(
     postings: DataFrame,
     numDocs: Long,
     avgDocLen: Double,
-    termBuckets: Int = 0 // >0 when postings/term_dict carry a t_bucket
-                         // partition column (persisted layout) usable for
-                         // partition pruning at query time
+    termBuckets: Int = 0, // >0 when postings/term_dict carry a t_bucket
+                          // partition column (persisted layout) usable for
+                          // partition pruning at query time
+    totalTokens: Long = -1L // exact Σ token_count; lets incremental merges
+                            // maintain avgdl by integer deltas instead of
+                            // re-aggregating doc_stats (-1 = unknown)
 ) {
+  /** Exact total token count: the stored value, or one doc_stats aggregate
+    * for indexes built before the field existed. */
+  def exactTotalTokens: Long =
+    if (totalTokens >= 0) totalTokens
+    else docStats.agg(org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("token_count").cast("long")),
+      org.apache.spark.sql.functions.lit(0L))).head().getLong(0)
+
   def cache(): TextIndex = {
     docs.cache(); docStats.cache(); termDict.cache(); postings.cache()
     this

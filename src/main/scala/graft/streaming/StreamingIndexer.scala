@@ -1,62 +1,239 @@
 package graft.streaming
 
 import graft.analysis.Analyzer
-import graft.index.{IndexBuilder, IndexMerge, TextIndex}
-import org.apache.spark.sql.DataFrame
+import graft.index.{Ids, IndexBuilder, TextIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
 
-/** Structured-Streaming index maintenance: a stream of transcript turns is
-  * folded into the index one micro-batch at a time via `foreachBatch` +
-  * IndexMerge (the Spark analogue of the reference's per-document
-  * `AddDocument` + threshold merge, `/root/reference/indexer.go:20-61` —
-  * the micro-batch IS the buffer, the merge IS the threshold flush).
+/** Structured-Streaming index maintenance, O(batch) per micro-batch.
   *
-  * doc_ord for streamed turns is `xxhash64(conv_id, turn_idx)`-free: it must
-  * be dense-ish and stable, so we key on a monotone base handed out per
-  * batch (batch sizes are known at merge time). Re-delivered turns (same
-  * conv_id, turn_idx) replace their previous version — exactly-once index
-  * content under at-least-once delivery.
+  * The reference buffers per-document updates in memory and merges into
+  * storage past a size threshold (`/root/reference/indexer.go:20-61`). This
+  * is that exact shape at Spark scale:
+  *
+  *  - a micro-batch folds into small CACHED DELTA frames (postings, docs,
+  *    stats, dictionary adjustments, tombstoned base ordinals) — per-batch
+  *    shuffle work is proportional to the batch + accumulated delta, NEVER
+  *    to the base index (pinned by a metrics-listener test);
+  *  - the queryable index is a lazy view: base tables anti-joined with the
+  *    (broadcast, batch-sized) tombstones, unioned with the delta frames,
+  *    and a dictionary adjusted by the delta df/cf — Catalyst pushes each
+  *    query's term filters below the view, so queries stay pruned;
+  *  - past `flushThreshold` buffered docs the delta is compacted into a new
+  *    materialized base (the threshold merge, `indexer.go:38-60`), which
+  *    also resets the cached-plan lineage.
+  *
+  * Re-delivered turns (same conv_id, turn_idx) replace their previous
+  * version — exactly-once index content under at-least-once delivery. df/cf
+  * stay exact across replacements: the replaced version's text is
+  * re-analyzed (O(batch)) for per-term decrements rather than re-counting
+  * the posting store.
   */
 final class StreamingIndexer(
     initial: TextIndex,
     analyzer: Analyzer,
-    textCol: String = "text"
+    textCol: String = "text",
+    flushThreshold: Long = 100000L
 ) extends Serializable {
 
-  @volatile private var currentIndex: TextIndex = initial
+  private val spark: SparkSession = initial.docs.sparkSession
+  import spark.implicits._
+
+  // ---- mutable state (driver-side; all DataFrames below are cached) ------
+  @volatile private var base: TextIndex = initial
+  @volatile private var tombstones: DataFrame = emptyOrds() // base ords replaced
+  @volatile private var deltaDocs: DataFrame = initial.docs.limit(0).cache()
+  @volatile private var deltaStats: DataFrame = initial.docStats.limit(0).cache()
+  @volatile private var deltaPostings: DataFrame =
+    initial.postings.drop("t_bucket").limit(0).cache()
+  @volatile private var mintedTerms: DataFrame =
+    Seq.empty[(Long, String)].toDF("term_id", "term").cache()
+  @volatile private var dictAdj: DataFrame =
+    Seq.empty[(String, Long, Long)].toDF("term", "df_d", "cf_d").cache()
+  @volatile private var nDelta: Long = 0L      // net new docs in delta
+  @volatile private var tokensDelta: Long = 0L // net new tokens in delta
+  @volatile private var bufferedDocs: Long = 0L
   @volatile private var nextOrd: Long =
     initial.docs.agg(coalesce(max(col("doc_ord")), lit(-1L))).head().getLong(0) + 1
+  @volatile private var nextTermId: Long =
+    initial.termDict.agg(coalesce(max(col("term_id")), lit(-1L))).head().getLong(0) + 1
+  @volatile private var baseTokens: Long = initial.exactTotalTokens
 
-  def index: TextIndex = currentIndex
+  private def emptyOrds(): DataFrame = Seq.empty[Long].toDF("doc_ord").cache()
 
-  /** Fold one (micro-)batch of turns into the index. Turns whose
-    * (conv_id, turn_idx) already exists replace the old version (keeping its
-    * doc_ord); new turns get fresh ordinals. */
+  /** The live queryable index: a lazy view over base + delta. */
+  def index: TextIndex = synchronized {
+    val tomb = tombstones
+    def minusTomb(df: DataFrame) =
+      df.join(broadcast(tomb), Seq("doc_ord"), "left_anti")
+    val adjusted = base.termDict.select("term_id", "term", "df", "cf")
+      .join(dictAdj, Seq("term"), "left")
+      .select(col("term_id"), col("term"),
+        (col("df") + coalesce(col("df_d"), lit(0L))).as("df"),
+        (col("cf") + coalesce(col("cf_d"), lit(0L))).as("cf"))
+    val mintedRows = mintedTerms
+      .join(dictAdj, Seq("term"), "left")
+      .select(col("term_id"), col("term"),
+        coalesce(col("df_d"), lit(0L)).as("df"), coalesce(col("cf_d"), lit(0L)).as("cf"))
+    val n = base.numDocs + nDelta
+    val tokens = baseTokens + tokensDelta
+    TextIndex(
+      docs = minusTomb(base.docs).unionByName(deltaDocs),
+      docStats = minusTomb(base.docStats).unionByName(deltaStats),
+      termDict = adjusted.unionByName(mintedRows).filter(col("df") > 0),
+      postings = minusTomb(base.postings.drop("t_bucket")).unionByName(deltaPostings),
+      numDocs = n,
+      avgDocLen = if (n == 0) 0.0 else tokens.toDouble / n,
+      termBuckets = 0,
+      totalTokens = tokens
+    )
+  }
+
+  /** Fold one (micro-)batch of turns into the delta. Turns whose
+    * (conv_id, turn_idx) already exists replace the old version (keeping
+    * its doc_ord); new turns get fresh dense ordinals. */
   def addBatch(turns: DataFrame): Unit = synchronized {
     if (turns.isEmpty) return
-    val idx = currentIndex
-    // existing keys keep their doc_ord (replacement); new keys get fresh ones
     val keyed = turns.select(col("conv_id"), col("turn_idx"), col(textCol))
       .dropDuplicates("conv_id", "turn_idx")
-    val existing = keyed.join(
-      idx.docs.select(col("conv_id"), col("turn_idx"), col("doc_ord")),
-      Seq("conv_id", "turn_idx"), "inner")
-    val fresh0 = keyed.join(
-      idx.docs.select(col("conv_id"), col("turn_idx")),
-      Seq("conv_id", "turn_idx"), "left_anti")
-    val (freshOrd, cleanup) = graft.index.Ids.withDenseOrdinalHandle(
-      fresh0, "doc_ord0", Seq("conv_id", "turn_idx"))
-    val fresh = freshOrd.withColumn("doc_ord", col("doc_ord0") + lit(nextOrd)).drop("doc_ord0")
-    val batchDocs = existing.select("doc_ord", "conv_id", "turn_idx", textCol)
-      .unionByName(fresh.select("doc_ord", "conv_id", "turn_idx", textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val batchSize = keyed.count()
+    if (batchSize == 0) { keyed.unpersist(); return }
 
-    val merged = IndexMerge.addDocuments(idx, batchDocs, analyzer, textCol, materialize = true)
-    cleanup()
-    nextOrd = merged.docs.agg(coalesce(max(col("doc_ord")), lit(-1L))).head().getLong(0) + 1
-    val old = currentIndex
-    currentIndex = merged
-    if (old ne initial) old.unpersist()
+    // -- resolve keys against the live view (broadcast the batch keys: the
+    // base side is a data-skipping scan, never a shuffle)
+    val live = index
+    val liveKeyed = live.docs.select(col("conv_id"), col("turn_idx"),
+      col("doc_ord"), col(textCol).as("__old_text"))
+    val hits = liveKeyed // batch-sized: live rows whose key is in the batch
+      .join(broadcast(keyed.select("conv_id", "turn_idx")), Seq("conv_id", "turn_idx"))
+    val existing = keyed.join(broadcast(hits), Seq("conv_id", "turn_idx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    existing.count()
+    val fresh0 = keyed.join(existing.select("conv_id", "turn_idx"),
+      Seq("conv_id", "turn_idx"), "left_anti")
+    val (freshOrd, freshCleanup) =
+      Ids.withDenseOrdinalHandle(fresh0, "doc_ord0", Seq("conv_id", "turn_idx"))
+    val fresh = freshOrd.withColumn("doc_ord", col("doc_ord0") + lit(nextOrd)).drop("doc_ord0")
+    val batchDocs = existing.select(col("doc_ord"), col("conv_id"), col("turn_idx"), col(textCol))
+      .unionByName(fresh.select("doc_ord", "conv_id", "turn_idx", textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freshCount = batchDocs.count() - existing.count()
+    nextOrd += freshCount
+    freshCleanup()
+
+    // -- analysis: new content, and the replaced docs' OLD content (for
+    // exact df/cf decrements) — both O(batch)
+    val newPost = IndexBuilder.docTermPostings(batchDocs, analyzer, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oldPost = IndexBuilder.docTermPostings(
+      existing.select(col("doc_ord"), col("__old_text").as(textCol)), analyzer, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // -- term ids: known from base/minted, new ones minted above the max
+    val batchTerms = newPost.select("term").distinct()
+    val known = base.termDict.select("term_id", "term")
+      .unionByName(mintedTerms)
+      .join(broadcast(batchTerms), Seq("term"), "left_semi")
+      .select("term_id", "term")
+    val newTerms = batchTerms.join(known, Seq("term"), "left_anti")
+    val (newMintedRaw, mintCleanup) =
+      Ids.withDenseOrdinalHandle(newTerms, "term_id0", Seq("term"))
+    val newMinted = newMintedRaw
+      .select((col("term_id0") + lit(nextTermId)).as("term_id"), col("term"))
+    val mintedTerms2 = mintedTerms.unionByName(newMinted).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize BEFORE releasing the mint handle: the minted ids are only
+    // stable while the handle's pinned partitioning lives
+    val mintedCount2 = mintedTerms2.count()
+    nextTermId += mintedCount2 - mintedTerms.count()
+    mintCleanup()
+    // ids for every batch term, all read from cached/base frames
+    val idByTerm = known
+      .unionByName(mintedTerms2.join(broadcast(batchTerms), Seq("term"), "left_semi"))
+      .dropDuplicates("term")
+
+    // -- delta frame updates (replaced ords leave the delta; tombstones
+    // only ever filter BASE tables)
+    val replacedOrds = existing.select("doc_ord")
+    val tombstones2 = tombstones.unionByName(replacedOrds).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaDocs2 = deltaDocs
+      .join(broadcast(replacedOrds), Seq("doc_ord"), "left_anti")
+      .unionByName(batchDocs.select(deltaDocs.columns.map(col): _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newStats = newPost.groupBy(col("doc_ord"))
+      .agg(max(col("dl")).cast("int").as("token_count"))
+    val deltaStats2 = deltaStats
+      .join(broadcast(replacedOrds), Seq("doc_ord"), "left_anti")
+      .unionByName(newStats)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaPostings2 = deltaPostings
+      .join(broadcast(replacedOrds), Seq("doc_ord"), "left_anti")
+      .unionByName(newPost.join(broadcast(idByTerm), "term")
+        .select(deltaPostings.columns.map(col): _*))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // -- dictionary adjustments: adds from new postings, removes from the
+    // replaced versions — batch-sized aggregates merged into the running adj
+    val incs = newPost.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_i"), sum(col("tf")).cast("long").as("cf_i"))
+    val decs = oldPost.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_x"), sum(col("tf")).cast("long").as("cf_x"))
+    val batchAdj = incs.join(decs, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df_i"), lit(0L)) - coalesce(col("df_x"), lit(0L))).as("df_d"),
+        (coalesce(col("cf_i"), lit(0L)) - coalesce(col("cf_x"), lit(0L))).as("cf_d"))
+    val dictAdj2 = dictAdj.unionByName(batchAdj)
+      .groupBy(col("term"))
+      .agg(sum(col("df_d")).as("df_d"), sum(col("cf_d")).as("cf_d"))
+      .filter(col("df_d") =!= 0 || col("cf_d") =!= 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // -- exact global stats by integer delta
+    val addedTokens = newStats
+      .agg(coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+    val removedTokens = oldPost.groupBy(col("doc_ord")).agg(max(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+
+    // -- materialize the new delta generation, then retire the old one
+    deltaDocs2.count(); deltaStats2.count(); deltaPostings2.count()
+    dictAdj2.count(); tombstones2.count()
+    val old = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
+    deltaDocs = deltaDocs2; deltaStats = deltaStats2; deltaPostings = deltaPostings2
+    mintedTerms = mintedTerms2; dictAdj = dictAdj2; tombstones = tombstones2
+    nDelta += freshCount
+    tokensDelta += addedTokens - removedTokens
+    bufferedDocs += batchSize
+    old.foreach(_.unpersist())
+    Seq(newPost, oldPost, existing, batchDocs, keyed).foreach(_.unpersist())
+
+    if (bufferedDocs >= flushThreshold) flush()
+  }
+
+  /** Compact the delta into a new materialized base (the reference's
+    * threshold merge, `indexer.go:38-60`): one O(index) pass, amortized
+    * over `flushThreshold` buffered documents; resets delta state and the
+    * cached-plan lineage. */
+  def flush(): Unit = synchronized {
+    if (bufferedDocs == 0) return
+    val compacted = index.cache()
+    compacted.postings.count(); compacted.docStats.count()
+    compacted.termDict.count(); compacted.docs.count()
+    val oldBase = base
+    val oldDelta = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
+    base = compacted
+    baseTokens = compacted.totalTokens
+    tombstones = emptyOrds()
+    deltaDocs = base.docs.limit(0).cache()
+    deltaStats = base.docStats.limit(0).cache()
+    deltaPostings = base.postings.limit(0).cache()
+    mintedTerms = Seq.empty[(Long, String)].toDF("term_id", "term").cache()
+    dictAdj = Seq.empty[(String, Long, Long)].toDF("term", "df_d", "cf_d").cache()
+    nDelta = 0L; tokensDelta = 0L; bufferedDocs = 0L
+    oldDelta.foreach(_.unpersist())
+    if (oldBase ne initial) oldBase.unpersist()
   }
 
   /** Attach to a streaming Dataset of turns; caller starts/stops the query. */

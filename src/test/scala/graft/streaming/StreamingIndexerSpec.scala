@@ -3,12 +3,14 @@ package graft.streaming
 import graft.SparkSpec
 import graft.analysis.Analyzer
 import graft.index.IndexBuilder
-import graft.query.{Or, Searcher}
+import graft.query.{And, Or, Searcher}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Streaming ingestion: a MemoryStream of turns folded into the index via
   * foreachBatch must equal a batch build over everything seen, including
-  * replacement of re-delivered (conv_id, turn_idx) turns. */
+  * replacement of re-delivered (conv_id, turn_idx) turns; and per-batch
+  * WORK must be bounded by the batch, not the index. */
 class StreamingIndexerSpec extends SparkSpec {
   import spark.implicits._
 
@@ -40,5 +42,112 @@ class StreamingIndexerSpec extends SparkSpec {
     assert(ids("replaced") == Set(("c1", 1)))
     assert(ids("dd").isEmpty) // replaced content gone
     assert(ids("zz") == Set(("c2", 0)))
+  }
+
+  private def turnsDf(rows: Seq[(String, Int, String)]) =
+    rows.toDF("conv_id", "turn_idx", "text")
+
+  private def corpus(n: Int): Seq[(String, Int, String)] =
+    (0 until n).map(i => (f"c$i%05d", 0,
+      s"term${i % 37} term${(i * 7) % 37} term${(i * 13) % 37} filler common"))
+
+  private def freshIndexer(baseRows: Seq[(String, Int, String)]): StreamingIndexer = {
+    val base = IndexBuilder.buildFromTurns(turnsDf(baseRows), analyzer, materialize = true)
+    new StreamingIndexer(base, analyzer)
+  }
+
+  private def queriesOf(si: StreamingIndexer): Seq[Set[Long]] = {
+    val s = new Searcher(si.index, analyzer)
+    Seq(
+      s.matchQuery("term3 common", And),
+      s.matchQuery("replacedterm newterm", Or),
+      s.phraseQuery("filler common"),
+      s.bm25TopK("term5 term11", 10)
+    ).map(_.select("doc_ord").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("multi-batch fold (with replacements + flush) == fresh batch build") {
+    val baseRows = corpus(60)
+    val b1 = Seq(("x1", 0, "newterm alpha common"), ("c00003", 0, "replacedterm beta"))
+    val b2 = Seq(("x2", 0, "gamma newterm"), ("x1", 0, "delta replaced again"),
+      ("c00007", 0, ""))
+    val si = freshIndexer(baseRows)
+    si.addBatch(turnsDf(b1))
+    si.addBatch(turnsDf(b2))
+
+    // fresh build over the final state of every key
+    val finalRows = (baseRows.map(r => (r._1, r._2) -> r._3).toMap
+      ++ b1.map(r => (r._1, r._2) -> r._3) ++ b2.map(r => (r._1, r._2) -> r._3))
+      .toSeq.map { case ((c, t), x) => (c, t, x) }
+    val fresh = new StreamingIndexer(
+      IndexBuilder.buildFromTurns(turnsDf(finalRows), analyzer, materialize = true), analyzer)
+
+    assert(si.index.numDocs == fresh.index.numDocs)
+    assert(math.abs(si.index.avgDocLen - fresh.index.avgDocLen) < 1e-12,
+      s"${si.index.avgDocLen} vs ${fresh.index.avgDocLen}")
+    // doc_ord assignment differs between the two paths; compare by key sets
+    def byKey(si2: StreamingIndexer, kw: String) = {
+      val s = new Searcher(si2.index, analyzer)
+      s.matchQuery(kw, Or).select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    }
+    for (kw <- Seq("newterm", "replacedterm", "beta", "common", "term3", "again"))
+      assert(byKey(si, kw) == byKey(fresh, kw), s"query '$kw'")
+    // df/cf stay exact across replacements
+    val dictS = si.index.termDict.select("term", "df", "cf").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val dictF = fresh.index.termDict.select("term", "df", "cf").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dictS == dictF)
+
+    // flush compacts without changing any answer
+    val before = queriesOf(si)
+    si.flush()
+    assert(queriesOf(si) == before)
+    assert(dictS == si.index.termDict.select("term", "df", "cf").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
+  }
+
+  test("per-batch shuffle work is bounded by batch size, not index size") {
+    // same vocabulary, 16x the documents: if addBatch re-aggregated the
+    // posting store or shuffled base tables, shuffle records would scale
+    // with the base. Key lookups are broadcast-side scans (no shuffle) by
+    // design, so shuffle records are the right boundedness metric.
+    val small = freshIndexer(corpus(100))
+    val large = freshIndexer(corpus(1600))
+    val batch = turnsDf(Seq(
+      ("z1", 0, "newterm one common term3"),
+      ("c00004", 0, "replacement content term5"),
+      ("z2", 0, "two more turns term7")))
+
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) counter.addAndGet(
+          m.shuffleReadMetrics.recordsRead + m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def measure(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // drain in-flight events from previous work before counting
+        Thread.sleep(300); counter.set(0)
+        body
+        var prev = -1L
+        var stable = 0
+        while (stable < 3) { // wait until the async listener bus drains
+          Thread.sleep(200)
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    val wSmall = measure(small.addBatch(batch))
+    val wLarge = measure(large.addBatch(batch))
+    assert(wLarge <= wSmall * 2 + 1000,
+      s"addBatch shuffle work scales with index size: small=$wSmall large=$wLarge")
   }
 }
