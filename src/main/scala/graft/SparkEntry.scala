@@ -98,6 +98,44 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- non-default analyzer stages, fingerprint-checked per token -------
+    "ft_stopword" -> ((s, d) => { // order-preserving stopword drop (§2.1 row 7)
+      val a = Analyzer.standard(stopWords = Seq("the", "a"))
+      val toks = a.termsColumn(col("text"))
+      docsTable(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_kept"),
+        md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ft_charfilter" -> ((s, d) => { // mapping char filter before tokenize (§2.1 row 2)
+      val a = Analyzer(Seq(graft.analysis.MappingCharFilter(Map("sl" -> "qu"))),
+        graft.analysis.StandardTokenizer(), Seq(graft.analysis.LowercaseFilter()))
+      val toks = a.termsColumn(col("text"))
+      docsTable(s, d).select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ft_stemmer" -> ((s, d) => { // Porter2 stemmer, golden-mapped oracle (§2.1 row 8)
+      val a = Analyzer.standard(stem = true)
+      val toks = a.termsColumn(col("text"))
+      docsTable(s, d).select(col("doc_id"),
+        md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ft_phrase_ranked" -> ((s, d) => // ranked phrase: TF-IDF over phrase terms
+      searcher(s, d).phraseQuery("batch batch", ranked = true)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "dedup_keep_one" -> ((s, d) => { // end-to-end pipeline: pairs -> keep-one view
+      val pairs = Dedup.ngramJaccardPairs(docsTable(s, d), "source", threshold = 0.05, n = 3)
+      Dedup.dropDuplicates(docsTable(s, d), pairs)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // ---- dedup family ----------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docsTable(s, d)).orderBy("keep_id")),
@@ -239,6 +277,61 @@ object SparkEntry {
 
     "ft_ngram3" ->
       "SELECT doc_id FROM documents WHERE contains(lower(text), 'spa') ORDER BY doc_id",
+
+    "ft_stopword" ->
+      s"""SELECT doc_id,
+         |  len(list_filter($toksSql, t -> t NOT IN ('the','a')))::BIGINT AS n_kept,
+         |  md5(array_to_string(list_filter($toksSql, t -> t NOT IN ('the','a')), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ft_charfilter" -> // char filter runs on raw text BEFORE tokenize/lowercase
+      s"""SELECT doc_id,
+         |  md5(array_to_string(
+         |    list_filter(string_split_regex(lower(replace(text, 'sl', 'qu')), '[^a-z0-9]+'), x -> x <> ''),
+         |    ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ft_stemmer" -> // golden Porter2 stems of the corpus vocabulary (31 terms,
+      // 5 non-identity), derived from the published Snowball English algorithm
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_transform($toksSql, t ->
+         |    CASE t WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg'
+         |           WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl'
+         |           WHEN 'value' THEN 'valu' ELSE t END), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ft_phrase_ranked" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), matched AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'batch' AND b.term = 'batch'
+         |), tc AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |df AS (SELECT count(DISTINCT doc_id) AS df FROM toks WHERE term = 'batch'),
+         |tf AS (SELECT doc_id, count(*) AS tf FROM toks WHERE term = 'batch' GROUP BY doc_id)
+         |SELECT m.doc_id,
+         |  round((tf.tf::DOUBLE / tc.token_count) * (log2(n.n::DOUBLE / (df.df + 1)) + 1), 6) AS score
+         |FROM matched m JOIN tf USING (doc_id) JOIN tc USING (doc_id) CROSS JOIN n CROSS JOIN df
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "dedup_keep_one" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(arr) < 3 THEN [] ELSE
+         |      list_transform(range(1, len(arr) - 1), i -> array_to_string(arr[i:i+2], ' '))
+         |    END AS sh
+         |  FROM (SELECT doc_id, source, $toksSql AS arr FROM documents)
+         |), dropped AS (
+         |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END, 6) >= 0.05
+         |)
+         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents
