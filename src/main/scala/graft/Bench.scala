@@ -88,6 +88,61 @@ object Bench {
     timed("q_bm25_wand")(searcher.bm25TopKWand("spark join table", 10).collect())
     timed("q_bm25_wand_warm")(searcher.bm25TopKWand("slow merge data", 10).collect())
 
+    // ---- WAND pruning win on a corpus big enough to prune -----------------
+    // The sf documents tables are tiny (5k docs, 31-term vocab) — every
+    // query matches most docs and nothing can be skipped. The pruning claim
+    // is demonstrated on a 135k-turn Zipf synthetic corpus from PERSISTED
+    // blocks: wand vs exhaustive on the same queries, plus the decoded-vs-
+    // total block counters (skip rate). Queries mix a COMMON term (hot*/low
+    // Zipf rank, idf near 0) with RARE terms (high rank, idf ~7): the rare
+    // cursor drives the pivots, so the common cursor's blocks — the bulk of
+    // the data — are skipped undecoded. Reported separately from `queries`
+    // so the headline total stays the sf-dir workload.
+    val wandDemo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    locally {
+      val synConvs = sys.env.getOrElse("SPARK_GRAFT_WAND_CONVS", "30000").toInt
+      val turns = graft.fixtures.SyntheticTranscripts.df(spark,
+        graft.fixtures.SyntheticTranscripts.Params(
+          seed = 42L, nConvs = synConvs, maxTurnsPerConv = 8, vocabSize = 20000,
+          minLen = 5, maxLen = 200, partitions = cpus.toInt * 2))
+      val synPath = java.nio.file.Files
+        .createTempDirectory("graft_bench_wand_").toString + "/index"
+      def timedBest[A](name: String, k: Int)(body: => A): A = {
+        var best = Double.MaxValue; var r: A = null.asInstanceOf[A]; var i = 0
+        while (i < k) {
+          val t0 = System.nanoTime(); r = body
+          best = math.min(best, (System.nanoTime() - t0) / 1e9); i += 1
+        }
+        wandDemo(name) = best; r
+      }
+      val synSearcher = timedBest("syn_index_build", 1) {
+        val (withOrd, ordCleanup) = graft.index.Ids.withDenseOrdinalHandle(
+          turns.select("conv_id", "turn_idx", "text"), "doc_ord",
+          Seq("conv_id", "turn_idx"))
+        // bucketSpan trades doc-space parallelism against pruning depth
+        // (each bucket's WAND has its own k-heap, so fewer/larger buckets
+        // let the threshold climb where it can actually skip); blockSize 64
+        // makes the skip granularity finer than the common terms' pivot
+        // gaps. Probed: 128/4096 -> skip 0.00; 64/16384 -> skip 0.26-0.45
+        // with wand 2.4-3.1x faster than exhaustive.
+        graft.storage.ParquetIndexStorage.build(withOrd, analyzer, synPath,
+          graft.storage.StorageParams(
+            blockParams = BlockParams(blockSize = 64, bucketSpan = 16384)),
+          sourceDesc = s"synthetic($synConvs convs)")
+        ordCleanup()
+        Searcher(graft.storage.ParquetIndexStorage.read(spark, synPath), analyzer)
+      }
+      val wandQueries = Seq(
+        "hot0 t005000", "hot1 t009999 t003333", "t000002 t012345", "hot2 t007777 t001111",
+        "hot0 t002000", "hot1 t001500 t001501", "t000002 t002500", "hot2 t001800 t002200")
+      timedBest("q_bm25_exhaustive_syn", reps)(
+        wandQueries.foreach(q => synSearcher.bm25TopK(q, 10).collect()))
+      val m = graft.query.WandMetrics(spark)
+      timedBest("q_bm25_wand_syn", reps)(
+        wandQueries.foreach(q => synSearcher.bm25TopKWand(q, 10, Some(m)).collect()))
+      wandDemo("wand_skip_rate") = m.skipRate
+    }
+
     // ---- training-data ops ------------------------------------------------
     timed("op_dedup_exact")(Dedup.exact(docs).count())
     timed("op_dedup_minhash", k = math.min(reps, 2))(
@@ -104,8 +159,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val wd = wandDemo.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wand_demo":$wd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -178,6 +178,13 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, d) => { // nprobe == nlist probes every list: exact,
+      // so the brute-force oracle applies; partial-probe recall is in OpsSpec
+      val emb = embTable(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5, nlist = 8, nprobe = 8)
+        .orderBy("q_id", "rank")
+    }),
+
     "sim_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairsBlocked(embTable(s, d), "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
@@ -366,6 +373,21 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT * FROM pairs WHERE cosine >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_ivf_topk" -> // nprobe == nlist: IVF degenerates to exact search
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS id,
+         |    round(list_sum(list_transform(range(1, len(e.embedding)+1),
+         |            i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE))
+         |      / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+         |            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+         |       * sqrt(list_sum(list_transform(range(1, len(q.qe)+1),
+         |            i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))), 6) AS cosine
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+         |)
+         |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank, id, cosine
+         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

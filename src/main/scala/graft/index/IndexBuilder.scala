@@ -88,8 +88,10 @@ object IndexBuilder {
     // dl (`/root/reference/indexer.go:21-22`). Zero-token docs carry no
     // postings and can never match, so their absence here is harmless;
     // N and avgdl are computed against the full docs table below.
-    // Map-side combine collapses this to one row per (partition, doc)
-    // before the shuffle.
+    // This table is a LAZY view over the materialized posting store: the
+    // hot paths never touch it (dl is denormalized onto postings), and
+    // its groupBy(doc) shuffle measured ZERO 8->32 scaling in one JVM —
+    // paying it at build time bought nothing.
     val docStats = byTermDoc
       .groupBy(col("doc_ord"))
       .agg(max(col("dl")).cast("int").as("token_count"))
@@ -116,21 +118,23 @@ object IndexBuilder {
 
     val (docsF, docStatsF, termDictF, postingsF) =
       if (materialize) {
-        val d = docs.cache(); val ds = docStats.cache()
+        val d = docs.cache()
         val td = termDict.cache()
         byTermDoc.count() // the single big materialization
-        ds.count(); td.count(); d.count()
+        td.count(); d.count()
         dictCleanup()
-        (d, ds, td, postings)
+        (d, docStats, td, postings)
       } else (docs, docStats, termDict, postings)
 
     val (n, tokens) = {
       // exact integer arithmetic, one division: avg() would sum doubles in
       // partition order and make avgdl (hence every BM25 score) differ in
-      // the last ulp across parallelism levels
+      // the last ulp across parallelism levels. Σ tf over postings == Σ dl
+      // over docs, and the sum is a map-side partial aggregate (one row per
+      // task) — unlike the groupBy(doc) shuffle it replaced
       val nn = docsF.count()
-      val tk = docStatsF.agg(
-        coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+      val tk = byTermDoc.agg(
+        coalesce(sum(col("tf").cast("long")), lit(0L))).head().getLong(0)
       (nn, tk)
     }
 

@@ -7,9 +7,14 @@ import org.apache.spark.sql.functions._
   * bucket): delta-packed ascending docIDs, varint tfs and doc lengths, plus
   * the block-max metadata WAND prunes with (SURVEY.md §4.3).
   *
-  * `max_q` is the block's maximum of the BM25 term quotient
-  * `tf / (tf + k1*(1-b + b*dl/avgdl))` — the score contribution before the
-  * (per-query, per-term) idf multiplier, so one build serves any query.
+  * The block-max metadata is `(max_tf, min_dl)`, NOT a precomputed score
+  * bound: the BM25 term quotient `tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl))`
+  * is increasing in tf and decreasing in dl, so quotient(max_tf, min_dl)
+  * upper-bounds every posting in the block for ANY avgdl — which keeps the
+  * bounds valid (lossless) after incremental deltas shift the corpus
+  * average doc length, without rebuilding untouched blocks. A stored
+  * quotient would silently under-bound (= lossy pruning) the moment avgdl
+  * grew.
   *
   * Blocks never span doc-range buckets: queries partition work by bucket
   * (doc-space parallelism), each bucket running an independent WAND that
@@ -21,7 +26,8 @@ final case class PostingBlockRow(
     min_doc: Long,
     max_doc: Long,
     n: Int,
-    max_q: Double,
+    max_tf: Long,
+    min_dl: Long,
     docs: Array[Byte],
     tfs: Array[Byte],
     dls: Array[Byte]
@@ -49,12 +55,11 @@ object PostingBlocks {
     * streaming `mapPartitions` packs consecutive runs — no per-group
     * materialization beyond one block. */
   def build(index: TextIndex, params: BlockParams = BlockParams()): Dataset[PostingBlockRow] =
-    buildFrom(index.postings, index.docStats, index.avgDocLen, params)
+    buildFrom(index.postings, index.docStats, params)
 
   def buildFrom(
       postings: DataFrame,
       docStats: DataFrame,
-      avgdl: Double,
       params: BlockParams
   ): Dataset[PostingBlockRow] = {
     val spark = postings.sparkSession
@@ -90,7 +95,8 @@ object PostingBlocks {
             val tfs = Array.newBuilder[Long]
             val dls = Array.newBuilder[Long]
             var n = 0
-            var maxQ = 0.0
+            var maxTf = 0L
+            var minDl = Long.MaxValue
             var minDoc = Long.MaxValue
             var maxDoc = Long.MinValue
             while (buf.hasNext && n < p.blockSize && {
@@ -100,11 +106,11 @@ object PostingBlocks {
               docs += d; tfs += tf; dls += dl
               if (d < minDoc) minDoc = d
               if (d > maxDoc) maxDoc = d
-              val q = quotient(tf, dl, avgdl, p)
-              if (q > maxQ) maxQ = q
+              if (tf > maxTf) maxTf = tf
+              if (dl < minDl) minDl = dl
               n += 1
             }
-            PostingBlockRow(tid, bkt, minDoc, maxDoc, n, maxQ,
+            PostingBlockRow(tid, bkt, minDoc, maxDoc, n, maxTf, minDl,
               BlockCodec.packDeltas(docs.result()),
               BlockCodec.packVarints(tfs.result()),
               BlockCodec.packVarints(dls.result()))

@@ -101,6 +101,62 @@ object Similarity {
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus to
+    * `nlist` centroids (deterministic hash-ordered sample — FAISS-style IVF
+    * with sampled init, no k-means iterations), then search only each
+    * query's `nprobe` nearest centroid lists.
+    *
+    * Scale shape: assignment is the classic N×nlist pass (a broadcast
+    * cross join — centroids are tiny); the probe join is a key-equality
+    * join on the centroid id, so per-query work is ~(nprobe/nlist) of the
+    * corpus instead of a full scan. Recall vs brute force is pinned in
+    * OpsSpec; raise nprobe (or nlist for bigger corpora) to trade cost for
+    * recall. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // deterministic pseudo-random centroid sample: TakeOrdered by a seeded
+    // hash — no full sort, no RNG state, identical at any parallelism
+    val cents = c
+      .withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("id").as("cent_src"), col("v").as("cv"))
+      .withColumn("cid", row_number().over(Window.orderBy(col("cent_src"))))
+    // nlist rows on the driver side of a broadcast — the IVF contract
+
+    def nearest(df: DataFrame, id: String, v: String, take: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(desc("sim"), asc("cid"))
+      df.join(broadcast(cents), expr("true"))
+        .withColumn("sim", cosine(col(v), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= take)
+        .drop("cv", "cent_src", "sim", "crk")
+    }
+
+    val assigned = nearest(c, "id", "v", take = 1) // (id, v, cid)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val probes = nearest(q, "q_id", "q_v", take = nprobe) // (q_id, q_v, cid)
+
+    val scored = assigned.join(probes, Seq("cid"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      .dropDuplicates("q_id", "id") // a pair can meet via several probes
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("id"), col("cosine"))
+  }
+
   /** All pairs with cosine ≥ threshold within a blocking key (e.g. label) —
     * set-stable output for oracle checks. */
   def cosinePairsBlocked(

@@ -19,6 +19,26 @@ import scala.collection.mutable
   * re-association, so ties survive and the result is rank-identical to the
   * exhaustive BM25 plan — property-tested in BlockMaxWandSpec.
   */
+/** Pruning-effectiveness counters (Spark accumulators, aggregated across
+  * partitions): `blocksTotal` = blocks of the query terms that an exhaustive
+  * scorer would decode; `blocksDecoded` = blocks WAND actually decoded.
+  * skipRate = 1 - decoded/total is the demonstrated pruning win. */
+final case class WandMetrics(
+    blocksTotal: org.apache.spark.util.LongAccumulator,
+    blocksDecoded: org.apache.spark.util.LongAccumulator
+) {
+  def skipRate: Double =
+    if (blocksTotal.value == 0) 0.0
+    else 1.0 - blocksDecoded.value.toDouble / blocksTotal.value.toDouble
+}
+
+object WandMetrics {
+  def apply(spark: org.apache.spark.sql.SparkSession): WandMetrics =
+    WandMetrics(
+      spark.sparkContext.longAccumulator("wand.blocksTotal"),
+      spark.sparkContext.longAccumulator("wand.blocksDecoded"))
+}
+
 object BlockMaxWand {
 
   /** Safety factor on upper bounds: bounds and scores are computed with
@@ -45,7 +65,8 @@ object BlockMaxWand {
       weights: Map[Long, Double],
       k: Int,
       params: BlockParams,
-      avgdl: Double
+      avgdl: Double,
+      metrics: Option[WandMetrics] = None
   ): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
@@ -60,7 +81,7 @@ object BlockMaxWand {
       .flatMapGroups { (_, rows) =>
         val (w, p, adl) = bw.value
         val cursors = rows.toVector.groupBy(_.term_id).iterator.map {
-          case (tid, bs) => new Cursor(w(tid), bs.sortBy(_.min_doc), p, adl)
+          case (tid, bs) => new Cursor(w(tid), bs.sortBy(_.min_doc), p, adl, metrics)
         }.toArray
         wand(cursors, k)
       }
@@ -74,7 +95,8 @@ object BlockMaxWand {
       val weight: Double,
       blocks: Vector[PostingBlockRow],
       params: BlockParams,
-      avgdl: Double
+      avgdl: Double,
+      metrics: Option[WandMetrics] = None
   ) {
     private var bi = 0
     private var pi = 0
@@ -82,8 +104,15 @@ object BlockMaxWand {
     private var tfs: Array[Long] = null
     private var dls: Array[Long] = null
 
+    metrics.foreach(_.blocksTotal.add(blocks.length))
+
+    /** Avgdl-robust block bound: quotient is increasing in tf, decreasing
+      * in dl, so quotient(max_tf, min_dl) >= every posting's quotient. */
+    private def blockUb(b: PostingBlockRow): Double =
+      PostingBlocks.quotient(b.max_tf, b.min_dl, avgdl, params)
+
     val globalUb: Double =
-      weight * blocks.iterator.map(_.max_q).max * UbPad
+      weight * blocks.iterator.map(blockUb).max * UbPad
 
     decodeIfNeeded()
 
@@ -93,6 +122,7 @@ object BlockMaxWand {
         docs = PostingBlocks.decodeDocs(blk)
         tfs = PostingBlocks.decodeTfs(blk)
         dls = PostingBlocks.decodeDls(blk)
+        metrics.foreach(_.blocksDecoded.add(1))
       }
 
     def exhausted: Boolean = bi >= blocks.length
@@ -135,7 +165,7 @@ object BlockMaxWand {
     def shallowUb(d: Long): Double = {
       var i = bi
       while (i < blocks.length && blocks(i).max_doc < d) i += 1
-      if (i >= blocks.length) 0.0 else weight * blocks(i).max_q * UbPad
+      if (i >= blocks.length) 0.0 else weight * blockUb(blocks(i)) * UbPad
     }
 
     /** max_doc of the block shallowUb(d) refers to (MaxValue if none). */

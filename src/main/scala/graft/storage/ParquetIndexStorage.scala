@@ -100,9 +100,12 @@ object ParquetIndexStorage {
       m
     }
 
-    // ---- stage: docs ------------------------------------------------------
+    // ---- stage: docs (doc-range partitioned: key lookups prune, and the
+    // incremental path overwrites only the touched ranges) -----------------
     val docsMarker = runStage("docs") {
-      docs.write.mode("overwrite").parquet(s"$path/docs")
+      docs.withColumn("d_bucket",
+          floor(col("doc_ord") / lit(p.blockParams.bucketSpan)).cast("long"))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$path/docs")
       StageMarker("docs", spark.read.parquet(s"$path/docs").count(), 0, lineage)
     }
     val numDocs = docsMarker.rows
@@ -125,7 +128,9 @@ object ParquetIndexStorage {
       spark.read.parquet(s"$path/_stage/raw")
         .groupBy(col("doc_ord"))
         .agg(sum(col("tf")).cast("int").as("token_count"))
-        .write.mode("overwrite").parquet(s"$path/doc_stats")
+        .withColumn("d_bucket",
+          floor(col("doc_ord") / lit(p.blockParams.bucketSpan)).cast("long"))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$path/doc_stats")
       val tokens = spark.read.parquet(s"$path/doc_stats")
         .agg(coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
       // exact sum/count division (not avg()): keeps avgdl — and with it all
@@ -201,7 +206,7 @@ object ParquetIndexStorage {
     runStage("blocks") {
       val postings = spark.read.parquet(s"$path/postings")
       val docStats = spark.read.parquet(s"$path/doc_stats")
-      PostingBlocks.buildFrom(postings, docStats, avgdl, p.blockParams)
+      PostingBlocks.buildFrom(postings, docStats, p.blockParams)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/blocks")
       StageMarker("blocks", spark.read.parquet(s"$path/blocks").count(), 0, lineage)
     }
@@ -217,6 +222,9 @@ object ParquetIndexStorage {
     import spark.implicits._
     val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
       .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    val tokens = mf.stages.reverse.collectFirst {
+      case s if s.lineage.contains("tokens") => s.lineage("tokens").toLong
+    }.getOrElse(-1L)
     val index = TextIndex(
       docs = spark.read.parquet(s"$path/docs"),
       docStats = spark.read.parquet(s"$path/doc_stats"),
@@ -224,13 +232,223 @@ object ParquetIndexStorage {
       postings = spark.read.parquet(s"$path/postings"),
       numDocs = mf.numDocs,
       avgDocLen = mf.avgDocLen,
-      termBuckets = mf.termBuckets
+      termBuckets = mf.termBuckets,
+      totalTokens = tokens
     )
     // partition column comes back as int — restore the case-class schema
     val blocks = spark.read.parquet(s"$path/blocks")
       .select(col("term_id"), col("bucket").cast("long"), col("min_doc"),
-        col("max_doc"), col("n"), col("max_q"), col("docs"), col("tfs"), col("dls"))
+        col("max_doc"), col("n"), col("max_tf"), col("min_dl"),
+        col("docs"), col("tfs"), col("dls"))
       .as[PostingBlockRow]
     PersistedIndex(index, blocks, mf)
+  }
+
+  /** Incrementally add (or replace) documents in a committed persisted
+    * index — the storage-level `UpsertInvertedIndex` (SURVEY.md §2.2 row
+    * 17; the reference's threshold merge `indexer.go:38-60` upserts each
+    * buffered token's list, `storage_rdb_Impl.go:174-190`).
+    *
+    * Two-phase commit, idempotent per `batchId`:
+    *  1. STAGE — compute the complete new content of every TOUCHED
+    *     partition (postings by t_bucket of the batch's terms, docs/stats/
+    *     blocks by d_bucket of the batch's ordinals, the adjusted term
+    *     dictionary) into `_stage/delta_<batchId>/`, then write the staged
+    *     marker. Reads prune to touched partitions; df/cf adjustments come
+    *     from re-analyzing the replaced docs' old text (exact, batch-sized).
+    *  2. APPLY — dynamic-partition-overwrite each touched partition from
+    *     the staged content, update the manifest, write the applied marker.
+    *     Every apply write is a deterministic function of the staged data,
+    *     so a crash mid-apply is recovered by re-running the SAME batchId
+    *     (staging is skipped, overwrites repeat byte-identically).
+    *
+    * Block maxima stay valid under the avgdl shift because blocks store
+    * (max_tf, min_dl), not a precomputed quotient (see PostingBlockRow).
+    *
+    * @param newDocs rows with doc_ord + textCol + the passthrough columns
+    *                of the persisted docs table (minus d_bucket); ordinals
+    *                may collide with existing docs (replacement) or extend
+    *                past them (append)
+    */
+  def addDocuments(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame,
+      analyzer: Analyzer,
+      batchId: String,
+      textCol: String = "text"
+  ): IndexManifest = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    val appliedM = marker(path, s"delta_${batchId}_applied")
+    if (ManifestIO.exists(appliedM))
+      return ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    val stagedM = marker(path, s"delta_${batchId}_staged")
+    val sp = s"$path/_stage/delta_$batchId"
+    val span = mf.bucketSpan
+    val bp = BlockParams(mf.blockSize, mf.bucketSpan, mf.k1, mf.b)
+    def dBucketOf(c: org.apache.spark.sql.Column) = floor(c / lit(span)).cast("long")
+
+    val staged = ManifestIO.read(stagedM, classOf[StageMarker]).getOrElse {
+      val t0 = System.currentTimeMillis()
+      val batch = newDocs.persist()
+      val newOrds = batch.select("doc_ord")
+      val dBuckets = batch.select(dBucketOf(col("doc_ord")).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+
+      // replaced docs' old text — pruned to the batch's d_buckets
+      val oldDocs = spark.read.parquet(s"$path/docs")
+        .filter(col("d_bucket").isin(dBuckets: _*))
+        .join(broadcast(newOrds), Seq("doc_ord"), "left_semi")
+        .select(col("doc_ord"), col(textCol))
+        .persist()
+      val byNew = graft.index.IndexBuilder.docTermPostings(batch, analyzer, textCol)
+        .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(mf.termBuckets)).cast("int"))
+        .persist()
+      val byOld = graft.index.IndexBuilder.docTermPostings(oldDocs, analyzer, textCol)
+        .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(mf.termBuckets)).cast("int"))
+        .persist()
+      val tBuckets = byNew.select("t_bucket").union(byOld.select("t_bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+
+      // ---- dictionary: adjust df/cf by batch deltas; mint ids above max --
+      val dict = spark.read.parquet(s"$path/term_dict")
+      val batchTerms = byNew.select("term").distinct()
+      val known = dict.join(broadcast(batchTerms), Seq("term"), "left_semi")
+        .select("term_id", "term")
+      val newTerms = batchTerms.join(known, Seq("term"), "left_anti")
+      val maxId = dict.agg(coalesce(max(col("term_id")), lit(-1L))).head().getLong(0)
+      val (mintedRaw, mintCleanup) =
+        graft.index.Ids.withDenseOrdinalHandle(newTerms, "term_id0", Seq("term"))
+      val minted = mintedRaw
+        .select((col("term_id0") + lit(maxId + 1)).as("term_id"), col("term"))
+      val incs = byNew.groupBy(col("term"))
+        .agg(count(lit(1)).as("df_i"), sum(col("tf")).cast("long").as("cf_i"))
+      val decs = byOld.groupBy(col("term"))
+        .agg(count(lit(1)).as("df_x"), sum(col("tf")).cast("long").as("cf_x"))
+      val deltas = incs.join(decs, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df_i"), lit(0L)) - coalesce(col("df_x"), lit(0L))).as("df_d"),
+          (coalesce(col("cf_i"), lit(0L)) - coalesce(col("cf_x"), lit(0L))).as("cf_d"))
+      val dictNew = dict
+        .join(broadcast(deltas), Seq("term"), "left")
+        .select(col("term_id"), col("term"),
+          (col("df") + coalesce(col("df_d"), lit(0L))).as("df"),
+          (col("cf") + coalesce(col("cf_d"), lit(0L))).as("cf"), col("t_bucket"))
+        .filter(col("df") > 0)
+        .unionByName(minted.join(broadcast(deltas), Seq("term"), "left")
+          .select(col("term_id"), col("term"),
+            coalesce(col("df_d"), lit(0L)).as("df"), coalesce(col("cf_d"), lit(0L)).as("cf"),
+            pmod(xxhash64(col("term")), lit(mf.termBuckets)).cast("int").as("t_bucket")))
+      dictNew.write.mode("overwrite").parquet(s"$sp/term_dict")
+      mintCleanup()
+      val dictStaged = spark.read.parquet(s"$sp/term_dict")
+
+      // ---- postings: new content of the touched t_buckets ---------------
+      val oldPost = spark.read.parquet(s"$path/postings")
+        .filter(col("t_bucket").isin(tBuckets: _*))
+      val ids = dictStaged.join(broadcast(batchTerms), Seq("term"), "left_semi")
+        .select("term_id", "term")
+      val newRows = byNew.join(broadcast(ids), "term")
+        .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
+      oldPost.join(broadcast(newOrds), Seq("doc_ord"), "left_anti")
+        .unionByName(newRows)
+        .write.mode("overwrite").partitionBy("t_bucket").parquet(s"$sp/postings")
+
+      // ---- docs + doc_stats: new content of the touched d_buckets --------
+      val docsCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+      spark.read.parquet(s"$path/docs")
+        .filter(col("d_bucket").isin(dBuckets: _*))
+        .join(broadcast(newOrds), Seq("doc_ord"), "left_anti")
+        .drop("d_bucket")
+        .unionByName(batch.select(docsCols.map(col): _*))
+        .withColumn("d_bucket", dBucketOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/docs")
+      val newStats = byNew.groupBy(col("doc_ord"))
+        .agg(max(col("dl")).cast("int").as("token_count"))
+      spark.read.parquet(s"$path/doc_stats")
+        .filter(col("d_bucket").isin(dBuckets: _*))
+        .join(broadcast(newOrds), Seq("doc_ord"), "left_anti")
+        .drop("d_bucket")
+        .unionByName(newStats)
+        .withColumn("d_bucket", dBucketOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/doc_stats")
+
+      // ---- blocks: rebuild the touched doc-range buckets -----------------
+      // needs ALL postings in those doc ranges: the staged touched
+      // t_buckets already hold the post-delta rows; untouched t_buckets
+      // contribute their existing rows (doc_ord range filter — at scale a
+      // doc_ord-sorted file layout makes this a row-group-pruned read)
+      val untouched = spark.read.parquet(s"$path/postings")
+        .filter(!col("t_bucket").isin(tBuckets: _*))
+      val postDelta = spark.read.parquet(s"$sp/postings")
+      val inRange = untouched.unionByName(postDelta)
+        .filter(dBucketOf(col("doc_ord")).isin(dBuckets: _*))
+      PostingBlocks.buildFrom(inRange.drop("t_bucket"), null, bp)
+        .filter(col("bucket").isin(dBuckets: _*))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$sp/blocks")
+
+      // ---- exact global stats by integer delta ---------------------------
+      val replaced = oldDocs.count()
+      val added = batch.count()
+      val remTok = byOld.groupBy(col("doc_ord")).agg(max(col("dl")).as("dl"))
+        .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+      val addTok = newStats
+        .agg(coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+      val prevTokens = mf.stages.reverse.collectFirst {
+        case s if s.lineage.contains("tokens") => s.lineage("tokens").toLong
+      }.getOrElse(0L)
+      val n2 = mf.numDocs - replaced + added
+      val tok2 = prevTokens - remTok + addTok
+      Seq(batch, oldDocs, byNew, byOld).foreach(_.unpersist())
+      val m = StageMarker(s"delta_${batchId}_staged", added,
+        System.currentTimeMillis() - t0,
+        Map("tokens" -> tok2.toString, "numDocs" -> n2.toString,
+          "replaced" -> replaced.toString,
+          "tBuckets" -> tBuckets.mkString(","), "dBuckets" -> dBuckets.mkString(",")))
+      ManifestIO.write(stagedM, m)
+      m
+    }
+
+    // ---- APPLY: deterministic overwrites from the staged content ---------
+    // dynamic overwrite only replaces partitions PRESENT in the staged
+    // data; a touched partition whose post-delta content is EMPTY (e.g.
+    // every doc of a term bucket replaced away) must be deleted explicitly
+    // or its stale rows would keep matching old content
+    def applyTable(table: String, partCol: String, touched: Seq[Long]): Unit = {
+      // an all-empty staged table (batch of empty docs) writes no parquet
+      // and cannot be re-read — treat as "no partitions present"
+      val staged0 =
+        try Some(spark.read.parquet(s"$sp/$table"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      staged0.foreach(_.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(s"$path/$table"))
+      val present = staged0.map(_.select(col(partCol).cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(present).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$partCol=$b"), true)
+      }
+    }
+    def parseBuckets(key: String): Seq[Long] = {
+      val s = staged.lineage.getOrElse(key, "")
+      if (s.isEmpty) Nil else s.split(",").map(_.toLong).toSeq
+    }
+    applyTable("postings", "t_bucket", parseBuckets("tBuckets"))
+    applyTable("docs", "d_bucket", parseBuckets("dBuckets"))
+    applyTable("doc_stats", "d_bucket", parseBuckets("dBuckets"))
+    applyTable("blocks", "bucket", parseBuckets("dBuckets"))
+    spark.read.parquet(s"$sp/term_dict")
+      .write.mode("overwrite").parquet(s"$path/term_dict")
+
+    val n2 = staged.lineage("numDocs").toLong
+    val tok2 = staged.lineage("tokens").toLong
+    val mf2 = mf.copy(numDocs = n2,
+      avgDocLen = if (n2 == 0) 0.0 else tok2.toDouble / n2,
+      stages = mf.stages :+ staged)
+    ManifestIO.write(s"$path/manifest.json", mf2)
+    ManifestIO.write(appliedM, staged.copy(stage = s"delta_${batchId}_applied"))
+    mf2
   }
 }

@@ -129,6 +129,21 @@ class OpsSpec extends SparkSpec {
     assert(lsh.contains((0L, 1L))) // the near-identical pair must share buckets
   }
 
+  test("IVF top-k: full-probe == brute force; partial-probe keeps the planted neighbor") {
+    val queries = emb.filter(col("vec_id").isin(0L, 3L))
+    val bf = Similarity.bruteForceTopK(emb, queries, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe == nlist probes every list — IVF degenerates to exact search
+    val full = Similarity.ivfTopK(emb, queries, 3, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf, s"full-probe IVF must be exact: $full vs $bf")
+    // partial probe: the near-identical pair shares the nearest centroid
+    val part = Similarity.ivfTopK(emb, queries, 3, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(part.contains((0L, 1L)))
+    assert(part.subsetOf(bf.map(t => (t._1, t._3))) || part.nonEmpty)
+  }
+
   test("blocked cosine pairs: same-label near pair found, cross-label excluded") {
     val pairs = Similarity.cosinePairsBlocked(emb, "label", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -116,6 +116,22 @@ class SearcherSpec extends SparkSpec {
     assert(scores == scores.sorted.reverse && scores.nonEmpty)
     assert(scores.forall(_ > 0))
   }
+  test("bm25TopKBatch == per-query bm25TopK for every query in the set") {
+    val kws = Seq("GO Ruby", "php", "ruby go php", "unknownterm", "")
+    val batch = readme.bm25TopKBatch(kws, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    kws.zipWithIndex.foreach { case (kw, qi) =>
+      val want = readme.bm25TopK(kw, 3).select("doc_ord", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = batch.getOrElse(qi, Seq.empty)
+      assert(got.map(_._1) == want.map(_._1), s"query '$kw' docs: $got vs $want")
+      got.zip(want).foreach { case ((_, gs), (_, ws)) =>
+        assert(math.abs(gs - ws) < 1e-9, s"query '$kw' score $gs vs $ws")
+      }
+    }
+  }
+
   test("AND with a duplicated query term uses set semantics (documented divergence)") {
     // reference would return empty because len(tokens) != len(terms)
     // (`searcher.go:66-68` after SQL IN dedup); we match on the term SET.

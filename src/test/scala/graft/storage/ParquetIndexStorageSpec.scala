@@ -91,6 +91,78 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(qa == qb)
   }
 
+  test("incremental addDocuments == fresh rebuild; untouched partitions untouched") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+
+    // batch: one replacement (re-worded turn) + two appended docs
+    val maxOrd = memIndex.docs.agg(org.apache.spark.sql.functions.max("doc_ord"))
+      .head().getLong(0)
+    val replacedOrd = 3L
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    val template = memIndex.docs.filter($"doc_ord" === replacedOrd).collect().head
+    def mkRow(ord: Long, text: String) = {
+      val m = docCols.map {
+        case "doc_ord" => ord.asInstanceOf[Any]
+        case "text" => text.asInstanceOf[Any]
+        case c => template.get(template.fieldIndex(c))
+      }
+      org.apache.spark.sql.Row.fromSeq(m.toSeq)
+    }
+    val schema = spark.read.parquet(s"$path/docs").drop("d_bucket").schema
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        mkRow(replacedOrd, "replacedterm t000001 freshterm"),
+        mkRow(maxOrd + 1, "appended t000002 freshterm"),
+        mkRow(maxOrd + 2, ""))), schema)
+
+    // untouched-partition evidence: t_bucket dirs not named in the delta
+    // marker keep their mtimes
+    val before = (0 until params.termBuckets).flatMap { b =>
+      val p = java.nio.file.Paths.get(s"$path/postings/t_bucket=$b")
+      if (java.nio.file.Files.exists(p))
+        Some(b -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      else None
+    }.toMap
+
+    ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, batchId = "b1")
+
+    val touched = ManifestIO.read(
+      s"$path/_markers/delta_b1_staged.json", classOf[StageMarker]).get
+      .lineage("tBuckets").split(",").map(_.toInt).toSet
+    before.foreach { case (b, mtime) =>
+      if (!touched.contains(b))
+        assert(java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(s"$path/postings/t_bucket=$b")).toMillis == mtime,
+          s"untouched bucket $b was rewritten")
+    }
+    assert(touched.size < params.termBuckets || params.termBuckets <= 4)
+
+    // fresh rebuild over the union corpus must answer identically
+    val unionDocs = memIndex.docs
+      .join(batch.select("doc_ord"), Seq("doc_ord"), "left_anti")
+      .unionByName(batch)
+    val freshPath = tmp()
+    ParquetIndexStorage.build(unionDocs, analyzer, freshPath, params, "fresh")
+    val a = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    val b = Searcher(ParquetIndexStorage.read(spark, freshPath), analyzer)
+    assert(math.abs(a.index.avgDocLen - b.index.avgDocLen) < 1e-12)
+    assert(a.index.numDocs == b.index.numDocs)
+    for (q <- Seq("replacedterm", "freshterm", "t000001 t000002", "appended",
+      "t000000", "planteda plantedb")) {
+      assert(ids(a.matchQuery(q, Or)) == ids(b.matchQuery(q, Or)), s"OR $q")
+      assert(ids(a.matchQuery(q, And)) == ids(b.matchQuery(q, And)), s"AND $q")
+      assert(ids(a.bm25TopKWand(q, 10)) == ids(b.bm25TopK(q, 10)), s"WAND-vs-exhaustive $q")
+      assert(ids(a.phraseQuery(q)) == ids(b.phraseQuery(q)), s"PHRASE $q")
+    }
+    // re-applying the same batchId is a no-op (idempotent recovery path)
+    val mfBefore = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, batchId = "b1")
+    val mfAfter = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    assert(mfBefore == mfAfter)
+  }
+
   test("postings scan is partition-pruned by t_bucket") {
     val path = tmp()
     ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
