@@ -90,6 +90,12 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_bm25_batch" -> ((s, d) => // batch query-set evaluation, one plan
+      searcher(s, d).bm25TopKBatch(Seq("spark join", "vector window"), k = 500)
+        .select(col("q_id"), col("rank"), col("doc_ord").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")),
+
     "ft_ngram3" -> ((s, d) => {
       val ng = Analyzer(Nil, graft.analysis.NgramTokenizer(3),
         Seq(graft.analysis.LowercaseFilter()))
@@ -281,6 +287,30 @@ object SparkEntry {
          |    / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS score
          |FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_bm25_batch" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |qterms AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'),
+         |                                 (1, 'vector'), (1, 'window')) t(q_id, term)),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN qterms qt USING (term) JOIN tc USING (doc_id)
+         |  JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY qt.q_id, tf.doc_id)
+         |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank,
+         |  doc_id, round(score, 6) AS score
+         |FROM scored ORDER BY q_id, rank""".stripMargin,
 
     "ft_ngram3" ->
       "SELECT doc_id FROM documents WHERE contains(lower(text), 'spa') ORDER BY doc_id",

@@ -31,23 +31,35 @@ import org.apache.spark.storage.StorageLevel
   * re-analyzed (O(batch)) for per-term decrements rather than re-counting
   * the posting store.
   */
+/** @param storagePath when set, `initial` must be (the TextIndex of) the
+  *   persisted index at that path, and flush() folds the buffered delta
+  *   into storage via `ParquetIndexStorage.addDocuments` — a staged,
+  *   idempotent dynamic-partition-overwrite of only the touched t_bucket /
+  *   d_bucket partitions — then rebases on the committed state. Without it,
+  *   flush() compacts into a new in-memory base. */
 final class StreamingIndexer(
     initial: TextIndex,
     analyzer: Analyzer,
     textCol: String = "text",
-    flushThreshold: Long = 100000L
+    flushThreshold: Long = 100000L,
+    storagePath: Option[String] = None
 ) extends Serializable {
 
   private val spark: SparkSession = initial.docs.sparkSession
   import spark.implicits._
 
+  // persisted layouts carry partition columns the delta frames do not
+  private def docsOf(ti: TextIndex): DataFrame = ti.docs.drop("d_bucket")
+  private def statsOf(ti: TextIndex): DataFrame = ti.docStats.drop("d_bucket")
+
   // ---- mutable state (driver-side; all DataFrames below are cached) ------
   @volatile private var base: TextIndex = initial
   @volatile private var tombstones: DataFrame = emptyOrds() // base ords replaced
-  @volatile private var deltaDocs: DataFrame = initial.docs.limit(0).cache()
-  @volatile private var deltaStats: DataFrame = initial.docStats.limit(0).cache()
+  @volatile private var deltaDocs: DataFrame = docsOf(initial).limit(0).cache()
+  @volatile private var deltaStats: DataFrame = statsOf(initial).limit(0).cache()
   @volatile private var deltaPostings: DataFrame =
     initial.postings.drop("t_bucket").limit(0).cache()
+  @volatile private var flushEpoch: Long = 0L
   @volatile private var mintedTerms: DataFrame =
     Seq.empty[(Long, String)].toDF("term_id", "term").cache()
   @volatile private var dictAdj: DataFrame =
@@ -80,8 +92,8 @@ final class StreamingIndexer(
     val n = base.numDocs + nDelta
     val tokens = baseTokens + tokensDelta
     TextIndex(
-      docs = minusTomb(base.docs).unionByName(deltaDocs),
-      docStats = minusTomb(base.docStats).unionByName(deltaStats),
+      docs = minusTomb(docsOf(base)).unionByName(deltaDocs),
+      docStats = minusTomb(statsOf(base)).unionByName(deltaStats),
       termDict = adjusted.unionByName(mintedRows).filter(col("df") > 0),
       postings = minusTomb(base.postings.drop("t_bucket")).unionByName(deltaPostings),
       numDocs = n,
@@ -212,28 +224,46 @@ final class StreamingIndexer(
     if (bufferedDocs >= flushThreshold) flush()
   }
 
-  /** Compact the delta into a new materialized base (the reference's
-    * threshold merge, `indexer.go:38-60`): one O(index) pass, amortized
-    * over `flushThreshold` buffered documents; resets delta state and the
-    * cached-plan lineage. */
+  /** Fold the delta into a new base (the reference's threshold merge,
+    * `indexer.go:38-60`), amortized over `flushThreshold` buffered docs.
+    * Storage-backed: the buffered docs' FINAL content goes through
+    * `ParquetIndexStorage.addDocuments` (staged + dynamic overwrite of
+    * touched partitions only) and the indexer rebases on the committed
+    * layout. In-memory: materialize the assembled view. Both reset the
+    * delta state and the cached-plan lineage. */
   def flush(): Unit = synchronized {
     if (bufferedDocs == 0) return
-    val compacted = index.cache()
-    compacted.postings.count(); compacted.docStats.count()
-    compacted.termDict.count(); compacted.docs.count()
     val oldBase = base
     val oldDelta = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
-    base = compacted
-    baseTokens = compacted.totalTokens
+    storagePath match {
+      case Some(path) =>
+        // deltaDocs holds exactly one row per buffered key — its final
+        // content (in-delta replacements were folded by addBatch)
+        graft.storage.ParquetIndexStorage.addDocuments(
+          spark, path, deltaDocs, analyzer, batchId = s"stream_$flushEpoch", textCol)
+        flushEpoch += 1
+        base = graft.storage.ParquetIndexStorage.read(spark, path).index
+        baseTokens = base.exactTotalTokens
+        // storage minted its own ids for the flushed batch's new terms —
+        // realign the counter with the committed dictionary
+        nextTermId = base.termDict
+          .agg(coalesce(max(col("term_id")), lit(-1L))).head().getLong(0) + 1
+      case None =>
+        val compacted = index.cache()
+        compacted.postings.count(); compacted.docStats.count()
+        compacted.termDict.count(); compacted.docs.count()
+        base = compacted
+        baseTokens = compacted.totalTokens
+    }
     tombstones = emptyOrds()
-    deltaDocs = base.docs.limit(0).cache()
-    deltaStats = base.docStats.limit(0).cache()
-    deltaPostings = base.postings.limit(0).cache()
+    deltaDocs = docsOf(base).limit(0).cache()
+    deltaStats = statsOf(base).limit(0).cache()
+    deltaPostings = base.postings.drop("t_bucket").limit(0).cache()
     mintedTerms = Seq.empty[(Long, String)].toDF("term_id", "term").cache()
     dictAdj = Seq.empty[(String, Long, Long)].toDF("term", "df_d", "cf_d").cache()
     nDelta = 0L; tokensDelta = 0L; bufferedDocs = 0L
     oldDelta.foreach(_.unpersist())
-    if (oldBase ne initial) oldBase.unpersist()
+    if ((oldBase ne initial) && storagePath.isEmpty) oldBase.unpersist()
   }
 
   /** Attach to a streaming Dataset of turns; caller starts/stops the query. */
@@ -244,4 +274,15 @@ final class StreamingIndexer(
 
   def start(turns: DataFrame, trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
     writer(turns).trigger(trigger).start()
+}
+
+object StreamingIndexer {
+  /** Streaming maintenance OVER a committed persisted index: micro-batches
+    * buffer in memory, threshold flushes go through the storage layer's
+    * staged dynamic-partition-overwrite delta. */
+  def overStorage(spark: SparkSession, path: String, analyzer: Analyzer,
+      textCol: String = "text", flushThreshold: Long = 100000L): StreamingIndexer =
+    new StreamingIndexer(
+      graft.storage.ParquetIndexStorage.read(spark, path).index,
+      analyzer, textCol, flushThreshold, Some(path))
 }

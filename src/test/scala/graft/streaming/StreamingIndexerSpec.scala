@@ -108,6 +108,62 @@ class StreamingIndexerSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
   }
 
+  test("storage-backed flush commits deltas to disk == fresh batch build") {
+    import graft.index.BlockParams
+    import graft.storage.{ParquetIndexStorage, StorageParams}
+    val baseRows = corpus(60)
+    val baseIdx = IndexBuilder.buildFromTurns(turnsDf(baseRows), analyzer, materialize = true)
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_store_").toString
+    ParquetIndexStorage.build(baseIdx.docs, analyzer, path,
+      StorageParams(termBuckets = 8, writeGroups = 2, saltFactor = 2,
+        blockParams = BlockParams(blockSize = 32, bucketSpan = 128)), "spec")
+
+    // flushThreshold=1: every batch goes through addDocuments' staged
+    // dynamic-partition-overwrite and the indexer rebases on committed state
+    val si = StreamingIndexer.overStorage(spark, path, analyzer, flushThreshold = 1)
+    val b1 = Seq(("x1", 0, "newterm alpha common"), ("c00003", 0, "replacedterm beta"))
+    val b2 = Seq(("x2", 0, "gamma newterm"), ("x1", 0, "delta replacedagain"),
+      ("c00007", 0, ""))
+    si.addBatch(turnsDf(b1))
+    si.addBatch(turnsDf(b2))
+
+    val finalRows = (baseRows.map(r => (r._1, r._2) -> r._3).toMap
+      ++ b1.map(r => (r._1, r._2) -> r._3) ++ b2.map(r => (r._1, r._2) -> r._3))
+      .toSeq.map { case ((c, t), x) => (c, t, x) }
+    val fresh = IndexBuilder.buildFromTurns(turnsDf(finalRows), analyzer, materialize = true)
+    val freshS = new Searcher(fresh, analyzer)
+
+    // the COMMITTED on-disk index (re-read cold) must answer like the fresh build
+    val cold = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    def byKey(s: Searcher, kw: String) =
+      s.matchQuery(kw, Or).select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    for (kw <- Seq("newterm", "replacedterm", "beta", "common", "term3",
+        "replacedagain", "alpha"))
+      assert(byKey(cold, kw) == byKey(freshS, kw), s"query '$kw'")
+    assert(byKey(cold, "dd").isEmpty)
+
+    // dictionary df/cf exact across storage-path replacements
+    def dict(ti: graft.index.TextIndex) =
+      ti.termDict.select("term", "df", "cf").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dict(ParquetIndexStorage.read(spark, path).index) == dict(fresh))
+
+    // global stats survive the rebase; live view == cold view
+    assert(si.index.numDocs == fresh.numDocs)
+    assert(math.abs(si.index.avgDocLen - fresh.avgDocLen) < 1e-12)
+    val liveS = new Searcher(si.index, analyzer)
+    for (kw <- Seq("newterm", "common"))
+      assert(byKey(liveS, kw) == byKey(freshS, kw), s"live query '$kw'")
+
+    // BM25 ranking parity on the committed layout (WAND over persisted blocks)
+    val freshTop = freshS.bm25TopK("term5 term11", 10)
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val coldTop = cold.bm25TopKWand("term5 term11", 10)
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(coldTop == freshTop)
+  }
+
   test("per-batch shuffle work is bounded by batch size, not index size") {
     // same vocabulary, 16x the documents: if addBatch re-aggregated the
     // posting store or shuffled base tables, shuffle records would scale
