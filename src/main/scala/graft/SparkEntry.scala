@@ -47,6 +47,8 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def embTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+  private def evTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: BM25 top-10
     * via block-max WAND over the documents table. */
@@ -210,6 +212,16 @@ object SparkEntry {
 
     "text_fingerprint_roll" -> ((s, d) => // no oracle: engine string-fold differs
       TextStats.fingerprintRolling(docsTable(s, d)).orderBy("doc_id")),
+
+    // ---- event-stream aggregations (same code runs under readStream +
+    // watermark — spec-tested; here exercised in batch for the oracle) -----
+    "ev_window_counts" -> ((s, d) =>
+      graft.streaming.EventAggregates.windowedCounts(evTable(s, d), "5 minutes")
+        .orderBy("w_start", "event_type")),
+
+    "ev_sessions" -> ((s, d) =>
+      graft.streaming.EventAggregates.sessionize(evTable(s, d), "30 minutes")
+        .orderBy("user_id", "session_start")),
 
     // ---- multimodal plumbing (stub decoder, real Spark contract) ---------
     "mm_features" -> ((s, d) => {
@@ -475,6 +487,33 @@ object SparkEntry {
 
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ev_window_counts" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Spark session_window semantics (pinned by EventAggregatesSpec): an
+    // event at EXACTLY prev_ts + gap still extends the session (inclusive
+    // boundary), so a new session starts only when the gap is STRICTLY
+    // exceeded; session_end = last_ts + gap.
+    "ev_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
 }
