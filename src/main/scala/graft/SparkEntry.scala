@@ -21,6 +21,26 @@ object SparkEntry {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+  /** Engine-portable polynomial hash (Dedup.polyHash) as DuckDB SQL: fold of
+    * the code points mod 1e9+7 — every intermediate fits a BIGINT in both
+    * engines, so the values are bit-identical. `v` is the string expression;
+    * lambda variable names must not collide with enclosing lambdas. */
+  private def polySql(v: String, base: Int): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(list_filter(string_split($v, ''), " +
+      s"pc -> pc <> ''), pc -> unicode(pc)::BIGINT)), (ph, pcp) -> (ph * $base + pcp) % ${Dedup.PortableMod})"
+
+  /** Dedup.portableHash60 in SQL: two polynomial hashes packed 30+30 bits. */
+  private def portable60Sql(v: String): String =
+    s"(${polySql(v, 31)} + ${polySql(v, 131)} * ${1L << 30})"
+
+  /** 3-gram word-shingle CTE body shared by the jaccard/minhash oracles. */
+  private val shinglesSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN len(arr) < 3 THEN [] ELSE
+       |    list_transform(range(1, len(arr) - 1), i -> array_to_string(arr[i:i+2], ' '))
+       |  END AS sh
+       |FROM (SELECT doc_id, $toksSql AS arr FROM documents)""".stripMargin
+
   private val analyzer = Analyzer.standard()
 
   // One index per sf dir per session (Verify/Bench run many queries) —
@@ -152,13 +172,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docsTable(s, d), "source", threshold = 0.05, n = 3)
         .orderBy("id_a", "id_b")),
 
-    "dedup_minhash_bands" -> ((s, d) => // deterministic signature bands (no oracle: xxhash64)
+    "dedup_minhash_bands" -> ((s, d) => // portable polynomial base hash →
+      // the signature itself is DuckDB-replicable (same affine coeffs
+      // embedded in the oracle as literals); production banding keeps the
+      // codegen'd xxhash64 variant (dedup_minhash_pairs)
       {
         val docs = docsTable(s, d)
         val withSig = docs.select(col("doc_id"),
           Dedup.shingles(col("text"), 3).as("sh"))
-          .withColumn("sig", Dedup.minhashSignature(col("sh"), 16, 42L))
+          .withColumn("sig", Dedup.minhashSignaturePortable(col("sh"), 16, 42L))
         withSig.select(col("doc_id"), element_at(col("sig"), 1).as("h0"),
+          element_at(col("sig"), 6).as("h5"), element_at(col("sig"), 11).as("h10"),
           element_at(col("sig"), 16).as("h15")).orderBy("doc_id")
       }),
 
@@ -168,6 +192,11 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash64(docsTable(s, d)).orderBy("doc_id")),
+
+    "dedup_simhash_portable" -> ((s, d) => // 60-bit polynomial variant with a
+      // full DuckDB oracle (simhash64 itself rests on xxhash64, which the
+      // oracle engine lacks)
+      Dedup.simhash60Portable(docsTable(s, d)).orderBy("doc_id")),
 
     "dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(embTable(s, d), threshold = 0.5, planes = 4)
@@ -488,6 +517,42 @@ object SparkEntry {
     "text_fingerprint" ->
       s"""SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint_roll" -> // same mod-p code-point fold in both engines
+      s"""SELECT doc_id,
+         |  ${polySql(s"array_to_string($toksSql, ' ')", 31)} AS fp_roll
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_bands" -> { // SAME affine coefficients as the Spark side,
+      // embedded as literals
+      val coeffs = Dedup.minhashCoeffs(16, 42L)
+      val p = Dedup.PortableMod
+      val hCols = Seq(0, 5, 10, 15).map { i =>
+        val (a, b) = coeffs(i)
+        s"""  CASE WHEN len(sh) = 0 THEN ${Long.MaxValue}
+           |    ELSE list_min(list_transform(sh, ms -> ($a * ${polySql("ms", 31)} + $b) % $p))
+           |  END AS h$i""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS (
+         |$shinglesSql
+         |)
+         |SELECT doc_id,
+         |$hCols
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_simhash_portable" -> { // 60 bit-majority votes over the portable
+      // token hash; empty docs: list_sum([]) is NULL, NULL > 0 is false — 0,
+      // matching Spark's empty-aggregate vote of 0
+      val bitTerms = (0 until 60).map { i =>
+        s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform($toksSql, t -> ${portable60Sql("t")}) AS th
+         |  FROM documents
+         |)
+         |SELECT doc_id, ($bitTerms) AS simhash FROM th ORDER BY doc_id""".stripMargin
+    },
 
     "ev_window_counts" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,

@@ -103,7 +103,8 @@ object IndexBuilder {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
     val (termDictRaw, dictCleanup) =
-      Ids.withDenseOrdinalHandle(termStats, "term_id", Seq("term"))
+      Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
+        assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
     val termDict = termDictRaw.select("term_id", "term", "df", "cf")
 
     // postings is a broadcast-join VIEW over the one materialized store
@@ -129,12 +130,13 @@ object IndexBuilder {
     val (n, tokens) = {
       // exact integer arithmetic, one division: avg() would sum doubles in
       // partition order and make avgdl (hence every BM25 score) differ in
-      // the last ulp across parallelism levels. Σ tf over postings == Σ dl
-      // over docs, and the sum is a map-side partial aggregate (one row per
-      // task) — unlike the groupBy(doc) shuffle it replaced
+      // the last ulp across parallelism levels. Σ cf over the dictionary ==
+      // Σ tf over postings == Σ dl over docs — summed over the VOCAB-sized
+      // (cached, when materialized) dictionary instead of a full pass over
+      // the posting store
       val nn = docsF.count()
-      val tk = byTermDoc.agg(
-        coalesce(sum(col("tf").cast("long")), lit(0L))).head().getLong(0)
+      val tk = termDictF.agg(
+        coalesce(sum(col("cf").cast("long")), lit(0L))).head().getLong(0)
       (nn, tk)
     }
 

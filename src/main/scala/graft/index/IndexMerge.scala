@@ -61,7 +61,8 @@ object IndexMerge {
       .select("term_id", "term")
     val newTerms = batchTerms.join(knownIds, Seq("term"), "left_anti")
     val maxId = index.termDict.agg(coalesce(max(col("term_id")), lit(-1L))).head().getLong(0)
-    val (mintedRaw, mintCleanup) = Ids.withDenseOrdinalHandle(newTerms, "term_id0", Seq("term"))
+    val (mintedRaw, mintCleanup) = Ids.withDenseOrdinalCounted(newTerms, "term_id0", Seq("term"),
+      assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
     val minted = mintedRaw.select((col("term_id0") + lit(maxId + 1)).as("term_id"), col("term"))
 
     // ---- df/cf deltas (batch-sized): adds from the new postings, removes

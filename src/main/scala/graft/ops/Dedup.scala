@@ -56,18 +56,58 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Modulus every portable hash works in: intermediates stay far inside a
+    * signed 64-bit long, so ANY engine with plain integer arithmetic (no
+    * overflow wrap semantics needed) computes identical values — which is
+    * what lets the driver's DuckDB oracle check minhash/simhash end-to-end. */
+  val PortableMod = 1000000007L
+
+  /** Engine-portable polynomial hash of a string column: fold of the code
+    * points, `h = (h*base + cp) mod PortableMod` (≈30 bits of output).
+    * Character-level higher-order aggregate — interpreted, not codegen'd —
+    * so this is the ORACLE-CHECKABLE variant; the production paths keep
+    * codegen'd xxhash64. */
+  def polyHash(s: Column, base: Int = 31): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(base.toLong) + ascii(ch).cast("long"), lit(PortableMod)))
+
+  /** Two independent polynomial hashes packed into 60 bits (30 + 30):
+    * enough simhash bit-width for a portable near-dup fingerprint. */
+  def portableHash60(s: Column): Column =
+    polyHash(s, 31) + polyHash(s, 131) * lit(1L << 30)
+
+  /** The seeded affine-permutation coefficients minhash uses — public so an
+    * oracle generator can embed the SAME (a, b) pairs as SQL literals. */
+  def minhashCoeffs(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    val p = PortableMod
+    Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
+      math.abs(rnd.nextLong()) % p))
+  }
+
   /** MinHash signature column: for each of `numHashes` seeded affine
     * permutations over xxhash64(shingle), the minimum value. Empty shingle
     * sets get Long.MaxValue rows (never collide with real content). */
   def minhashSignature(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val rnd = new java.util.Random(seed)
-    val p = 1000000007L // (h mod p) * a + b stays well inside a long
-    val coeffs = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1,
-      math.abs(rnd.nextLong()) % p))
-    val mins = coeffs.map { case (ca, cb) =>
+    val p = PortableMod
+    val mins = minhashCoeffs(numHashes, seed).map { case (ca, cb) =>
       when(size(sh) === 0, lit(Long.MaxValue)).otherwise(
         array_min(transform(sh, s =>
           pmod(pmod(xxhash64(s), lit(p)) * lit(ca) + lit(cb), lit(p)))))
+    }
+    array(mins.toIndexedSeq: _*)
+  }
+
+  /** [[minhashSignature]] with the portable polynomial base hash instead of
+    * xxhash64 — bit-identical replicable in ANSI-ish SQL (DuckDB oracle). */
+  def minhashSignaturePortable(sh: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val p = PortableMod
+    val mins = minhashCoeffs(numHashes, seed).map { case (ca, cb) =>
+      when(size(sh) === 0, lit(Long.MaxValue)).otherwise(
+        array_min(transform(sh, s =>
+          pmod(polyHash(s) * lit(ca) + lit(cb), lit(p)))))
     }
     array(mins.toIndexedSeq: _*)
   }
@@ -125,22 +165,35 @@ object Dedup {
     * when more token-hashes have bit i than not. Fully native columns. */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = TextStats.tokensCol(col(textCol))
-    // one bit-majority aggregate per bit position (shift amounts must be
-    // Scala literals — functions.shiftright takes Int), OR-folded into a
-    // single long; everything stays native/codegen'd
     // hash every token exactly once (a materialized projection between the
-    // two selects), then take 64 bit-majority votes over the long array —
+    // two selects), then take the bit-majority votes over the long array —
     // NOT xxhash64 inside each of the 64 folds
     val hashed = docs.select(col(idCol),
       transform(toks, t => xxhash64(t)).as("th"))
-    val simhash = (0 until 64).map { i =>
-      val vote = aggregate(col("th"), lit(0L), (acc, h) =>
+    hashed.select(col(idCol), simhashBits(col("th"), 64).as("simhash"))
+  }
+
+  /** SimHash over the portable 60-bit polynomial token hash (bits 60..63
+    * always 0) — same majority-vote construction, bit-identical replicable
+    * in the DuckDB oracle. Production near-dup banding should keep
+    * [[simhash64]] (codegen'd xxhash64, full 64 bits). */
+  def simhash60Portable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextStats.tokensCol(col(textCol))
+    val hashed = docs.select(col(idCol),
+      transform(toks, t => portableHash60(t)).as("th"))
+    hashed.select(col(idCol), simhashBits(col("th"), 60).as("simhash"))
+  }
+
+  /** One bit-majority aggregate per bit position (shift amounts must be
+    * Scala literals — functions.shiftright takes Int), OR-folded into a
+    * single long; everything stays native. */
+  private def simhashBits(th: Column, nBits: Int): Column =
+    (0 until nBits).map { i =>
+      val vote = aggregate(th, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
           .otherwise(lit(-1L)))
       when(vote > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    hashed.select(col(idCol), simhash.as("simhash"))
-  }
 
   /** SimHash near-dup pairs via pigeonhole banding: the 64-bit hash is cut
     * into `maxHamming + 1` chunks, so any pair within the hamming budget

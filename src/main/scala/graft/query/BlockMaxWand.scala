@@ -104,6 +104,19 @@ object BlockMaxWand {
     private var tfs: Array[Long] = null
     private var dls: Array[Long] = null
 
+    // blocks must be doc-ascending AND range-disjoint (binary search + skip
+    // logic assume it); a violated build (e.g. buildFromDocPartitioned on
+    // partitions that were not doc-disjoint) must fail loudly, not mis-rank
+    {
+      var i = 1
+      while (i < blocks.length) {
+        require(blocks(i).min_doc > blocks(i - 1).max_doc,
+          s"overlapping posting blocks for term: [${blocks(i - 1).min_doc},${blocks(i - 1).max_doc}] " +
+            s"then [${blocks(i).min_doc},${blocks(i).max_doc}] — block build contract violated")
+        i += 1
+      }
+    }
+
     metrics.foreach(_.blocksTotal.add(blocks.length))
 
     /** Avgdl-robust block bound: quotient is increasing in tf, decreasing

@@ -147,7 +147,8 @@ object ParquetIndexStorage {
       val termStats = raw.groupBy(col("term"), col("t_bucket"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       val (withIds, cleanup) =
-        graft.index.Ids.withDenseOrdinalHandle(termStats, "term_id", Seq("term"))
+        graft.index.Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
+          assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
       withIds.select("term_id", "term", "df", "cf", "t_bucket")
         .write.mode("overwrite").parquet(s"$path/term_dict")
       cleanup()
@@ -319,7 +320,8 @@ object ParquetIndexStorage {
       val newTerms = batchTerms.join(known, Seq("term"), "left_anti")
       val maxId = dict.agg(coalesce(max(col("term_id")), lit(-1L))).head().getLong(0)
       val (mintedRaw, mintCleanup) =
-        graft.index.Ids.withDenseOrdinalHandle(newTerms, "term_id0", Seq("term"))
+        graft.index.Ids.withDenseOrdinalCounted(newTerms, "term_id0", Seq("term"),
+          assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
       val minted = mintedRaw
         .select((col("term_id0") + lit(maxId + 1)).as("term_id"), col("term"))
       val incs = byNew.groupBy(col("term"))

@@ -152,7 +152,8 @@ final class StreamingIndexer(
       .select("term_id", "term")
     val newTerms = batchTerms.join(known, Seq("term"), "left_anti")
     val (newMintedRaw, mintCleanup) =
-      Ids.withDenseOrdinalHandle(newTerms, "term_id0", Seq("term"))
+      Ids.withDenseOrdinalCounted(newTerms, "term_id0", Seq("term"),
+        assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
     val newMinted = newMintedRaw
       .select((col("term_id0") + lit(nextTermId)).as("term_id"), col("term"))
     val mintedTerms2 = mintedTerms.unionByName(newMinted).persist(StorageLevel.MEMORY_AND_DISK)

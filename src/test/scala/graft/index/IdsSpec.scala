@@ -50,6 +50,32 @@ class IdsSpec extends SparkSpec {
     assert(out.sortBy(_._2).map(_._1).toSeq == out.map(_._1).sorted.toSeq)
   }
 
+  test("verified-sorted input: no-shuffle fast path, same ordinals as the exchange path") {
+    val n = 5000
+    // contiguously partitioned AND globally sorted by key: 8 range slices
+    val sorted = spark.range(0, n, 1, 8)
+      .select(format_string("k%08d", col("id")).as("key"))
+    val shuffled = sorted.repartition(8) // round-robin: order destroyed
+    def ords(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val (out, cleanup) = Ids.withDenseOrdinalHandle(df, "ord", Seq("key"))
+      val m = out.select("key", "ord").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      cleanup(); m
+    }
+    // fast path preserves the input's 8 partitions; the exchange path would
+    // emit spark.sql.shuffle.partitions (= 4 in tests)
+    val (fastOut, fastCleanup) = Ids.withDenseOrdinalHandle(sorted, "ord", Seq("key"))
+    assert(fastOut.rdd.getNumPartitions == 8, "fast path must keep the existing partitioning")
+    fastCleanup()
+    assert(ords(sorted) == ords(shuffled), "fast and exchange paths must assign identical ordinals")
+  }
+
+  test("unsorted and null-keyed inputs fall back to the exchange and stay dense") {
+    val withNull = Seq(Tuple1("bb"), Tuple1(null: String), Tuple1("aa")).toDF("key")
+    val out = Ids.withDenseOrdinal(withNull, "ord", Seq("key"))
+      .select("ord").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("IndexMerge under AQE-off: no term_id collisions, queries correct") {
     withAqeOff {
       val analyzer = Analyzer.standard()

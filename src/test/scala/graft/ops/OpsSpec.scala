@@ -92,6 +92,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("portable hashes: polyHash == Scala fold; minhash/simhash portable variants behave") {
+    // polyHash is the base of the DuckDB-oracled minhash/simhash variants —
+    // pin it against a direct Scala fold (code points, mod 1e9+7)
+    def ref(s: String, base: Int): Long = {
+      var acc = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = java.lang.Math.floorMod(acc * base + cp, Dedup.PortableMod)
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    val samples = Seq("hello", "café", "日本語", "a b c", "")
+    val got = samples.toDF("s")
+      .select(col("s"), Dedup.polyHash(col("s"), 31).as("h31"),
+        Dedup.polyHash(col("s"), 131).as("h131"),
+        Dedup.portableHash60(col("s")).as("h60"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    samples.foreach { s =>
+      assert(got(s)._1 == ref(s, 31), s"polyHash(31) mismatch on '$s'")
+      assert(got(s)._2 == ref(s, 131), s"polyHash(131) mismatch on '$s'")
+      assert(got(s)._3 == ref(s, 31) + ref(s, 131) * (1L << 30))
+      assert(got(s)._3 >= 0 && got(s)._3 < (1L << 60))
+    }
+
+    // portable simhash: 60-bit range; identical docs equal; near < far
+    val sh = Dedup.simhash60Portable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh.values.forall(h => h >= 0 && h < (1L << 60)))
+    assert(sh(0L) == sh(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+
+    // portable minhash signature: identical docs identical; deterministic
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignaturePortable(Dedup.shingles(col("text"), 3), 16, 42L).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(0L) == sig(1L))
+    assert(sig(8L).forall(_ == Long.MaxValue)) // empty doc: empty shingles
+    assert(sig(0L) != sig(3L))
+  }
+
   // ---- embeddings -----------------------------------------------------
 
   private lazy val emb = {

@@ -102,4 +102,38 @@ class BlockMaxWandSpec extends SparkSpec {
     assert(fromBlocks.except(orig).count() == 0)
     assert(orig.except(fromBlocks).count() == 0)
   }
+
+  test("no-exchange doc-partitioned blocks: WAND rank-identical to exhaustive") {
+    // buildFromTurns yields doc-disjoint postings partitions by construction
+    // (ordinal order == partition order; narrow transforms after) — the
+    // contract buildFromDocPartitioned needs
+    val bp = BlockParams(blockSize = 16, bucketSpan = 64)
+    val blk = graft.index.PostingBlocks
+      .buildFromDocPartitioned(searcher.index.postings, bp).cache()
+    val s2 = new Searcher(searcher.index, analyzer, bp, Some(blk))
+    for (q <- queries; k <- Seq(1, 5, 25)) {
+      val full = collectPairs(searcher.bm25All(q))
+      val wand = collectPairs(s2.bm25TopKWand(q, k))
+      assertRankIdentical(full, wand, k)
+    }
+    blk.unpersist()
+  }
+
+  test("overlapping blocks for one term fail loudly (build-contract guard)") {
+    import spark.implicits._
+    import graft.index.{BlockCodec, PostingBlockRow}
+    def blk(docs: Array[Long]): PostingBlockRow =
+      PostingBlockRow(1L, 0L, docs.min, docs.max, docs.length, 1L, 10L,
+        BlockCodec.packDeltas(docs),
+        BlockCodec.packVarints(Array.fill(docs.length)(1L)),
+        BlockCodec.packVarints(Array.fill(docs.length)(10L)))
+    val overlapping = Seq(blk(Array(1L, 5L)), blk(Array(3L, 8L))).toDS()
+    val ex = intercept[Exception] {
+      BlockMaxWand.topK(overlapping, Map(1L -> 1.0), 5,
+        BlockParams(blockSize = 16, bucketSpan = 64), 10.0).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("overlapping posting blocks")))
+  }
 }
