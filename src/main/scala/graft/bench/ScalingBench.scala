@@ -104,7 +104,10 @@ object ScalingBench {
     def t[A](body: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val (_, tCalib) = t(calibrate(spark, cpus))
+    // calibration itself is best-of-2 within the run: a single shot during
+    // a host steal episode once reported a superlinear (impossible) 1.9
+    // CPU ratio and poisoned every normalized number derived from it
+    val tCalib = math.min(calibrate(spark, cpus), calibrate(spark, cpus))
     val tb0 = System.nanoTime()
     // stage: dense ordinals. The input (cached, generated in conv order) is
     // already globally sorted by (conv_id, turn_idx), so Ids' verified
@@ -132,16 +135,22 @@ object ScalingBench {
     // scale past this in one JVM: every thread decodes cached columnar
     // batches through the same memory bus that 4 real executor nodes
     // would quadruple. Sized at 3 reps so the ratio is not job-overhead.
-    val (_, tCacheScan) = t {
-      (1 to 3).foreach { _ =>
+    val csT0 = System.nanoTime()
+    val tCacheScan = {
+      def scanOnce(): Double = {
+        val s0 = System.nanoTime()
         byTermDoc.agg(
           coalesce(sum(col("tf").cast("long")), lit(0L)),
           coalesce(sum(col("dl").cast("long")), lit(0L)),
           coalesce(sum(col("doc_ord")), lit(0L)),
           coalesce(sum(size(col("positions")).cast("long")), lit(0L)),
           coalesce(sum(length(col("term")).cast("long")), lit(0L))).head()
+        (System.nanoTime() - s0) / 1e9
       }
+      scanOnce() // warm (first scan decodes fresh cache batches)
+      math.min(scanOnce(), scanOnce())
     }
+    val cacheScanElapsed = (System.nanoTime() - csT0) / 1e9
     val d = docs.cache()
     // stage: term dictionary (agg + dense ordinal via the small-input
     // broadcast path — no range exchange, no sorted-verify pass) + exact
@@ -173,15 +182,22 @@ object ScalingBench {
     // The old (bucket, term_id) repartition measured 0.50 N→4N scaling —
     // shuffle write of the whole posting store through one memory bus.
     val (searcher, tBlocks) = t {
-      val bp = BlockParams(blockSize = 128, bucketSpan = 4096)
+      // bucketSpan 16384: ~50 doc-range buckets at 809k turns — still ≥ 32
+      // for WAND bucket parallelism, but 4× fewer (bucket, term) runs than
+      // span 4096, i.e. 4× fewer block rows / accumulators / cache bytes.
+      // The pack stage is allocation-bound, not compute-bound: at span 4096
+      // its ~4M tiny blocks made the stage SLOWER at 32 threads than 8
+      // (GC shared across every executor thread).
+      val bp = BlockParams(blockSize = 128, bucketSpan = 16384)
       val blk = graft.index.PostingBlocks
         .buildFromDocPartitioned(idx.postings, bp).cache()
       blk.count()
       new Searcher(idx, analyzer, bp, Some(blk))
     }
     // probes (uncached analyze, cache-scan calibration) are measurement
-    // apparatus, not build work — excluded from the build wall time
-    val buildSec = (System.nanoTime() - tb0) / 1e9 - tAnalyzeNoCache - tCacheScan
+    // apparatus, not build work — their FULL elapsed time is excluded from
+    // the build wall
+    val buildSec = (System.nanoTime() - tb0) / 1e9 - tAnalyzeNoCache - cacheScanElapsed
     (idx, searcher,
       StageTimes(tCalib, tCacheScan, tOrd, tAnalyzeNoCache, tAnalyze, tDict, tBlocks), buildSec)
   }
@@ -378,11 +394,12 @@ object ScalingBench {
          |  memory bus that a real multi-node cluster does not.
          |- The two big build shuffles are gone: ordinals verify the input's
          |  existing sort (one narrow pass) and assign over its partitions;
-         |  WAND blocks pack after a per-partition local sort (postings
-         |  partitions hold disjoint doc ranges by construction). The
-         |  exchanges these replaced measured 0.38/0.50 raw scaling —
-         |  shuffle writes through one JVM's memory bus. The only remaining
-         |  exchange is the map-side-combined, vocab-sized dictionary agg.
+         |  WAND blocks stream-pack doc-ascending postings partitions in a
+         |  single InternalRow pass (bucket-flush accumulation — no
+         |  exchange, no sort, no per-row boxing). The exchanges these
+         |  replaced measured 0.38/0.50 raw scaling — shuffle writes through
+         |  one JVM's memory bus. The only remaining exchange is the
+         |  map-side-combined, vocab-sized dictionary agg.
          |
          |Environment: single JVM local mode (this sandbox has no multi-node
          |cluster); local[N] = N executor threads. Spark ${org.apache.spark.SPARK_VERSION}.

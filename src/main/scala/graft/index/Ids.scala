@@ -204,8 +204,12 @@ object Ids {
       }
       0
     }
-    val keyRows = pinned.select(orderKeys.map(col): _*).take(SmallMax + 1)
-    if (keyRows.length > SmallMax) return None
+    // count first (one job, materializes the pinned input), then a plain
+    // collect of the key projection (a cache read): two fixed-latency jobs
+    // total, where take(N+1)'s quadrupling partition scans cost four
+    val total = pinned.count()
+    if (total > SmallMax) return None
+    val keyRows = pinned.select(orderKeys.map(col): _*).collect()
     if (keyRows.exists(r => idxs.exists(r.isNullAt))) return None
     val keys = keyRows.map(r => Array.tabulate(r.length)(r.get(_)))
     java.util.Arrays.sort(keys, (a: Array[Any], b: Array[Any]) => cmpKeys(a, b))
@@ -214,19 +218,34 @@ object Ids {
       if (cmpKeys(keys(i - 1), keys(i)) == 0) return None // duplicate keys
       i += 1
     }
-    val keyFields = orderKeys.map(k => schema(schema.fieldIndex(k)))
-    val ordSchema = org.apache.spark.sql.types.StructType(
-      keyFields :+ org.apache.spark.sql.types.StructField(idCol, LongType, nullable = false))
-    val ordRows: java.util.List[Row] = new java.util.ArrayList[Row](keys.length)
+    val ordByKey = new java.util.HashMap[Seq[Any], java.lang.Long](keys.length * 2)
     var j = 0
     while (j < keys.length) {
-      ordRows.add(Row.fromSeq(keys(j).toSeq :+ j.toLong))
+      ordByKey.put(keys(j).toSeq, j.toLong)
       j += 1
     }
-    // LocalRelation (no job) -> broadcast hash join, narrow over the input
-    val ordDf = spark.createDataFrame(ordRows, ordSchema)
-    Some((pinned.join(org.apache.spark.sql.functions.broadcast(ordDf), orderKeys),
-      keys.length.toLong))
+    val bc = spark.sparkContext.broadcast(ordByKey)
+    val fullIdxs = orderKeys.map(schema.fieldIndex).toArray
+    val outSchema = schema.add(idCol, LongType, nullable = false)
+    // broadcast-map assignment over the pinned input's rdd: functional in
+    // the key, so there is no partition-stability contract at all — and
+    // createDataFrame CUTS the plan lineage, like the other paths. (An
+    // earlier broadcast-JOIN variant kept the upstream plan inside the
+    // output; consumers that rebase plans per micro-batch — IndexMerge
+    // under foreachBatch — then grow their plan with every batch until
+    // explainString alone OOMs.)
+    val outRdd = pinned.rdd.mapPartitions { it =>
+      val m = bc.value
+      it.map { r =>
+        val k: Seq[Any] = fullIdxs.toSeq.map(r.get(_))
+        val ord = m.get(k)
+        if (ord == null)
+          throw new IllegalStateException(
+            s"dense-ordinal broadcast map missing key $k; input changed between passes")
+        Row.fromSeq(r.toSeq :+ ord.longValue())
+      }
+    }
+    Some((spark.createDataFrame(outRdd, outSchema), keys.length.toLong))
   }
 
   /** One verification pass over the pinned input: per-partition (count,
