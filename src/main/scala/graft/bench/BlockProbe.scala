@@ -37,12 +37,15 @@ object BlockProbe {
     val byTermDoc = IndexBuilder.docTermPostings(docs, analyzer, "text").persist()
     t("analyze+cache")(byTermDoc.count())
     val termStats = byTermDoc.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(col("term_h")).as("term_h"))
     val (td, _, _) = Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
       assumeUnsorted = true)
-    val termDict = td.select("term_id", "term").cache()
+    val termDict = td.select("term_id", "term", "term_h").cache()
     t("dict")(termDict.count())
-    val postings = byTermDoc.join(broadcast(termDict), "term")
+    // long-keyed probe (see IndexBuilder) — the string-keyed variant was
+    // the measured floor this probe exists to decompose
+    val postings = byTermDoc.join(broadcast(termDict.select("term_id", "term_h")), "term_h")
       .select("term_id", "doc_ord", "positions", "tf", "dl")
     val bp = BlockParams(blockSize = 128, bucketSpan = 16384)
 

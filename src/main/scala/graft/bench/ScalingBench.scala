@@ -156,21 +156,33 @@ object ScalingBench {
     // broadcast path — no range exchange, no sorted-verify pass) + exact
     // N/avgdl (token total = Σ cf over the vocab-sized dictionary, fused
     // into the same job that materializes its cache; N is the turn count
-    // the ordinal pass already established)
-    val ((termDict, n, tokens), tDict) = t {
+    // the ordinal pass already established). The docs cache materializes
+    // here too — BEFORE ordCleanup releases the ordinal pass's pinned
+    // input, per Ids' cleanup contract (and so no later query pays the
+    // docs cache build inside its own timing).
+    val ((termDict, n, tokens, hashOk), tDict) = t {
       val termStats = byTermDoc.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("term_h")).as("term_h"))
       val (td, _, c) = Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
         assumeUnsorted = true)
-      val out = td.select("term_id", "term", "df", "cf").cache()
-      val tk = out.agg(coalesce(sum(col("cf").cast("long")), lit(0L))).head().getLong(0)
+      val out = td.select("term_id", "term", "term_h", "df", "cf").cache()
+      val row = out.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
+        (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
+      d.count()
       c()
-      (out, nTurns, tk)
+      (out, nTurns, row.getLong(0), row.getBoolean(1))
     }
     val docStats = byTermDoc.groupBy(col("doc_ord"))
       .agg(max(col("dl")).cast("int").as("token_count")) // lazy view
+    // LONG-keyed dictionary probe (term_h precomputed in the analyze pass):
+    // the old string-keyed join was the block stage's measured ~5 s
+    // parallelism-independent floor — UTF8String decode + string hash per
+    // posting row. Collision-checked above; fallback to the exact string
+    // join if the 64-bit hash ever collides within the vocabulary.
     val postings = byTermDoc
-      .join(broadcast(termDict.select("term_id", "term")), "term")
+      .join(broadcast(termDict.select("term_id", if (hashOk) "term_h" else "term")),
+        if (hashOk) "term_h" else "term")
       .select("term_id", "doc_ord", "positions", "tf", "dl")
     val idx = TextIndex(d, docStats, termDict, postings, n,
       if (n == 0) 0.0 else tokens.toDouble / n, totalTokens = tokens)

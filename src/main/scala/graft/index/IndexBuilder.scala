@@ -15,12 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object IndexBuilder {
 
-  /** (doc_ord, term, positions, tf) rows straight from (doc_ord, text):
-    * analysis AND per-term position grouping fused into one mapPartitions
-    * pass using the same pure-Scala Analyzer the query side uses (parity by
-    * construction). Positions are ordinals within one document's filtered
-    * token stream (`/root/reference/indexer.go:64-71`) — an intra-row
-    * grouping, so no shuffle is needed.
+  /** xxhash64-identical 64-bit term hash (seed 42 over the UTF-8 bytes),
+    * computed ONCE per distinct term per document inside the analyze pass.
+    * `pmod(xxhash64(col("term")), n)` == `pmod(col("term_h"), n)` by
+    * construction, so bucket derivations can reuse it too. */
+  def termHash(term: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** (doc_ord, term, term_h, positions, tf, dl) rows straight from
+    * (doc_ord, text): analysis AND per-term position grouping fused into one
+    * mapPartitions pass using the same pure-Scala Analyzer the query side
+    * uses (parity by construction). Positions are ordinals within one
+    * document's filtered token stream (`/root/reference/indexer.go:64-71`)
+    * — an intra-row grouping, so no shuffle is needed.
+    *
+    * `term_h` is the term's xxhash64, precomputed here so every downstream
+    * dictionary probe (the postings view's broadcast join, bucket
+    * derivation) is a LONG-keyed lookup instead of a per-posting-row
+    * UTF8String decode + string hash — that per-row string probe was the
+    * measured parallelism-independent floor of the block-table stage
+    * (~5 s at 53M postings; it reads the cached string column and rehashes
+    * it on every row, on every consumer).
     *
     * Why not declarative: `groupBy(term, doc).agg(collect_list(pos))` plans
     * as ObjectHashAggregate (sort-based fallback past 128 groups, per-group
@@ -49,19 +66,20 @@ object IndexBuilder {
           // +4 bytes buys freedom from any doc_stats join at block-build and
           // query time — at 10^12 docs that join is a full shuffle
           val dl = i
-          val out = new Array[(Long, String, Seq[Int], Int, Int)](m.size)
+          val out = new Array[(Long, String, Long, Seq[Int], Int, Int)](m.size)
           var j = 0
           val e = m.entrySet().iterator()
           while (e.hasNext) {
             val kv = e.next()
             val pos = kv.getValue.result()
-            out(j) = (doc, kv.getKey, scala.collection.immutable.ArraySeq.unsafeWrapArray(pos), pos.length, dl)
+            out(j) = (doc, kv.getKey, termHash(kv.getKey),
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(pos), pos.length, dl)
             j += 1
           }
           out.iterator
         }
       }
-      .toDF("doc_ord", "term", "positions", "tf", "dl")
+      .toDF("doc_ord", "term", "term_h", "positions", "tf", "dl")
   }
 
   /** Build from any DataFrame that has a dense `doc_ord:long` and a text
@@ -98,47 +116,58 @@ object IndexBuilder {
 
     // Term dictionary with document/collection frequencies; term_id assigned
     // by deterministic term order (vs the reference's DB auto-increment,
-    // `/root/reference/storage_rdb_Impl.go:106-121`).
+    // `/root/reference/storage_rdb_Impl.go:106-121`). term_h rides along
+    // (constant per term) so the postings view can probe on the long key.
     val termStats = byTermDoc
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        max(col("term_h")).as("term_h"))
     val (termDictRaw, dictCleanup) =
       Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
         assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
-    val termDict = termDictRaw.select("term_id", "term", "df", "cf")
+    val termDict = termDictRaw.select("term_id", "term", "df", "cf", "term_h")
 
     // postings is a broadcast-join VIEW over the one materialized store
     // (byTermDoc) — the id swap costs a hash probe per row at read time
     // instead of a second 100M+-row cache build (measured 98s at 115M rows).
+    // The probe key is the precomputed term_h LONG: joining on the term
+    // string measured a ~5 s parallelism-independent floor at 53M postings
+    // (UTF8String decode + string hash per row, repaid by every consumer of
+    // the view — the block pack above all). Correctness gate: the join is
+    // only keyed on term_h when the dictionary saw no 64-bit collision
+    // (checked below, vocab-sized agg); a collision — expected once per
+    // ~6e9-term vocabulary — falls back to the exact string join.
     // The dict side is hinted broadcast: its lineage passes through
     // mapPartitions, which blocks size estimation, so Catalyst would
     // otherwise plan a shuffle join even for a 20k-term vocabulary.
-    val postings = byTermDoc
-      .join(broadcast(termDict.select("term_id", "term")), "term")
+    def postingsVia(key: String) = byTermDoc
+      .join(broadcast(termDict.select("term_id", key)), key)
       .select("term_id", "doc_ord", "positions", "tf", "dl")
 
-    val (docsF, docStatsF, termDictF, postingsF) =
+    val (docsF, docStatsF, termDictF) =
       if (materialize) {
         val d = docs.cache()
         val td = termDict.cache()
         byTermDoc.count() // the single big materialization
         td.count(); d.count()
         dictCleanup()
-        (d, docStats, td, postings)
-      } else (docs, docStats, termDict, postings)
+        (d, docStats, td)
+      } else (docs, docStats, termDict)
 
-    val (n, tokens) = {
+    val (n, tokens, hashKeyOk) = {
       // exact integer arithmetic, one division: avg() would sum doubles in
       // partition order and make avgdl (hence every BM25 score) differ in
       // the last ulp across parallelism levels. Σ cf over the dictionary ==
       // Σ tf over postings == Σ dl over docs — summed over the VOCAB-sized
       // (cached, when materialized) dictionary instead of a full pass over
-      // the posting store
+      // the posting store. The term_h collision check rides the same job.
       val nn = docsF.count()
-      val tk = termDictF.agg(
-        coalesce(sum(col("cf").cast("long")), lit(0L))).head().getLong(0)
-      (nn, tk)
+      val row = termDictF.agg(
+        coalesce(sum(col("cf").cast("long")), lit(0L)).as("tokens"),
+        (count(lit(1)) === countDistinct(col("term_h"))).as("hash_ok")).head()
+      (nn, row.getLong(0), row.getBoolean(1))
     }
+    val postingsF = postingsVia(if (hashKeyOk) "term_h" else "term")
 
     TextIndex(docsF, docStatsF, termDictF, postingsF, n,
       if (n == 0) 0.0 else tokens.toDouble / n, totalTokens = tokens)

@@ -42,7 +42,14 @@ final case class IndexManifest(
     // block maxima are built WITH them, so a reloaded index scored with
     // different k1/b would prune against stale bounds — silently lossy.
     k1: Double = 1.2,
-    b: Double = 0.75
+    b: Double = 0.75,
+    // formatVersion 3: postings carry a doc-range partition level
+    // (d_group = doc_ord / dGroupSpan) so incremental deltas are
+    // directory-pruned to the touched doc ranges; keyCols/keyBuckets
+    // describe the keymap table for pruned key -> doc_ord resolution.
+    dGroupSpan: Long = 0L,
+    keyCols: Seq[String] = Nil,
+    keyBuckets: Int = 0
 )
 
 object ManifestIO {

@@ -2,7 +2,7 @@ package graft.storage
 
 import graft.analysis.Analyzer
 import graft.index.{BlockParams, PostingBlockRow, PostingBlocks, TextIndex}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistent, resumable index build over partitioned Parquet with
@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path/`:
   * {{{
-  *   docs/                          doc_ord + passthrough columns + text
-  *   doc_stats/                     doc_ord, token_count
-  *   _stage/raw/t_bucket=N/         (term, doc_ord, positions, tf) checkpoint
-  *   term_dict/                     term_id, term, df, cf, t_bucket
-  *   postings/t_bucket=N/           term_id, doc_ord, positions, tf
+  *   docs/d_bucket=N/               doc_ord + passthrough columns + text
+  *   doc_stats/d_bucket=N/          doc_ord, token_count
+  *   keymap/k_bucket=N/             key columns -> doc_ord (when keyCols set)
+  *   _stage/raw/t_bucket=N/         (term, term_h, doc_ord, positions, tf, dl)
+  *   term_dict/                     term_id, term, term_h, df, cf, t_bucket
+  *   postings/t_bucket=N/d_group=M/ term_id, doc_ord, positions, tf, dl
   *   blocks/bucket=N/               WAND block table (doc-range partitioned)
   *   _markers/<stage>.json          atomic per-stage commit + metrics
   *   manifest.json                  overall commit (written last)
@@ -25,6 +26,19 @@ import org.apache.spark.sql.functions._
   * nothing upstream of the `_stage/raw` checkpoint — analysis runs at most
   * once per build. Idempotence of retried groups comes from dynamic
   * partition overwrite (a group owns a disjoint set of t_bucket partitions).
+  *
+  * Scale partitioning (the O(batch) incremental contract):
+  *  - postings are partitioned by BOTH term bucket and doc-range group
+  *    (`d_group = doc_ord / dGroupSpan`). Queries prune on t_bucket; an
+  *    incremental delta touches only the d_groups its doc_ords fall in, so
+  *    the per-batch rewrite and the block rebuild read are DIRECTORY-pruned
+  *    to the touched doc ranges — never a scan of the whole store. Files
+  *    inside each leaf are doc_ord-sorted, so parquet row-group stats prune
+  *    further within a touched group.
+  *  - the keymap table buckets (conv_id, turn_idx) -> doc_ord rows by a hash
+  *    of the FIRST key column, so a streaming micro-batch carrying C
+  *    conversations resolves keys by reading at most C key buckets — not the
+  *    docs table.
   *
   * Skew: the raw checkpoint is written with an explicit salt on doc_ord in
   * the repartition key, so a hot term's bucket is produced by `saltFactor`
@@ -38,13 +52,24 @@ import org.apache.spark.sql.functions._
   *   the cluster idle between jobs (measured 2s/group of fixed scheduling +
   *   commit cost). Disjoint dynamic-overwrite targets commit independently
   *   on HDFS-like filesystems; set to 1 for object stores whose rename
-  *   semantics dislike concurrent committers on one table root. */
+  *   semantics dislike concurrent committers on one table root.
+  * @param dGroupSpan doc_ords per postings doc-range partition (must be a
+  *   multiple of blockParams.bucketSpan so a WAND bucket never straddles
+  *   groups). Default 2^26 keeps the leaf-directory count manageable at
+  *   10^12 docs (~15k groups) while bounding a delta batch's touched bytes.
+  * @param keyCols document key columns (e.g. conv_id, turn_idx) to maintain
+  *   the keymap table for; empty = no keymap.
+  * @param keyBuckets hash buckets of the keymap (on the first key column).
+  */
 final case class StorageParams(
     termBuckets: Int = 64,
     writeGroups: Int = 8,
     saltFactor: Int = 8,
     blockParams: BlockParams = BlockParams(),
-    groupParallelism: Int = 8
+    groupParallelism: Int = 8,
+    dGroupSpan: Long = 1L << 26,
+    keyCols: Seq[String] = Nil,
+    keyBuckets: Int = 64
 )
 
 final case class PersistedIndex(
@@ -60,6 +85,21 @@ final class InjectedFailure(stage: String)
 object ParquetIndexStorage {
 
   private def marker(path: String, stage: String) = s"$path/_markers/$stage.json"
+
+  /** Pushable doc-range predicate for a set of span-sized buckets: an OR of
+    * BETWEENs (parquet row-group prunable) for few buckets, else a single
+    * covering range AND the exact bucket membership. `floor(doc_ord/span)
+    * IN (...)` alone is a derived expression no reader can push down. */
+  private def docRangePred(c: Column, buckets: Seq[Long], span: Long): Column =
+    if (buckets.isEmpty) lit(false)
+    else if (buckets.size <= 32)
+      buckets.map(b => c.between(b * span, b * span + span - 1)).reduce(_ || _)
+    else
+      c.between(buckets.min * span, buckets.max * span + span - 1) &&
+        floor(c / lit(span)).isin(buckets: _*)
+
+  private def kBucketCol(keyCols: Seq[String], keyBuckets: Int): Column =
+    pmod(xxhash64(col(keyCols.head)), lit(keyBuckets)).cast("int")
 
   /** Build (or resume building) a persisted index.
     *
@@ -77,12 +117,16 @@ object ParquetIndexStorage {
   ): IndexManifest = {
     val spark = docs.sparkSession
     val p = params
+    require(p.dGroupSpan % p.blockParams.bucketSpan == 0,
+      s"dGroupSpan ${p.dGroupSpan} must be a multiple of bucketSpan ${p.blockParams.bucketSpan}")
+    val keyCols = p.keyCols.filter(docs.columns.contains)
     val lineage = Map(
       "source" -> sourceDesc,
       "analyzer" -> analyzer.describe,
       "termBuckets" -> p.termBuckets.toString,
       "blockSize" -> p.blockParams.blockSize.toString,
-      "bucketSpan" -> p.blockParams.bucketSpan.toString
+      "bucketSpan" -> p.blockParams.bucketSpan.toString,
+      "dGroupSpan" -> p.dGroupSpan.toString
     )
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageMarker]
 
@@ -110,13 +154,24 @@ object ParquetIndexStorage {
     }
     val numDocs = docsMarker.rows
 
+    // ---- stage: keymap (key -> doc_ord, bucketed by the first key column
+    // so streaming key resolution reads only the batch's buckets) ----------
+    if (keyCols.nonEmpty) runStage("keymap") {
+      spark.read.parquet(s"$path/docs")
+        .select((keyCols.map(col) :+ col("doc_ord")): _*)
+        .withColumn("k_bucket", kBucketCol(keyCols, p.keyBuckets))
+        .write.mode("overwrite").partitionBy("k_bucket").parquet(s"$path/keymap")
+      StageMarker("keymap", numDocs, 0, lineage)
+    }
+
     // ---- stage: raw postings checkpoint (analysis runs HERE, once) ------
     runStage("raw") {
       // fused analyze+group mapPartitions pass (see
-      // IndexBuilder.docTermPostings) — no shuffle, no ObjectHashAggregate
+      // IndexBuilder.docTermPostings) — no shuffle, no ObjectHashAggregate.
+      // t_bucket derives from the precomputed term_h (== xxhash64(term)).
       val byTermDoc = graft.index.IndexBuilder
         .docTermPostings(spark.read.parquet(s"$path/docs"), analyzer, textCol)
-        .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(p.termBuckets)).cast("int"))
+        .withColumn("t_bucket", pmod(col("term_h"), lit(p.termBuckets)).cast("int"))
       byTermDoc
         .repartition(col("t_bucket"), pmod(col("doc_ord"), lit(p.saltFactor)))
         .write.mode("overwrite").partitionBy("t_bucket").parquet(s"$path/_stage/raw")
@@ -142,18 +197,28 @@ object ParquetIndexStorage {
     val avgdl = statsMarker.lineage("avgdl").toDouble
 
     // ---- stage: term dictionary -----------------------------------------
-    runStage("dict") {
+    val dictMarker = runStage("dict") {
       val raw = spark.read.parquet(s"$path/_stage/raw")
       val termStats = raw.groupBy(col("term"), col("t_bucket"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("term_h")).as("term_h"))
       val (withIds, cleanup) =
         graft.index.Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
           assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
-      withIds.select("term_id", "term", "df", "cf", "t_bucket")
+      withIds.select("term_id", "term", "term_h", "df", "cf", "t_bucket")
         .write.mode("overwrite").parquet(s"$path/term_dict")
       cleanup()
-      StageMarker("dict", spark.read.parquet(s"$path/term_dict").count(), 0, lineage)
+      // 64-bit term-hash collision check (vocab-sized agg): when clean, the
+      // postings id-swap joins on the LONG term_h — no per-posting-row
+      // string decode+hash; a collision (expected once per ~6e9-term
+      // vocabulary) falls back to the exact string join.
+      val row = spark.read.parquet(s"$path/term_dict")
+        .agg(count(lit(1)).as("n"), countDistinct(col("term_h")).as("nh")).head()
+      StageMarker("dict", row.getLong(0), 0,
+        lineage + ("hashKeyOk" -> (row.getLong(0) == row.getLong(1)).toString))
     }
+    val joinKey =
+      if (dictMarker.lineage.get("hashKeyOk").forall(_.toBoolean)) "term_h" else "term"
 
     // ---- stage: final postings, in resumable bucket groups ---------------
     // groups run as CONCURRENT Spark jobs (disjoint t_bucket partition
@@ -167,16 +232,19 @@ object ParquetIndexStorage {
           .filter(col("t_bucket").isin(buckets: _*))
         val dict = spark.read.parquet(s"$path/term_dict")
           .filter(col("t_bucket").isin(buckets: _*))
-          .select("term", "term_id")
-        val fin = raw.join(dict, "term")
-          .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
+          .select(joinKey, "term_id")
+        val fin = raw.join(dict, joinKey)
+          .withColumn("d_group", floor(col("doc_ord") / lit(p.dGroupSpan)).cast("long"))
+          .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket", "d_group")
         // per-write dynamic overwrite (NOT a session-conf mutation, which
         // would silently change overwrite semantics for the caller's other
         // partitioned writes): each group owns a disjoint t_bucket set, so
         // a retried group replaces only its own partitions — with the
-        // default static mode this write would wipe the other groups' work
-        fin.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("t_bucket").parquet(s"$path/postings")
+        // default static mode this write would wipe the other groups' work.
+        // Files are doc_ord-sorted so row-group stats prune range reads.
+        fin.sortWithinPartitions(col("t_bucket"), col("doc_ord"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("t_bucket", "d_group").parquet(s"$path/postings")
         val metrics = spark.read.parquet(s"$path/postings")
           .filter(col("t_bucket").isin(buckets: _*))
           .groupBy(col("t_bucket"))
@@ -212,9 +280,10 @@ object ParquetIndexStorage {
       StageMarker("blocks", spark.read.parquet(s"$path/blocks").count(), 0, lineage)
     }
 
-    val mf = IndexManifest(2, sourceDesc, analyzer.describe, numDocs, avgdl,
+    val mf = IndexManifest(3, sourceDesc, analyzer.describe, numDocs, avgdl,
       p.termBuckets, p.blockParams.blockSize, p.blockParams.bucketSpan, stages.toSeq,
-      k1 = p.blockParams.k1, b = p.blockParams.b)
+      k1 = p.blockParams.k1, b = p.blockParams.b,
+      dGroupSpan = p.dGroupSpan, keyCols = keyCols, keyBuckets = p.keyBuckets)
     ManifestIO.write(s"$path/manifest.json", mf)
     mf
   }
@@ -245,6 +314,24 @@ object ParquetIndexStorage {
     PersistedIndex(index, blocks, mf)
   }
 
+  /** Resolve document keys to ordinals through the bucketed keymap: reads
+    * ONLY the key buckets the probe keys hash to — never the docs table.
+    * Returns `keys`' key columns + doc_ord (inner join: unknown keys drop).
+    * The keymap reflects the last committed state (build or applied delta).
+    */
+  def lookupOrds(spark: SparkSession, path: String, keys: DataFrame): DataFrame = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    require(mf.keyCols.nonEmpty, s"index at $path has no keymap (keyCols empty)")
+    val kb = kBucketCol(mf.keyCols, mf.keyBuckets)
+    val probe = keys.select(mf.keyCols.map(col): _*)
+    val kbs = probe.select(kb.as("kb")).distinct().collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$path/keymap")
+      .filter(col("k_bucket").isin(kbs: _*))
+      .join(broadcast(probe), mf.keyCols)
+      .select((mf.keyCols.map(col) :+ col("doc_ord")): _*)
+  }
+
   /** Incrementally add (or replace) documents in a committed persisted
     * index — the storage-level `UpsertInvertedIndex` (SURVEY.md §2.2 row
     * 17; the reference's threshold merge `indexer.go:38-60` upserts each
@@ -252,11 +339,15 @@ object ParquetIndexStorage {
     *
     * Two-phase commit, idempotent per `batchId`:
     *  1. STAGE — compute the complete new content of every TOUCHED
-    *     partition (postings by t_bucket of the batch's terms, docs/stats/
-    *     blocks by d_bucket of the batch's ordinals, the adjusted term
-    *     dictionary) into `_stage/delta_<batchId>/`, then write the staged
-    *     marker. Reads prune to touched partitions; df/cf adjustments come
-    *     from re-analyzing the replaced docs' old text (exact, batch-sized).
+    *     partition into `_stage/delta_<batchId>/`, then write the staged
+    *     marker. Touched = the d_groups/d_buckets of the batch's doc_ords
+    *     (postings, docs, stats, blocks — all reads DIRECTORY-pruned to
+    *     them) + the keymap's touched key buckets + the adjusted term
+    *     dictionary; df/cf adjustments come from re-analyzing the replaced
+    *     docs' old text (exact, batch-sized). Because postings are
+    *     partitioned by doc range, per-batch bytes read and written are
+    *     proportional to the content of the touched doc ranges — NEVER the
+    *     whole store (the O(index)-scan-per-batch trap).
     *  2. APPLY — dynamic-partition-overwrite each touched partition from
     *     the staged content, update the manifest, write the applied marker.
     *     Every apply write is a deterministic function of the staged data,
@@ -287,8 +378,11 @@ object ParquetIndexStorage {
     val stagedM = marker(path, s"delta_${batchId}_staged")
     val sp = s"$path/_stage/delta_$batchId"
     val span = mf.bucketSpan
+    val gSpan = if (mf.dGroupSpan > 0) mf.dGroupSpan else span
     val bp = BlockParams(mf.blockSize, mf.bucketSpan, mf.k1, mf.b)
-    def dBucketOf(c: org.apache.spark.sql.Column) = floor(c / lit(span)).cast("long")
+    def dBucketOf(c: Column) = floor(c / lit(span)).cast("long")
+    def dGroupOf(c: Column) = floor(c / lit(gSpan)).cast("long")
+    val hasDGroup = mf.dGroupSpan > 0
 
     val staged = ManifestIO.read(stagedM, classOf[StageMarker]).getOrElse {
       val t0 = System.currentTimeMillis()
@@ -296,6 +390,7 @@ object ParquetIndexStorage {
       val newOrds = batch.select("doc_ord")
       val dBuckets = batch.select(dBucketOf(col("doc_ord")).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq
+      val dGroups = dBuckets.map(b => b * span / gSpan).distinct
 
       // replaced docs' old text — pruned to the batch's d_buckets
       val oldDocs = spark.read.parquet(s"$path/docs")
@@ -304,18 +399,18 @@ object ParquetIndexStorage {
         .select(col("doc_ord"), col(textCol))
         .persist()
       val byNew = graft.index.IndexBuilder.docTermPostings(batch, analyzer, textCol)
-        .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(mf.termBuckets)).cast("int"))
+        .withColumn("t_bucket", pmod(col("term_h"), lit(mf.termBuckets)).cast("int"))
         .persist()
       val byOld = graft.index.IndexBuilder.docTermPostings(oldDocs, analyzer, textCol)
-        .withColumn("t_bucket", pmod(xxhash64(col("term")), lit(mf.termBuckets)).cast("int"))
+        .withColumn("t_bucket", pmod(col("term_h"), lit(mf.termBuckets)).cast("int"))
         .persist()
-      val tBuckets = byNew.select("t_bucket").union(byOld.select("t_bucket"))
-        .distinct().collect().map(_.getInt(0)).toSeq
 
       // ---- dictionary: adjust df/cf by batch deltas; mint ids above max --
-      val dict = spark.read.parquet(s"$path/term_dict")
-      val batchTerms = byNew.select("term").distinct()
-      val known = dict.join(broadcast(batchTerms), Seq("term"), "left_semi")
+      val dict0 = spark.read.parquet(s"$path/term_dict")
+      val dict = if (dict0.columns.contains("term_h")) dict0
+                 else dict0.withColumn("term_h", xxhash64(col("term")))
+      val batchTerms = byNew.select("term", "term_h").distinct()
+      val known = dict.join(broadcast(batchTerms.select("term")), Seq("term"), "left_semi")
         .select("term_id", "term")
       val newTerms = batchTerms.join(known, Seq("term"), "left_anti")
       val maxId = dict.agg(coalesce(max(col("term_id")), lit(-1L))).head().getLong(0)
@@ -323,7 +418,7 @@ object ParquetIndexStorage {
         graft.index.Ids.withDenseOrdinalCounted(newTerms, "term_id0", Seq("term"),
           assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
       val minted = mintedRaw
-        .select((col("term_id0") + lit(maxId + 1)).as("term_id"), col("term"))
+        .select((col("term_id0") + lit(maxId + 1)).as("term_id"), col("term"), col("term_h"))
       val incs = byNew.groupBy(col("term"))
         .agg(count(lit(1)).as("df_i"), sum(col("tf")).cast("long").as("cf_i"))
       val decs = byOld.groupBy(col("term"))
@@ -334,28 +429,36 @@ object ParquetIndexStorage {
           (coalesce(col("cf_i"), lit(0L)) - coalesce(col("cf_x"), lit(0L))).as("cf_d"))
       val dictNew = dict
         .join(broadcast(deltas), Seq("term"), "left")
-        .select(col("term_id"), col("term"),
+        .select(col("term_id"), col("term"), col("term_h"),
           (col("df") + coalesce(col("df_d"), lit(0L))).as("df"),
           (col("cf") + coalesce(col("cf_d"), lit(0L))).as("cf"), col("t_bucket"))
         .filter(col("df") > 0)
         .unionByName(minted.join(broadcast(deltas), Seq("term"), "left")
-          .select(col("term_id"), col("term"),
+          .select(col("term_id"), col("term"), col("term_h"),
             coalesce(col("df_d"), lit(0L)).as("df"), coalesce(col("cf_d"), lit(0L)).as("cf"),
-            pmod(xxhash64(col("term")), lit(mf.termBuckets)).cast("int").as("t_bucket")))
+            pmod(col("term_h"), lit(mf.termBuckets)).cast("int").as("t_bucket")))
       dictNew.write.mode("overwrite").parquet(s"$sp/term_dict")
       mintCleanup()
       val dictStaged = spark.read.parquet(s"$sp/term_dict")
 
-      // ---- postings: new content of the touched t_buckets ---------------
-      val oldPost = spark.read.parquet(s"$path/postings")
-        .filter(col("t_bucket").isin(tBuckets: _*))
-      val ids = dictStaged.join(broadcast(batchTerms), Seq("term"), "left_semi")
+      // ---- postings: new content of the touched doc-range groups ---------
+      // Old rows of other doc ranges are untouched by definition (their docs
+      // are not in the batch), so the read is directory-pruned to the
+      // batch's d_groups — per-batch bytes ∝ touched ranges, not the store.
+      val oldPost0 = spark.read.parquet(s"$path/postings")
+      val oldPost =
+        if (hasDGroup) oldPost0.filter(col("d_group").isin(dGroups: _*))
+        else oldPost0.filter(docRangePred(col("doc_ord"), dBuckets, span))
+      val ids = dictStaged.join(broadcast(batchTerms.select("term")), Seq("term"), "left_semi")
         .select("term_id", "term")
       val newRows = byNew.join(broadcast(ids), "term")
         .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
-      oldPost.join(broadcast(newOrds), Seq("doc_ord"), "left_anti")
+      oldPost.select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
+        .join(broadcast(newOrds), Seq("doc_ord"), "left_anti")
         .unionByName(newRows)
-        .write.mode("overwrite").partitionBy("t_bucket").parquet(s"$sp/postings")
+        .withColumn("d_group", dGroupOf(col("doc_ord")))
+        .sortWithinPartitions(col("t_bucket"), col("doc_ord"))
+        .write.mode("overwrite").partitionBy("t_bucket", "d_group").parquet(s"$sp/postings")
 
       // ---- docs + doc_stats: new content of the touched d_buckets --------
       val docsCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
@@ -376,17 +479,31 @@ object ParquetIndexStorage {
         .withColumn("d_bucket", dBucketOf(col("doc_ord")))
         .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/doc_stats")
 
+      // ---- keymap: new content of the touched key buckets ----------------
+      val kBucketsTouched: Seq[Int] =
+        if (mf.keyCols.isEmpty || !mf.keyCols.forall(batch.columns.contains)) Nil
+        else {
+          val kb = kBucketCol(mf.keyCols, mf.keyBuckets)
+          val batchKeys = batch.select(mf.keyCols.map(col): _*)
+          val kbs = batchKeys.select(kb.as("kb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          spark.read.parquet(s"$path/keymap")
+            .filter(col("k_bucket").isin(kbs: _*))
+            .join(broadcast(batchKeys), mf.keyCols, "left_anti")
+            .drop("k_bucket")
+            .unionByName(batch.select((mf.keyCols.map(col) :+ col("doc_ord")): _*))
+            .withColumn("k_bucket", kb)
+            .write.mode("overwrite").partitionBy("k_bucket").parquet(s"$sp/keymap")
+          kbs
+        }
+
       // ---- blocks: rebuild the touched doc-range buckets -----------------
-      // needs ALL postings in those doc ranges: the staged touched
-      // t_buckets already hold the post-delta rows; untouched t_buckets
-      // contribute their existing rows (doc_ord range filter — at scale a
-      // doc_ord-sorted file layout makes this a row-group-pruned read)
-      val untouched = spark.read.parquet(s"$path/postings")
-        .filter(!col("t_bucket").isin(tBuckets: _*))
+      // needs ALL postings in those doc ranges — served by the staged
+      // touched d_groups (complete post-delta content of those ranges),
+      // row-group-pruned down to the touched d_buckets
       val postDelta = spark.read.parquet(s"$sp/postings")
-      val inRange = untouched.unionByName(postDelta)
-        .filter(dBucketOf(col("doc_ord")).isin(dBuckets: _*))
-      PostingBlocks.buildFrom(inRange.drop("t_bucket"), null, bp)
+        .filter(docRangePred(col("doc_ord"), dBuckets, span))
+      PostingBlocks.buildFrom(postDelta.drop("t_bucket", "d_group"), null, bp)
         .filter(col("bucket").isin(dBuckets: _*))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$sp/blocks")
 
@@ -407,7 +524,9 @@ object ParquetIndexStorage {
         System.currentTimeMillis() - t0,
         Map("tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "replaced" -> replaced.toString,
-          "tBuckets" -> tBuckets.mkString(","), "dBuckets" -> dBuckets.mkString(",")))
+          "dGroups" -> dGroups.mkString(","),
+          "kBuckets" -> kBucketsTouched.mkString(","),
+          "dBuckets" -> dBuckets.mkString(",")))
       ManifestIO.write(stagedM, m)
       m
     }
@@ -415,9 +534,10 @@ object ParquetIndexStorage {
     // ---- APPLY: deterministic overwrites from the staged content ---------
     // dynamic overwrite only replaces partitions PRESENT in the staged
     // data; a touched partition whose post-delta content is EMPTY (e.g.
-    // every doc of a term bucket replaced away) must be deleted explicitly
+    // every doc of a range replaced away) must be deleted explicitly
     // or its stale rows would keep matching old content
-    def applyTable(table: String, partCol: String, touched: Seq[Long]): Unit = {
+    def applyTable(table: String, partCols: Seq[String],
+        touched: Seq[Seq[Long]]): Unit = {
       // an all-empty staged table (batch of empty docs) writes no parquet
       // and cannot be re-read — treat as "no partitions present"
       val staged0 =
@@ -425,22 +545,43 @@ object ParquetIndexStorage {
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       staged0.foreach(_.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(s"$path/$table"))
-      val present = staged0.map(_.select(col(partCol).cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSet).getOrElse(Set.empty[Long])
+        .partitionBy(partCols: _*).parquet(s"$path/$table"))
+      val present: Set[Seq[Long]] =
+        staged0.map(_.select(partCols.map(c => col(c).cast("long")): _*)
+          .distinct().collect()
+          .map(r => partCols.indices.map(r.getLong).toSeq: Seq[Long]).toSet)
+        .getOrElse(Set.empty[Seq[Long]])
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(present).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$partCol=$b"), true)
+      touched.filterNot(present).foreach { vals =>
+        val sub = partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$sub"), true)
       }
     }
     def parseBuckets(key: String): Seq[Long] = {
       val s = staged.lineage.getOrElse(key, "")
       if (s.isEmpty) Nil else s.split(",").map(_.toLong).toSeq
     }
-    applyTable("postings", "t_bucket", parseBuckets("tBuckets"))
-    applyTable("docs", "d_bucket", parseBuckets("dBuckets"))
-    applyTable("doc_stats", "d_bucket", parseBuckets("dBuckets"))
-    applyTable("blocks", "bucket", parseBuckets("dBuckets"))
+    // postings: touched leaves = every pre-existing or staged (t_bucket,
+    // d_group) pair inside the touched d_groups. Enumerate via listing the
+    // touched group dirs (bounded by termBuckets × touched groups).
+    val touchedGroups = parseBuckets(if (hasDGroup) "dGroups" else "dBuckets")
+    val postTouched: Seq[Seq[Long]] = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(s"$path/postings")
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("t_bucket="))
+        .flatMap { tb =>
+          val t = tb.stripPrefix("t_bucket=").toLong
+          touchedGroups.map(g => Seq(t, g))
+        }
+    }
+    applyTable("postings", Seq("t_bucket", "d_group"), postTouched)
+    applyTable("docs", Seq("d_bucket"), parseBuckets("dBuckets").map(Seq(_)))
+    applyTable("doc_stats", Seq("d_bucket"), parseBuckets("dBuckets").map(Seq(_)))
+    applyTable("blocks", Seq("bucket"), parseBuckets("dBuckets").map(Seq(_)))
+    if (staged.lineage.getOrElse("kBuckets", "").nonEmpty)
+      applyTable("keymap", Seq("k_bucket"), parseBuckets("kBuckets").map(Seq(_)))
     spark.read.parquet(s"$sp/term_dict")
       .write.mode("overwrite").parquet(s"$path/term_dict")
 

@@ -51,6 +51,16 @@ final class StreamingIndexer(
   // persisted layouts carry partition columns the delta frames do not
   private def docsOf(ti: TextIndex): DataFrame = ti.docs.drop("d_bucket")
   private def statsOf(ti: TextIndex): DataFrame = ti.docStats.drop("d_bucket")
+  private def postingsOf(ti: TextIndex): DataFrame =
+    ti.postings.drop("t_bucket", "d_group")
+
+  /** Committed-storage manifest, when storage-backed: provides the keymap
+    * key columns (pruned key resolution) and the docs bucket span. */
+  private val storageManifest: Option[graft.storage.IndexManifest] =
+    storagePath.flatMap(p => graft.storage.ManifestIO.read(
+      s"$p/manifest.json", classOf[graft.storage.IndexManifest]))
+  private def keymapUsable: Boolean =
+    storageManifest.exists(m => m.keyCols == Seq("conv_id", "turn_idx"))
 
   // ---- mutable state (driver-side; all DataFrames below are cached) ------
   @volatile private var base: TextIndex = initial
@@ -58,7 +68,7 @@ final class StreamingIndexer(
   @volatile private var deltaDocs: DataFrame = docsOf(initial).limit(0).cache()
   @volatile private var deltaStats: DataFrame = statsOf(initial).limit(0).cache()
   @volatile private var deltaPostings: DataFrame =
-    initial.postings.drop("t_bucket").limit(0).cache()
+    postingsOf(initial).limit(0).cache()
   @volatile private var flushEpoch: Long = 0L
   @volatile private var mintedTerms: DataFrame =
     Seq.empty[(Long, String)].toDF("term_id", "term").cache()
@@ -95,7 +105,7 @@ final class StreamingIndexer(
       docs = minusTomb(docsOf(base)).unionByName(deltaDocs),
       docStats = minusTomb(statsOf(base)).unionByName(deltaStats),
       termDict = adjusted.unionByName(mintedRows).filter(col("df") > 0),
-      postings = minusTomb(base.postings.drop("t_bucket")).unionByName(deltaPostings),
+      postings = minusTomb(postingsOf(base)).unionByName(deltaPostings),
       numDocs = n,
       avgDocLen = if (n == 0) 0.0 else tokens.toDouble / n,
       termBuckets = 0,
@@ -114,16 +124,48 @@ final class StreamingIndexer(
     val batchSize = keyed.count()
     if (batchSize == 0) { keyed.unpersist(); return }
 
-    // -- resolve keys against the live view (broadcast the batch keys: the
-    // base side is a data-skipping scan, never a shuffle)
-    val live = index
-    val liveKeyed = live.docs.select(col("conv_id"), col("turn_idx"),
-      col("doc_ord"), col(textCol).as("__old_text"))
-    val hits = liveKeyed // batch-sized: live rows whose key is in the batch
-      .join(broadcast(keyed.select("conv_id", "turn_idx")), Seq("conv_id", "turn_idx"))
+    // -- resolve keys. Storage-backed: the base side goes through the
+    // BUCKETED KEYMAP (reads only the batch's key buckets) plus a
+    // d_bucket-pruned docs read for the replaced old text — per-batch input
+    // bytes ∝ touched partitions, never the base docs table (which a
+    // 10^12-turn index cannot scan per micro-batch). In-memory fallback:
+    // broadcast probe of the live view (a cache scan, no shuffle).
+    var ordsBasePinned: Option[DataFrame] = None
+    val hits = if (keymapUsable) {
+      val batchKeys = keyed.select("conv_id", "turn_idx")
+      // delta overrides first: keys already rewritten this epoch live in
+      // the (cached, delta-sized) deltaDocs with their current text
+      val fromDelta = deltaDocs
+        .select(col("conv_id"), col("turn_idx"), col("doc_ord"),
+          col(textCol).as("__old_text"))
+        .join(broadcast(batchKeys), Seq("conv_id", "turn_idx"))
+      val remaining = batchKeys.join(
+        fromDelta.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      // committed keys: doc_ords are STABLE across replacement, so keymap
+      // entries stay valid even when the delta already replaced the text
+      // (those keys were peeled off above and never reach the keymap)
+      val ordsBase = graft.storage.ParquetIndexStorage
+        .lookupOrds(spark, storagePath.get, remaining)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ordsBasePinned = Some(ordsBase)
+      val span = storageManifest.get.bucketSpan
+      val dbs = ordsBase.select(floor(col("doc_ord") / lit(span)).cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val fromBase = base.docs.filter(col("d_bucket").isin(dbs: _*))
+        .select(col("conv_id"), col("turn_idx"), col("doc_ord"),
+          col(textCol).as("__old_text"))
+        .join(broadcast(ordsBase.select("doc_ord")), Seq("doc_ord"), "left_semi")
+      fromDelta.unionByName(fromBase)
+    } else {
+      val live = index
+      live.docs.select(col("conv_id"), col("turn_idx"),
+          col("doc_ord"), col(textCol).as("__old_text"))
+        .join(broadcast(keyed.select("conv_id", "turn_idx")), Seq("conv_id", "turn_idx"))
+    }
     val existing = keyed.join(broadcast(hits), Seq("conv_id", "turn_idx"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     existing.count()
+    ordsBasePinned.foreach(_.unpersist())
     val fresh0 = keyed.join(existing.select("conv_id", "turn_idx"),
       Seq("conv_id", "turn_idx"), "left_anti")
     val (freshOrd, freshCleanup) =
@@ -259,7 +301,7 @@ final class StreamingIndexer(
     tombstones = emptyOrds()
     deltaDocs = docsOf(base).limit(0).cache()
     deltaStats = statsOf(base).limit(0).cache()
-    deltaPostings = base.postings.drop("t_bucket").limit(0).cache()
+    deltaPostings = postingsOf(base).limit(0).cache()
     mintedTerms = Seq.empty[(Long, String)].toDF("term_id", "term").cache()
     dictAdj = Seq.empty[(String, Long, Long)].toDF("term", "df_d", "cf_d").cache()
     nDelta = 0L; tokensDelta = 0L; bufferedDocs = 0L

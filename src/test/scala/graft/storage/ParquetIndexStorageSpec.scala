@@ -22,9 +22,12 @@ class ParquetIndexStorageSpec extends SparkSpec {
   private lazy val memIndex = IndexBuilder.buildFromTurns(turns, analyzer).cache()
   private lazy val memSearcher = new Searcher(memIndex, analyzer)
 
+  // dGroupSpan == bucketSpan so the tiny corpus still spans several
+  // doc-range groups (the partition-pruning unit incremental deltas touch)
   private val params = StorageParams(
     termBuckets = 8, writeGroups = 3, saltFactor = 2,
-    blockParams = BlockParams(blockSize = 32, bucketSpan = 128))
+    blockParams = BlockParams(blockSize = 32, bucketSpan = 64),
+    dGroupSpan = 64, keyCols = Seq("conv_id", "turn_idx"))
 
   private def docsWithOrd = memIndex.docs
 
@@ -117,27 +120,40 @@ class ParquetIndexStorageSpec extends SparkSpec {
         mkRow(maxOrd + 1, "appended t000002 freshterm"),
         mkRow(maxOrd + 2, ""))), schema)
 
-    // untouched-partition evidence: t_bucket dirs not named in the delta
-    // marker keep their mtimes
-    val before = (0 until params.termBuckets).flatMap { b =>
-      val p = java.nio.file.Paths.get(s"$path/postings/t_bucket=$b")
-      if (java.nio.file.Files.exists(p))
-        Some(b -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      else None
-    }.toMap
+    // untouched-partition evidence: postings leaves (t_bucket=b/d_group=g)
+    // whose doc-range group is not named in the delta marker keep their
+    // mtimes — the delta only rewrites the touched doc ranges
+    def leafDirs(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$path/postings")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.list(root).forEach { tb =>
+        if (java.nio.file.Files.isDirectory(tb) &&
+            tb.getFileName.toString.startsWith("t_bucket="))
+          java.nio.file.Files.list(tb).forEach { dg =>
+            if (java.nio.file.Files.isDirectory(dg))
+              out(s"${tb.getFileName}/${dg.getFileName}") =
+                java.nio.file.Files.getLastModifiedTime(dg).toMillis
+          }
+      }
+      out.toMap
+    }
+    val before = leafDirs()
 
     ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, batchId = "b1")
 
     val touched = ManifestIO.read(
       s"$path/_markers/delta_b1_staged.json", classOf[StageMarker]).get
-      .lineage("tBuckets").split(",").map(_.toInt).toSet
-    before.foreach { case (b, mtime) =>
-      if (!touched.contains(b))
+      .lineage("dGroups").split(",").map(_.toLong).toSet
+    before.foreach { case (leaf, mtime) =>
+      val g = leaf.split("/")(1).stripPrefix("d_group=").toLong
+      if (!touched.contains(g))
         assert(java.nio.file.Files.getLastModifiedTime(
-          java.nio.file.Paths.get(s"$path/postings/t_bucket=$b")).toMillis == mtime,
-          s"untouched bucket $b was rewritten")
+          java.nio.file.Paths.get(s"$path/postings/$leaf")).toMillis == mtime,
+          s"untouched leaf $leaf was rewritten")
     }
-    assert(touched.size < params.termBuckets || params.termBuckets <= 4)
+    val allGroups = before.keySet.map(_.split("/")(1).stripPrefix("d_group=").toLong)
+    assert(touched.size < allGroups.size,
+      s"delta touched every doc-range group ($touched of $allGroups) — nothing pruned")
 
     // fresh rebuild over the union corpus must answer identically
     val unionDocs = memIndex.docs
@@ -161,6 +177,69 @@ class ParquetIndexStorageSpec extends SparkSpec {
     ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, batchId = "b1")
     val mfAfter = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
     assert(mfBefore == mfAfter)
+  }
+
+  test("per-batch INPUT BYTES are bounded by touched partitions, not index size") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // same vocabulary and same batch against a 1x and a 16x index: if the
+    // delta staged against the whole postings/docs store (the O(index) scan
+    // trap), bytes read would scale ~16x; directory pruning by d_group /
+    // d_bucket / k_bucket keeps them near-constant (the only size-dependent
+    // read left is the vocab-sized dictionary, constant here).
+    def buildAt(nConvs: Int): String = {
+      val t = SyntheticTranscripts.df(spark, SyntheticTranscripts.Params(
+        seed = 7L, nConvs = nConvs, maxTurnsPerConv = 5, vocabSize = 60,
+        minLen = 3, maxLen = 25, partitions = 4))
+      val idx = IndexBuilder.buildFromTurns(t, analyzer)
+      val path = tmp()
+      ParquetIndexStorage.build(idx.docs, analyzer, path, params, s"bytes($nConvs)")
+      path
+    }
+    val smallPath = buildAt(80)
+    val largePath = buildAt(1280)
+
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) counter.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def measure(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Thread.sleep(300); counter.set(0)
+        body
+        var prev = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def batchFor(path: String) = {
+      val schema = spark.read.parquet(s"$path/docs").drop("d_bucket").schema
+      val maxOrd = spark.read.parquet(s"$path/docs")
+        .agg(org.apache.spark.sql.functions.max("doc_ord")).head().getLong(0)
+      spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row.fromSeq(schema.fieldNames.map {
+          case "doc_ord" => (maxOrd + 1).asInstanceOf[Any]
+          case "conv_id" => "znew"
+          case "turn_idx" => 0
+          case "text" => "appended t000002 freshterm"
+          case _ => null
+        }.toSeq))), schema)
+    }
+    val bSmall = measure(
+      ParquetIndexStorage.addDocuments(spark, smallPath, batchFor(smallPath), analyzer, "bb1"))
+    val bLarge = measure(
+      ParquetIndexStorage.addDocuments(spark, largePath, batchFor(largePath), analyzer, "bb1"))
+    // 16x corpus; pruned deltas must not read ~16x the bytes. Allow 3x of
+    // slack for footer/metadata reads that scale with file count.
+    assert(bLarge < bSmall * 3 + (1 << 20),
+      s"delta input bytes scale with index size: small=$bSmall large=$bLarge")
   }
 
   test("postings scan is partition-pruned by t_bucket") {
