@@ -141,6 +141,23 @@ object Bench {
       timedBest("q_bm25_wand_syn", reps)(
         wandQueries.foreach(q => synSearcher.bm25TopKWand(q, 10, Some(m)).collect()))
       wandDemo("wand_skip_rate") = m.skipRate
+
+      // batch + WAND combined (the realistic offline query-set shape):
+      // 120 hot+rare mixes evaluated in ONE plan, vs the exhaustive batch
+      // plan on the same set — skip rate reported from the accumulators
+      val rnd = new java.util.Random(11L)
+      val batchSet = (0 until 120).map { i =>
+        val hot = s"hot${i % 3}"
+        val rare = f"t${2000 + rnd.nextInt(15000)}%06d"
+        val rare2 = f"t${2000 + rnd.nextInt(15000)}%06d"
+        if (i % 2 == 0) s"$hot $rare" else s"$hot $rare $rare2"
+      }
+      timedBest("q_bm25_batch_exh_syn", reps)(
+        synSearcher.bm25TopKBatch(batchSet, 10).count())
+      val mb = graft.query.WandMetrics(spark)
+      timedBest("q_bm25_batch_wand_syn", reps)(
+        synSearcher.bm25TopKBatchWand(batchSet, 10, Some(mb)).count())
+      wandDemo("batch_wand_skip_rate") = mb.skipRate
     }
 
     // ---- training-data ops ------------------------------------------------

@@ -90,6 +90,66 @@ object BlockMaxWand {
       .limit(k)
   }
 
+  /** BATCH top-k over the block table: evaluate a whole QUERY SET with one
+    * plan — the realistic offline shape at 10^12 docs (per-query plans pay
+    * fixed driver costs that do not shrink with cluster size; exhaustive
+    * batch scoring decodes every posting of every query term).
+    *
+    * One pruned blocks scan for the UNION of all queries' terms, one
+    * doc-bucket group pass; inside each bucket every query runs its own
+    * independent WAND over fresh cursors sharing the bucket's (already
+    * materialized) per-term block lists, so the block-max skip logic — and
+    * its rank-identity-to-exhaustive guarantee — is exactly [[topK]]'s,
+    * amortized across the set. The global merge ranks `≤ k × buckets` rows
+    * per query through one window.
+    *
+    * @param queries q_id -> (term_id -> idf weight)
+    * @return (q_id, rank, doc_ord, score), rank 1-based per query
+    */
+  def topKBatch(
+      blocks: Dataset[PostingBlockRow],
+      queries: Map[Int, Map[Long, Double]],
+      k: Int,
+      params: BlockParams,
+      avgdl: Double,
+      metrics: Option[WandMetrics] = None
+  ): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    require(k > 0, "k must be positive")
+    val live = queries.filter(_._2.nonEmpty)
+    if (live.isEmpty)
+      return Seq.empty[(Int, Long, Long, Double)].toDF("q_id", "rank", "doc_ord", "score")
+    val ids = live.values.flatMap(_.keys).toSeq.distinct
+    val bq = spark.sparkContext.broadcast((live, params, avgdl))
+
+    val perBucket = blocks
+      .filter(col("term_id").isin(ids: _*))
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, rows) =>
+        val (qs, p, adl) = bq.value
+        // materialize the bucket's block lists ONCE; every query's cursors
+        // share them (sorted per term), so the per-bucket scan cost is paid
+        // once for the whole query set
+        val byTerm: Map[Long, Vector[PostingBlockRow]] =
+          rows.toVector.groupBy(_.term_id).map { case (t, bs) => t -> bs.sortBy(_.min_doc) }
+        qs.iterator.flatMap { case (qid, weights) =>
+          val cursors = weights.iterator.flatMap { case (tid, w) =>
+            byTerm.get(tid).map(bs => new Cursor(w, bs, p, adl, metrics))
+          }.toArray
+          if (cursors.isEmpty) Iterator.empty
+          else wand(cursors, k).map { case (d, s) => (qid, d, s) }
+        }
+      }
+      .toDF("q_id", "doc_ord", "score")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("score"), asc("doc_ord"))
+    perBucket.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("doc_ord"), col("score"))
+  }
+
   /** Lazy-decoding cursor over one term's doc-ascending block list. */
   private final class Cursor(
       val weight: Double,

@@ -291,6 +291,29 @@ final class Searcher(
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("doc_ord"), col("score"))
   }
 
+  /** BATCH BM25 top-k with block-max WAND pruning: the query-set-replay
+    * shape of [[bm25TopKBatch]] combined with [[bm25TopKWand]]'s lossless
+    * block skipping — ONE pruned blocks scan for the union of the set's
+    * terms, every query's WAND run per doc bucket, one per-query top-k
+    * window. Rank-identical to the exhaustive batch plan (same per-term
+    * quotient arithmetic; parity pinned in SearcherSpec/BlockMaxWandSpec).
+    * Returns (q_id, rank, doc_ord, score); unknown-term/empty queries yield
+    * no rows for their q_id (OR semantics per query, like the batch path).
+    */
+  def bm25TopKBatchWand(keywords: Seq[String], k: Int,
+      metrics: Option[WandMetrics] = None): DataFrame = {
+    val qTerms: Seq[(Int, String)] = keywords.zipWithIndex.flatMap {
+      case (kw, qi) => analyzer.terms(kw).distinct.map(t => (qi, t))
+    }
+    val rts = resolve(qTerms.map(_._2).distinct) // ONE dictionary lookup
+    val byTerm = rts.map(rt => rt.term -> rt).toMap
+    val queries: Map[Int, Map[Long, Double]] = qTerms
+      .flatMap { case (qi, t) => byTerm.get(t).map(rt => (qi, rt.termId, bm25Idf(rt.df))) }
+      .groupBy(_._1)
+      .map { case (qi, rows) => qi -> rows.map(r => r._2 -> r._3).toMap }
+    BlockMaxWand.topKBatch(blocks, queries, k, blockParams, index.avgDocLen, metrics)
+  }
+
   /** All matched docs with BM25 scores (no top-k) — used by oracles where a
     * stable full set beats a float-boundary-sensitive top-k. */
   def bm25All(keyword: String): DataFrame = {

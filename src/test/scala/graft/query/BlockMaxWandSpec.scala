@@ -79,6 +79,39 @@ class BlockMaxWandSpec extends SparkSpec {
     assert(searcher.bm25TopKWand("zzz yyy", 10).count() == 0)
   }
 
+  test("BATCH WAND == exhaustive, per query, tie-aware (one plan for the set)") {
+    val kws = queries ++ Seq("", "zzz yyy")
+    for (k <- Seq(1, 5, 25)) {
+      val batch = searcher.bm25TopKBatchWand(kws, k).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+      kws.zipWithIndex.foreach { case (kw, qi) =>
+        val full = collectPairs(searcher.bm25All(kw))
+        assertRankIdentical(full, batch.getOrElse(qi, Seq.empty), k)
+      }
+    }
+  }
+
+  test("BATCH WAND matches the exhaustive batch plan's ranks (tie-aware)") {
+    val kws = queries
+    val k = 10
+    val exh = searcher.bm25TopKBatch(kws, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    val wnd = searcher.bm25TopKBatchWand(kws, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    kws.indices.foreach { qi =>
+      val full = collectPairs(searcher.bm25All(kws(qi)))
+      assertRankIdentical(full, exh.getOrElse(qi, Seq.empty), k)
+      assertRankIdentical(full, wnd.getOrElse(qi, Seq.empty), k)
+      assert(wnd.getOrElse(qi, Seq.empty).size == exh.getOrElse(qi, Seq.empty).size)
+    }
+  }
+
   test("block table respects bucket boundaries and block size") {
     import org.apache.spark.sql.functions._
     val bad = searcher.blocks
