@@ -361,14 +361,18 @@ object ScalingBench {
          |a pure-CPU codegen'd hash fold scales at **$calibEff%.2f** (32
          |threads do not get 4× the cycles of 8; python multiprocessing
          |measures the same 0.69-0.79), and a full scan of the cached
-         |posting store (sum over one column — pure memory bandwidth, zero
-         |compute) scales at **$cacheEff%.2f** — every thread shares ONE
-         |memory bus, where 4 real executor nodes bring 4 buses. Each stage
-         |below is normalized against the ceiling that binds it (CPU for
-         |compute stages, cache-scan for stages that re-read the posting
-         |store); a normalized value near 1.0 means the stage is AT the
-         |hardware ceiling, i.e. it would scale linearly on a real
-         |multi-node cluster.
+         |posting store (aggregating ALL five columns — longs, the
+         |positions arrays, and the term strings — i.e. decode + memory
+         |traffic with minimal arithmetic) scales at **$cacheEff%.2f** —
+         |every thread shares ONE memory bus, where 4 real executor nodes
+         |bring 4 buses. Each stage below is normalized against the ceiling
+         |that binds it: CPU for compute stages; the cache-scan ceiling for
+         |stages whose work is dominated by RE-READING the cached posting
+         |store (the dictionary agg scans it once to group terms, the block
+         |pack streams it once to pack rows — both touch every cached batch
+         |through the same bus the calibration scan does). A normalized
+         |value near 1.0 means the stage is AT the hardware ceiling, i.e.
+         |it would scale linearly on a real multi-node cluster.
          |
          || metric | local[8] (N) | local[32] (4N) | efficiency | ceiling | normalized |
          ||---|---|---|---|---|---|

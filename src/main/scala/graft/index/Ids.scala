@@ -166,10 +166,13 @@ object Ids {
     case LongType => Some((a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]))
     case ShortType => Some((a, b) => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short]))
     case ByteType => Some((a, b) => java.lang.Byte.compare(a.asInstanceOf[Byte], b.asInstanceOf[Byte]))
-    case DateType => Some((a, b) =>
-      a.asInstanceOf[java.sql.Date].compareTo(b.asInstanceOf[java.sql.Date]))
-    case TimestampType => Some((a, b) =>
-      a.asInstanceOf[java.sql.Timestamp].compareTo(b.asInstanceOf[java.sql.Timestamp]))
+    // temporal external values are java.sql.Date/Timestamp by default but
+    // java.time.LocalDate/Instant under spark.sql.datetime.java8API.enabled
+    // — both families are Comparable with consistent ordering within a
+    // column, so compare generically instead of casting to one family
+    // (a hard cast would throw inside a task instead of falling back)
+    case DateType | TimestampType => Some((a, b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b))
     case _ => None
   }
 
@@ -182,10 +185,12 @@ object Ids {
 
   /** Collect-order-broadcast assignment for small inputs with UNIQUE,
     * non-null keys (duplicates or nulls fall back — a join would reuse one
-    * ordinal per duplicated key). `take(SmallMax + 1)` bounds driver memory:
-    * an over-size input bails after a partial scan. Assignment is a pure
-    * function of the key, so there is no two-pass partition-stability
-    * contract at all on this path. */
+    * ordinal per duplicated key). Size is gated by a full `count()` first;
+    * only an under-limit input has its key projection collected (the count
+    * doubles as the pinned input's materializing action — see the inline
+    * note on why count-then-collect beats take(N+1)'s quadrupling partition
+    * scans here). Assignment is a pure function of the key, so there is no
+    * two-pass partition-stability contract at all on this path. */
   private def trySmallBroadcast(
       pinned: DataFrame,
       idCol: String,

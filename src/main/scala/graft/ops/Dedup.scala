@@ -13,11 +13,16 @@ object Dedup {
 
   /** Exact dedup on the normalized token stream: one row per distinct
     * content, keeping the smallest id (a single hash aggregation — the
-    * map-side combine collapses duplicates before the shuffle). */
+    * map-side combine collapses duplicates before the shuffle). The group
+    * key is the 128-bit MD5 of the normalized text, not the text itself:
+    * at 100 TB the shuffle moves 16 bytes per surviving group instead of
+    * arbitrary-length documents, and an md5 collision needs ~2^64 distinct
+    * docs (birthday bound) — far beyond any corpus. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
-      .select(col(idCol), concat_ws(" ", TextStats.tokensCol(col(textCol))).as("norm"))
-      .groupBy(col("norm"))
+      .select(col(idCol),
+        md5(to_binary(concat_ws(" ", TextStats.tokensCol(col(textCol))), lit("utf-8"))).as("fp"))
+      .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .select(col("keep_id"), col("dup_cnt"))
 
@@ -204,10 +209,11 @@ object Dedup {
     * widths are ⌈64/c⌉ or ⌊64/c⌋. Candidates are verified by exact hamming.
     *
     * Scale note: more chunks ⇒ narrower keys ⇒ bigger buckets — with
-    * maxHamming 10 each of the 11 chunks has only 5-6 bits, so at corpus
-    * scale the candidate join needs a second-level key (prefix of the
-    * remaining bits, verified hamming per level — multi-index hashing);
-    * keep maxHamming ≤ 7 (8-bit chunks) for 10^9+ corpora.
+    * maxHamming 10 each of the 11 chunks would have only 5-6 bits, so past
+    * maxHamming 7 (8-bit chunks) this dispatches to MULTI-INDEX HASHING
+    * ([[simhashPairsMIHFromHashes]]): ~half the chunks, each wide enough to
+    * key real buckets, probing 1-bit neighborhoods instead of shrinking the
+    * key space.
     *
     * Returns (id_a, id_b, hamming ≤ maxHamming). */
   def simhashPairs(
@@ -215,9 +221,58 @@ object Dedup {
       maxHamming: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"
-  ): DataFrame =
-    simhashPairsFromHashes(simhash64(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash")), maxHamming)
+  ): DataFrame = {
+    val hashes = simhash64(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    if (maxHamming <= 7) simhashPairsFromHashes(hashes, maxHamming)
+    else simhashPairsMIHFromHashes(hashes, maxHamming)
+  }
+
+  /** Multi-index hashing (Norouzi et al.'s pigeonhole generalization) for
+    * wide hamming budgets: cut the 64 bits into `c = ⌊m/2⌋ + 1` chunks —
+    * if every chunk of a pair differed in ≥ 2 bits, total distance would be
+    * ≥ 2c > m, so some chunk differs in AT MOST ONE bit. Candidates are
+    * therefore pairs sharing a chunk key exactly OR up to one flipped bit:
+    * the index side posts each chunk's exact key once; the probe side posts
+    * the exact key plus its `width` 1-bit flips. Compared to m+1 zero-diff
+    * chunks, keys keep ~2× the bits — 2^6 times fewer random collisions per
+    * bucket at m=10 — for a ~(width+1)× probe-row factor: the classic
+    * bucket-size-vs-probe-count trade that keeps 10^9+ corpora feasible.
+    * Verified by exact hamming; recall-lossless by the pigeonhole bound
+    * (planted-pair property in OpsSpec). */
+  def simhashPairsMIHFromHashes(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming must be in [0,64), got $maxHamming")
+    val nChunks = maxHamming / 2 + 1
+    val bounds = chunkBounds(nChunks)
+    def keyOf(lo: Int, w: Int): Column = {
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+    val idxKeys = bounds.zipWithIndex.map { case ((lo, w), ci) =>
+      struct(lit(ci).as("chunk"), keyOf(lo, w).as("ckey"))
+    }
+    val probeKeys = bounds.zipWithIndex.flatMap { case ((lo, w), ci) =>
+      val exact = keyOf(lo, w)
+      exact +: (0 until w).map(b => exact.bitwiseXOR(lit(1L << b)))
+    }.zip(bounds.zipWithIndex.flatMap { case ((_, w), ci) => Seq.fill(w + 1)(ci) })
+      .map { case (k, ci) => struct(lit(ci).as("chunk"), k.as("ckey")) }
+    // persisted: the probe side re-derives 64 hash-vote columns otherwise
+    val h = hashes.persist()
+    val idx = h.select(col("id"), col("simhash"),
+      explode(array(idxKeys: _*)).as("ik"))
+      .select(col("id").as("id_a"), col("simhash").as("h_a"),
+        col("ik.chunk").as("chunk"), col("ik.ckey").as("ckey"))
+    val probe = h.select(col("id"), col("simhash"),
+      explode(array(probeKeys: _*)).as("pk"))
+      .select(col("id").as("id_b"), col("simhash").as("h_b"),
+        col("pk.chunk").as("chunk"), col("pk.ckey").as("ckey"))
+    idx.join(probe, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b")).distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+  }
 
   /** Banding + verify over precomputed (id, simhash) rows — the candidate
     * machinery of [[simhashPairs]], exposed so recall (pigeonhole) and
@@ -239,19 +294,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
   }
 
-  /** The `maxHamming + 1` chunk-key columns over a `simhash` column. */
-  def simhashChunkCols(maxHamming: Int): Seq[Column] = {
-    val nChunks = maxHamming + 1
+  /** (lo, width) of `nChunks` near-equal chunks covering bits 0..63. */
+  private def chunkBounds(nChunks: Int): Seq[(Int, Int)] = {
     val baseW = 64 / nChunks
     val extra = 64 % nChunks // first `extra` chunks are one bit wider
-    val bounds = (0 until nChunks).scanLeft(0)((off, c) =>
+    val offs = (0 until nChunks).scanLeft(0)((off, c) =>
       off + baseW + (if (c < extra) 1 else 0))
-    (0 until nChunks).map { c =>
-      val lo = bounds(c); val w = bounds(c + 1) - lo
+    (0 until nChunks).map(c => (offs(c), offs(c + 1) - offs(c)))
+  }
+
+  /** The `maxHamming + 1` chunk-key columns over a `simhash` column. */
+  def simhashChunkCols(maxHamming: Int): Seq[Column] =
+    chunkBounds(maxHamming + 1).map { case (lo, w) =>
       val mask = if (w >= 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
     }
-  }
 
   /** Embedding near-dup pairs: cosine ≥ threshold among candidates sharing
     * any of `tables` independent LSH buckets (random-hyperplane signs; see

@@ -70,7 +70,14 @@ object Similarity {
     * with the query (classic L-table LSH — one table's recall on
     * near-orthogonal vectors is poor), then exact-cosine verify + rank.
     * Recall vs brute force measured in OpsSpec; at scale this replaces the
-    * full scan with `tables` bucket-equality joins. */
+    * full scan with `tables` bucket-equality joins.
+    *
+    * Candidate rows are PAYLOAD-FREE — (table, bucket, id) only, the same
+    * shape as [[Dedup.embeddingCosinePairs]]: the corpus vectors never
+    * explode ×tables or flow through the candidate join's shuffle +
+    * distinct; they rejoin once, for the deduplicated candidate ids only.
+    * A second corpus scan is far cheaper than shuffling the vector payload
+    * ×tables at 100 TB. */
   def lshTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -81,20 +88,24 @@ object Similarity {
       vecCol: String = "embedding",
       seed: Long = 42L
   ): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     def bucketed(df: DataFrame, id: String, v: String) = {
       val buckets = (0 until tables).map(t =>
         struct(lit(t).as("tbl"), lshBucket(col(v), planes, -1, seed + t * 7919L).as("b")))
-      df.select(col(id), col(v), explode(array(buckets: _*)).as("tb"))
-        .select(col(id), col(v), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+      df.select(col(id), explode(array(buckets: _*)).as("tb"))
+        .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
     }
-    val c = bucketed(corpus.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
-    val q = bucketed(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v")), "q_id", "q_v")
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cand = bucketed(c, "id", "v")
+      .join(broadcast(bucketed(q, "q_id", "q_v")), Seq("tbl", "bucket"))
       .filter(col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"), col("v"), col("q_v"))
-      .distinct() // union of tables
-    val scored = cand.select(col("q_id"), col("id"),
-      round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      .select("q_id", "id")
+      .distinct() // union of tables — id pairs only, no vector payload
+    val scored = cand
+      .join(c, "id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("id"),
+        round(cosine(col("v"), col("q_v")), 6).as("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -106,12 +117,65 @@ object Similarity {
     * with sampled init, no k-means iterations), then search only each
     * query's `nprobe` nearest centroid lists.
     *
-    * Scale shape: assignment is the classic N×nlist pass (a broadcast
-    * cross join — centroids are tiny); the probe join is a key-equality
-    * join on the centroid id, so per-query work is ~(nprobe/nlist) of the
-    * corpus instead of a full scan. Recall vs brute force is pinned in
-    * OpsSpec; raise nprobe (or nlist for bigger corpora) to trade cost for
-    * recall. */
+    * Scale shape: corpus assignment is a NATIVE per-row argmax over the
+    * broadcast centroid array — a single projection, zero shuffle, zero row
+    * amplification. (The previous cross-join + `row_number` window exploded
+    * the corpus ×nlist through an exchange — 64× data amplification at the
+    * default nlist, for a value computable per row.) The probe side keeps
+    * the windowed top-nprobe (queries are small); the probe join is a
+    * key-equality join on the centroid id, so per-query work is
+    * ~(nprobe/nlist) of the corpus instead of a full scan. Recall vs brute
+    * force is pinned in OpsSpec; raise nprobe (or nlist for bigger corpora)
+    * to trade cost for recall. */
+  /** Deterministic centroid codebook: TakeOrdered by a seeded hash — no
+    * full sort, no RNG state, identical at any parallelism; cid = 1-based
+    * rank in natural source-id order. nlist rows collected to the driver —
+    * the IVF contract (codebooks are broadcast state in every IVF
+    * implementation). */
+  def ivfCentroids(
+      corpus: DataFrame,
+      nlist: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L
+  ): Seq[Seq[Double]] =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy(col("h")).limit(nlist)
+      .select(col("id").as("cent_src"), col("v").as("cv"))
+      .orderBy(col("cent_src"))
+      .collect().toSeq
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toSeq)
+
+  /** Per-row argmax centroid assignment over the broadcast codebook: ONE
+    * native projection — no cross join, no window, no exchange (asserted in
+    * OpsSpec). The fold keeps the (cid, sim) pair with the highest cosine;
+    * strict `>` keeps the SMALLEST cid on ties, matching `row_number` over
+    * (sim desc, cid asc). Returns the corpus projected to (id, v, cid). */
+  def ivfAssign(
+      corpus: DataFrame,
+      centVecs: Seq[Seq[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val centArr = typedLit(centVecs)
+    val assignExpr = aggregate(
+      sequence(lit(1), lit(centVecs.size)),
+      struct(lit(0).cast("int").as("cid"), lit(Double.NegativeInfinity).as("sim")),
+      (acc, i) => {
+        val s = cosine(col("v"), element_at(centArr, i))
+        when(s > acc.getField("sim"),
+          struct(i.cast("int").as("cid"), s.as("sim"))).otherwise(acc)
+      },
+      acc => acc.getField("cid"))
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid", assignExpr)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -123,28 +187,27 @@ object Similarity {
       seed: Long = 42L
   ): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    // deterministic pseudo-random centroid sample: TakeOrdered by a seeded
-    // hash — no full sort, no RNG state, identical at any parallelism
-    val cents = c
-      .withColumn("h", xxhash64(col("id"), lit(seed)))
-      .orderBy(col("h")).limit(nlist)
-      .select(col("id").as("cent_src"), col("v").as("cv"))
-      .withColumn("cid", row_number().over(Window.orderBy(col("cent_src"))))
-    // nlist rows on the driver side of a broadcast — the IVF contract
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centVecs = ivfCentroids(corpus, nlist, idCol, vecCol, seed)
+    if (centVecs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "rank", "id", "cosine")
+    val assigned = ivfAssign(corpus, centVecs, idCol, vecCol) // no shuffle
 
-    def nearest(df: DataFrame, id: String, v: String, take: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(desc("sim"), asc("cid"))
-      df.join(broadcast(cents), expr("true"))
-        .withColumn("sim", cosine(col(v), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= take)
-        .drop("cv", "cent_src", "sim", "crk")
-    }
-
-    val assigned = nearest(c, "id", "v", take = 1) // (id, v, cid)
+    // probe side: same centroid order as the argmax (cid = 1-based rank in
+    // cent_src order), windowed top-nprobe over the tiny query set
+    val cents = centVecs.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+      .toDF("cid", "cv")
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-    val probes = nearest(q, "q_id", "q_v", take = nprobe) // (q_id, q_v, cid)
+    val probes = {
+      val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cid"))
+      q.join(broadcast(cents), expr("true"))
+        .withColumn("sim", cosine(col("q_v"), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= nprobe)
+        .drop("cv", "sim", "crk")
+    } // (q_id, q_v, cid)
 
     val scored = assigned.join(probes, Seq("cid"))
       .filter(col("id") =!= col("q_id"))

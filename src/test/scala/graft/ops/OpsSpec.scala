@@ -104,7 +104,12 @@ class OpsSpec extends SparkSpec {
       }
       acc
     }
-    val samples = Seq("hello", "café", "日本語", "a b c", "")
+    // incl. astral-plane (𝐀 U+1D400, 👍 U+1F44D — surrogate PAIRS in
+    // UTF-16) and a combining mark (e + U+0301): verified empirically that
+    // Spark's split('')+ascii() and DuckDB's string_split('')+unicode()
+    // both yield the same code-point sequence on exactly these shapes
+    val samples = Seq("hello", "café", "日本語", "a b c", "",
+      "math 𝐀 symbol", "👍x", "e\u0301")
     val got = samples.toDF("s")
       .select(col("s"), Dedup.polyHash(col("s"), 31).as("h31"),
         Dedup.polyHash(col("s"), 131).as("h131"),
@@ -186,6 +191,14 @@ class OpsSpec extends SparkSpec {
     assert(part.subsetOf(bf.map(t => (t._1, t._3))) || part.nonEmpty)
   }
 
+  test("IVF assignment is a pure projection: no Exchange, no Window in the plan") {
+    val cents = Similarity.ivfCentroids(emb, nlist = 4)
+    val plan = Similarity.ivfAssign(emb, cents)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment windows:\n$plan")
+  }
+
   test("blocked cosine pairs: same-label near pair found, cross-label excluded") {
     val pairs = Similarity.cosinePairsBlocked(emb, "label", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -217,6 +230,107 @@ class OpsSpec extends SparkSpec {
     // 4 chunks of 16 bits over 1e5 uniform hashes: E[bucket] ~ 1.5; a max
     // above 50 would mean the chunk keys are not spreading
     assert(maxBucket <= 50, s"max bucket $maxBucket, avg ${sizes.getDouble(1)}")
+  }
+
+  test("multi-index hashing == brute force at maxHamming=10 (lossless, planted pairs)") {
+    val rnd = new java.util.Random(5)
+    val n = 600
+    val bases = Array.fill(n)(rnd.nextLong())
+    // plant 40 partners at exact hamming 8..10 (past the ≤7 chunk-equality
+    // regime) with scattered bit positions
+    val planted = (0 until 40).map { i =>
+      val d = 8 + i % 3
+      var h = bases(i)
+      val bits = scala.collection.mutable.LinkedHashSet.empty[Int]
+      while (bits.size < d) bits += rnd.nextInt(64)
+      bits.foreach(b => h ^= (1L << b))
+      (n + i, h, i, d)
+    }
+    val rows: Seq[(Long, Long)] =
+      bases.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toSeq ++
+        planted.map(p => (p._1.toLong, p._2))
+    val found = Dedup.simhashPairsMIHFromHashes(rows.toDF("id", "simhash"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact brute-force reference over all pairs
+    val all = rows.toArray
+    val brute = (for {
+      i <- all.indices.iterator; j <- (i + 1) until all.length
+      d = java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) if d <= 10
+    } yield {
+      val (a, b) = if (all(i)._1 < all(j)._1) (all(i)._1, all(j)._1)
+                   else (all(j)._1, all(i)._1)
+      (a, b, d.toLong)
+    }).toSet
+    assert(found == brute, s"missed=${brute.diff(found).take(5)} extra=${found.diff(brute).take(5)}")
+    planted.foreach { case (id, _, partner, d) =>
+      assert(found.contains((partner.toLong, id.toLong, d.toLong)), s"planted pair $partner-$id d=$d")
+    }
+    // the dispatcher routes wide budgets to MIH
+    assert(Dedup.simhashPairs(docs, maxHamming = 10).collect()
+      .exists(r => (r.getLong(0), r.getLong(1)) == (0L, 1L)))
+  }
+
+  test("MIH buckets at 1e5 scale are far smaller than naive wide-budget chunking") {
+    // maxHamming=10: naive pigeonhole needs 11 chunks of 5-6 bits (2^5-ish
+    // key space — giant buckets); MIH uses 6 chunks of 10-11 bits probing
+    // 1-bit neighborhoods. Compare max bucket size of the two keyings.
+    val hashes = spark.range(100000).select(col("id"), xxhash64(col("id")).as("simhash"))
+    def maxBucket(cols: Seq[org.apache.spark.sql.Column]): Long = hashes
+      .select(posexplode(array(cols: _*)).as(Seq("chunk", "ckey")))
+      .groupBy("chunk", "ckey").count()
+      .agg(max("count").cast("long")).head().getLong(0)
+    val naive = maxBucket(Dedup.simhashChunkCols(10))
+    // MIH index-side keys: 6 near-equal chunks (the simhashPairsMIH keying)
+    val mihChunks = {
+      val nChunks = 10 / 2 + 1
+      val baseW = 64 / nChunks; val extra = 64 % nChunks
+      val offs = (0 until nChunks).scanLeft(0)((off, c) =>
+        off + baseW + (if (c < extra) 1 else 0))
+      (0 until nChunks).map { c =>
+        val lo = offs(c); val w = offs(c + 1) - lo
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+      }
+    }
+    val mih = maxBucket(mihChunks)
+    assert(mih * 10 < naive, s"mih=$mih naive=$naive — MIH keying is not paying off")
+    assert(mih <= 200, s"mih max bucket $mih at 1e5 uniform rows")
+  }
+
+  test("lshTopK candidate path is payload-free: shuffle bytes << vector bytes") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val n = 20000
+    val dim = 64
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        j => (pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L).cast("double") / 1000.0)
+        .cast("array<float>").as("embedding")).cache()
+    vecs.count()
+    val vecBytes = n.toLong * dim * 4
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) counter.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300); counter.set(0)
+      Similarity.lshTopK(vecs, vecs.filter(col("vec_id") < 8), k = 5,
+        planes = 10, tables = 4).count()
+      var prev = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val cur = counter.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      // the old shape shuffled corpus vectors ×tables through the
+      // candidate distinct (> 4 × vecBytes); payload-free candidates keep
+      // shuffles to id pairs and the final window
+      assert(counter.get() < vecBytes / 2,
+        s"lshTopK shuffled ${counter.get()} bytes vs $vecBytes vector bytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    vecs.unpersist()
   }
 
   test("embedding LSH buckets spread at 2e4 synthetic scale (16 planes)") {
