@@ -33,6 +33,51 @@ object SparkEntry {
   private def portable60Sql(v: String): String =
     s"(${polySql(v, 31)} + ${polySql(v, 131)} * ${1L << 30})"
 
+  /** Similarity.portablePlaneComponent as SQL: component j (0-based) of
+    * plane p for LSH table t (seed = 42 + t*7919), congruential mod 1e9+7 —
+    * every operand positive, so `%` == pmod in both engines. `t`/`j0` are
+    * SQL expressions; p is a literal. */
+  private def planeCompSql(t: String, p: Int, j0: String): String = {
+    val P = Dedup.PortableMod
+    s"((((((42 + ($t)*7919)::BIGINT * 1000003 + ${p}*8191 + ($j0)) % $P) " +
+      s"* 1103515245 + 12345) % $P) % 2001 - 1000) / 1000.0"
+  }
+
+  /** Signed projection of vector expr `v` (1-based SQL list) onto plane p of
+    * table `t` — matches Spark's left-to-right zip_with/aggregate sum. */
+  private def projSql(t: String, p: Int, v: String): String =
+    s"list_sum(list_transform(range(1, len($v)+1), pj -> " +
+      s"($v)[pj]::DOUBLE * ${planeCompSql(t, p, "(pj-1)")}))"
+
+  /** Packed-sign LSH bucket of `v` for table expr `t` (portable planes). */
+  private def bucketSql(t: String, v: String, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${projSql(t, p, v)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Cosine of two 1-based SQL list exprs — mirrors Similarity.cosine
+    * (left-to-right double sums, 0 when either norm is 0). */
+  private def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, len($x)+1), ci -> ($x)[ci]::DOUBLE * ($y)[ci]::DOUBLE))"
+    s"(CASE WHEN sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}) = 0 THEN 0.0 " +
+      s"ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
+  }
+
+  /** Portable 60-bit simhash of every document (60 bit-majority votes over
+    * the portable token hash); empty docs: list_sum([]) is NULL, NULL > 0
+    * is false — 0, matching Spark's empty-aggregate vote of 0. */
+  private def simhash60Sql: String = {
+    val bitTerms = (0 until 60).map { i =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform($toksSql, t -> ${portable60Sql("t")}) AS th
+       |  FROM documents
+       |)
+       |SELECT doc_id, ($bitTerms) AS simhash FROM th""".stripMargin
+  }
+
   /** 3-gram word-shingle CTE body shared by the jaccard/minhash oracles. */
   private val shinglesSql =
     s"""SELECT doc_id,
@@ -107,10 +152,19 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
-    "ft_bm25_topk_wand" -> ((s, d) => // no oracle: WAND checked vs exhaustive in tests
+    "ft_bm25_topk_wand" -> ((s, d) => // oracled against the EXHAUSTIVE top-k
+      // SQL — the rank-identity claim itself (WAND pruning is lossless);
+      // boundary safety: the rank-20/21 score gap at sf0.01 is ~7e-4,
+      // orders above the 1e-6 rounding grain
       searcher(s, d).bm25TopKWand("spark join table", 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_bm25_batch_wand" -> ((s, d) => // batch + WAND combined, one plan
+      searcher(s, d).bm25TopKBatchWand(Seq("spark join", "vector window"), k = 20)
+        .select(col("q_id"), col("rank"), col("doc_ord").as("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")),
 
     "ft_bm25_batch" -> ((s, d) => // batch query-set evaluation, one plan
       searcher(s, d).bm25TopKBatch(Seq("spark join", "vector window"), k = 500)
@@ -186,21 +240,32 @@ object SparkEntry {
           element_at(col("sig"), 16).as("h15")).orderBy("doc_id")
       }),
 
-    "dedup_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashLshPairs(docsTable(s, d), threshold = 0.05,
+    "dedup_minhash_pairs" -> ((s, d) => // PORTABLE end-to-end: polynomial
+      // base hash + unhashed band keys, so the oracle replicates signature,
+      // banding, candidate join AND verify (production keeps the xxhash64
+      // variant, OpsSpec-tested)
+      Dedup.minhashLshPairsPortable(docsTable(s, d), threshold = 0.05,
         numHashes = 16, bands = 8, shingleN = 3).orderBy("id_a", "id_b")),
 
-    "dedup_simhash" -> ((s, d) =>
-      Dedup.simhash64(docsTable(s, d)).orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, d) => { // multi-index hashing (wide budget)
+      // over the portable 60-bit simhash; banding is recall-LOSSLESS, so
+      // the oracle is the brute-force hamming filter — checking the
+      // pigeonhole claim itself, not a replication of the bands
+      val hashes = Dedup.simhash60Portable(docsTable(s, d))
+        .select(col("doc_id").as("id"), col("simhash"))
+      Dedup.simhashPairsMIHFromHashes(hashes, maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    }),
 
     "dedup_simhash_portable" -> ((s, d) => // 60-bit polynomial variant with a
       // full DuckDB oracle (simhash64 itself rests on xxhash64, which the
       // oracle engine lacks)
       Dedup.simhash60Portable(docsTable(s, d)).orderBy("doc_id")),
 
-    "dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingCosinePairs(embTable(s, d), threshold = 0.5, planes = 4)
-        .orderBy("id_a", "id_b")),
+    "dedup_embedding" -> ((s, d) => // portable congruential planes: the
+      // oracle replicates bucketing + candidate join + cosine verify
+      Dedup.embeddingCosinePairs(embTable(s, d), threshold = 0.4, planes = 4,
+        portable = true).orderBy("id_a", "id_b")),
 
     // ---- similarity search ----------------------------------------------
     "ann_brute_topk" -> ((s, d) => {
@@ -209,10 +274,12 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
-    "ann_lsh_topk" -> ((s, d) => { // no oracle (xxhash64 buckets); recall tested in OpsSpec
+    "ann_lsh_topk" -> ((s, d) => { // portable congruential planes — the
+      // oracle replicates the bucketing and ranks the same candidate set
+      // (production keeps the xxhash64 planes, recall-tested in OpsSpec)
       val emb = embTable(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 4)
-        .orderBy("q_id", "rank")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 4,
+        portable = true).orderBy("q_id", "rank")
     }),
 
     "ann_ivf_topk" -> ((s, d) => { // nprobe == nlist probes every list: exact,
@@ -352,6 +419,51 @@ object SparkEntry {
          |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank,
          |  doc_id, round(score, 6) AS score
          |FROM scored ORDER BY q_id, rank""".stripMargin,
+
+    "ft_bm25_topk_wand" -> // EXHAUSTIVE top-20: the WAND lossless-pruning claim
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_bm25_batch_wand" -> // exhaustive batch top-20 == the batch WAND plan
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |qterms AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'),
+         |                                 (1, 'vector'), (1, 'window')) t(q_id, term)),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT qt.q_id, tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN qterms qt USING (term) JOIN tc USING (doc_id)
+         |  JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY qt.q_id, tf.doc_id)
+         |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank,
+         |  doc_id, round(score, 6) AS score
+         |FROM scored QUALIFY rank <= 20 ORDER BY q_id, rank""".stripMargin,
 
     "ft_ngram3" ->
       "SELECT doc_id FROM documents WHERE contains(lower(text), 'spa') ORDER BY doc_id",
@@ -541,18 +653,93 @@ object SparkEntry {
          |FROM sh ORDER BY doc_id""".stripMargin
     },
 
-    "dedup_simhash_portable" -> { // 60 bit-majority votes over the portable
-      // token hash; empty docs: list_sum([]) is NULL, NULL > 0 is false — 0,
-      // matching Spark's empty-aggregate vote of 0
-      val bitTerms = (0 until 60).map { i =>
-        s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i}::BIGINT ELSE 0::BIGINT END)"
-      }.mkString(" + ")
-      s"""WITH th AS (
-         |  SELECT doc_id, list_transform($toksSql, t -> ${portable60Sql("t")}) AS th
-         |  FROM documents
+    "dedup_simhash_portable" -> s"$simhash60Sql ORDER BY doc_id",
+
+    "dedup_simhash_pairs" -> // brute-force hamming ≤ 8 over the portable
+      // simhash — the ORACLE IS EXHAUSTIVE: it checks the multi-index
+      // banding's lossless-recall pigeonhole claim, not a replication of it
+      s"""WITH s AS ($simhash60Sql)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_pairs" -> { // full pipeline replication: portable
+      // signatures (same affine coeffs as the Spark side), band keys = the
+      // comma-joined signature slices, candidate join, exact-Jaccard verify
+      val coeffs = Dedup.minhashCoeffs(16, 42L)
+      val p = Dedup.PortableMod
+      val hExprs = coeffs.map { case (a, b) =>
+        s"""CASE WHEN len(sh) = 0 THEN ${Long.MaxValue}
+           |    ELSE list_min(list_transform(sh, ms -> ($a * ${polySql("ms", 31)} + $b) % $p)) END""".stripMargin
+      }.mkString("[\n", ",\n", "\n]")
+      s"""WITH sh AS (
+         |$shinglesSql
+         |), sigs AS (
+         |  SELECT doc_id, sh, $hExprs AS sig FROM sh
+         |), banded AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, 8)) AS band,
+         |    unnest(list_transform(range(0, 8),
+         |      bb -> array_to_string(sig[bb*2+1 : bb*2+2], ','))) AS bkey
+         |  FROM sigs
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
          |)
-         |SELECT doc_id, ($bitTerms) AS simhash FROM th ORDER BY doc_id""".stripMargin
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+         |      ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |           / len(list_distinct(sa.sh || sb.sh)) END, 6) AS jaccard
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b
+         |) WHERE jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "dedup_embedding" -> // portable-plane LSH bucketing replicated: pairs
+      // sharing any of 4 tables' buckets, cosine-verified at 0.4
+      s"""WITH tt AS (SELECT unnest(range(0, 4)) AS t),
+         |bk AS (
+         |  SELECT e.vec_id, tt.t, ${bucketSql("tt.t", "e.embedding", 4)} AS bucket
+         |  FROM embeddings e CROSS JOIN tt
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    round(${cosineSql("ea.embedding", "eb.embedding")}, 6) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id_a
+         |  JOIN embeddings eb ON eb.vec_id = c.id_b
+         |) WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_lsh_topk" -> // portable-plane LSH: same candidate generation, then
+      // exact-cosine rank within the candidate set (NOT a full-corpus rank)
+      s"""WITH tt AS (SELECT unnest(range(0, 4)) AS t),
+         |bk AS (
+         |  SELECT e.vec_id, tt.t, ${bucketSql("tt.t", "e.embedding", 4)} AS bucket
+         |  FROM embeddings e CROSS JOIN tt
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS id
+         |  FROM bk c JOIN bk q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5
+         |), scored AS (
+         |  SELECT c.q_id, c.id,
+         |    round(${cosineSql("ec.embedding", "eq.embedding")}, 6) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings ec ON ec.vec_id = c.id
+         |  JOIN embeddings eq ON eq.vec_id = c.q_id
+         |)
+         |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank,
+         |  id, cosine
+         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     "ev_window_counts" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,

@@ -166,6 +166,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashLshPairs]] with the portable polynomial base hash AND
+    * unhashed band keys: a band's bucket key is the comma-joined slice of
+    * the signature itself (a string equality join needs no hash at all),
+    * so the ENTIRE pipeline — signature, banding, candidate join, verify —
+    * is bit-identical replicable in ANSI-ish SQL (the DuckDB oracle runs
+    * it end-to-end). Production banding keeps [[minhashLshPairs]]'
+    * codegen'd xxhash64 signature + hashed band keys (fixed-width keys
+    * shuffle fewer bytes than slice strings at 100 TB). */
+  def minhashLshPairsPortable(
+      docs: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val withSh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")).persist()
+    val banded = withSh
+      .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes, seed))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => concat_ws(",", slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bkey")))
+    val cand = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bkey"), col("id").as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash over the token multiset (unit weights): bit i is set
     * when more token-hashes have bit i than not. Fully native columns. */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -325,12 +367,13 @@ object Dedup {
       tables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L
+      seed: Long = 42L,
+      portable: Boolean = false
   ): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
     val bucketStructs = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        Similarity.lshBucket(col("v"), planes, dim = -1, seed + t * 7919L).as("b")))
+        Similarity.lshBucket(col("v"), planes, dim = -1, seed + t * 7919L, portable).as("b")))
     // payload-free band rows: the heavy vectors never enter the candidate join
     val banded = base
       .select(col("id"), explode(array(bucketStructs: _*)).as("tb"))

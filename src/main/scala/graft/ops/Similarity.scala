@@ -32,13 +32,31 @@ object Similarity {
   private def planeComponent(p: Int, j: Column, seed: Long): Column =
     (pmod(xxhash64(lit(seed), lit(p), j), lit(2001L)) - lit(1000L)).cast("double") / 1000.0
 
+  /** ENGINE-PORTABLE hyperplane component: a multiplicative-congruential
+    * scramble mod 1e9+7 whose every intermediate fits a signed 64-bit long
+    * (seed must stay << 1e9 for the first product to), so any SQL engine
+    * with plain integer arithmetic computes the identical direction — what
+    * lets the DuckDB oracle replicate LSH bucketing end-to-end. Weaker
+    * mixing than xxhash64; production paths keep [[planeComponent]]. */
+  private[ops] def portablePlaneComponent(p: Int, j: Column, seed: Long): Column = {
+    val P = graft.ops.Dedup.PortableMod
+    val x = pmod(lit(seed) * lit(1000003L) + lit(p.toLong * 8191L) + j, lit(P))
+    (pmod(pmod(x * lit(1103515245L) + lit(12345L), lit(P)), lit(2001L)) - lit(1000L))
+      .cast("double") / 1000.0
+  }
+
   /** LSH bucket id: packed signs of `planes` random-hyperplane projections.
-    * `dim` is only used for documentation; planes adapt to the array length. */
-  def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
+    * `dim` is only used for documentation; planes adapt to the array length.
+    * `portable = true` swaps the xxhash64-derived plane components for the
+    * congruential [[portablePlaneComponent]] (oracle-replicable). */
+  def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L,
+      portable: Boolean = false): Column = {
     val idx = sequence(lit(0), size(v) - 1)
     (0 until planes).map { p =>
+      val comp = (j: Column) =>
+        if (portable) portablePlaneComponent(p, j, seed) else planeComponent(p, j, seed)
       val proj = aggregate(
-        zip_with(v.cast("array<double>"), idx, (x, j) => x * planeComponent(p, j, seed)),
+        zip_with(v.cast("array<double>"), idx, (x, j) => x * comp(j)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -86,13 +104,15 @@ object Similarity {
       tables: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      seed: Long = 42L
+      seed: Long = 42L,
+      portable: Boolean = false
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     def bucketed(df: DataFrame, id: String, v: String) = {
       val buckets = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"), lshBucket(col(v), planes, -1, seed + t * 7919L).as("b")))
+        struct(lit(t).as("tbl"),
+          lshBucket(col(v), planes, -1, seed + t * 7919L, portable).as("b")))
       df.select(col(id), explode(array(buckets: _*)).as("tb"))
         .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
     }
