@@ -164,6 +164,63 @@ class StreamingIndexerSpec extends SparkSpec {
     assert(coldTop == freshTop)
   }
 
+  test("storage-backed addBatch INPUT BYTES bounded via keymap + d_bucket pruning") {
+    import graft.index.BlockParams
+    import graft.storage.{ParquetIndexStorage, StorageParams}
+    // same vocabulary, 16x the documents: key resolution must go through
+    // the bucketed keymap + a d_bucket-pruned docs read — if it scanned the
+    // base docs table per micro-batch, bytes read would scale ~16x
+    def buildStore(n: Int): String = {
+      val baseIdx = IndexBuilder.buildFromTurns(turnsDf(corpus(n)), analyzer,
+        materialize = true)
+      val path = java.nio.file.Files.createTempDirectory("graft_stream_bytes_").toString
+      ParquetIndexStorage.build(baseIdx.docs, analyzer, path,
+        StorageParams(termBuckets = 8, writeGroups = 2, saltFactor = 2,
+          blockParams = BlockParams(blockSize = 32, bucketSpan = 64),
+          dGroupSpan = 64, keyCols = Seq("conv_id", "turn_idx"), keyBuckets = 16), "spec")
+      path
+    }
+    val pSmall = buildStore(100)
+    val pLarge = buildStore(1600)
+    val siSmall = StreamingIndexer.overStorage(spark, pSmall, analyzer,
+      flushThreshold = 1000000L)
+    val siLarge = StreamingIndexer.overStorage(spark, pLarge, analyzer,
+      flushThreshold = 1000000L)
+    val batch = turnsDf(Seq(
+      ("z1", 0, "newterm one common term3"),
+      ("c00004", 0, "replacement content term5"),
+      ("z2", 0, "two more turns term7")))
+
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) counter.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def measure(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Thread.sleep(300); counter.set(0)
+        body
+        var prev = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val bSmall = measure(siSmall.addBatch(batch))
+    val bLarge = measure(siLarge.addBatch(batch))
+    assert(bLarge < bSmall * 3 + (1 << 20),
+      s"streaming key resolution scales with index size: small=$bSmall large=$bLarge")
+    // and the replacement actually happened through the pruned path
+    val s = new Searcher(siLarge.index, analyzer)
+    assert(s.matchQuery("replacement", graft.query.Or).count() == 1)
+  }
+
   test("per-batch shuffle work is bounded by batch size, not index size") {
     // same vocabulary, 16x the documents: if addBatch re-aggregated the
     // posting store or shuffled base tables, shuffle records would scale
