@@ -319,11 +319,19 @@ object SparkEntry {
       graft.streaming.EventAggregates.sessionize(evTable(s, d), "30 minutes")
         .orderBy("user_id", "session_start")),
 
-    // ---- multimodal plumbing (stub decoder, real Spark contract) ---------
+    // ---- multimodal plumbing (stub decoder, real Spark contract). The
+    // DECODE is a sandbox stub (no codec libs — feature VALUES cannot be
+    // oracled; determinism is spec-tested), but the PLUMBING is oracled:
+    // one row per doc through the batched mapPartitions extraction, the
+    // declared feature width, and the exact binary payload the media
+    // column carried (sha256-derived, byte-identical in the oracle) -------
     "mm_features" -> ((s, d) => {
       val withMedia = Multimodal.withSyntheticMedia(docsTable(s, d))
       Multimodal.extractFeatures(withMedia, new Multimodal.StubDecoder(8))
-        .select(col("doc_id"), size(col("features")).cast("long").as("dim"))
+        .join(withMedia.select(col("doc_id"),
+          lower(hex(col("media"))).as("media_sha")), "doc_id")
+        .select(col("doc_id"), size(col("features")).cast("long").as("dim"),
+          col("media_sha"))
         .orderBy("doc_id")
     })
   )
@@ -745,6 +753,12 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mm_features" -> // plumbing oracle: row cardinality through the batched
+      // extraction, feature width, and the media column's exact bytes
+      """SELECT doc_id, 8::BIGINT AS dim,
+        |  sha256('media' || doc_id::VARCHAR) AS media_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Spark session_window semantics (pinned by EventAggregatesSpec): an
     // event at EXACTLY prev_ts + gap still extends the session (inclusive

@@ -157,10 +157,16 @@ object ScalingBench {
     // N/avgdl (token total = Σ cf over the vocab-sized dictionary, fused
     // into the same job that materializes its cache; N is the turn count
     // the ordinal pass already established). The docs cache materializes
-    // here too — BEFORE ordCleanup releases the ordinal pass's pinned
-    // input, per Ids' cleanup contract (and so no later query pays the
-    // docs cache build inside its own timing).
+    // CONCURRENTLY (a separate Spark job reading the turns cache, not the
+    // posting cache the dict agg scans) and is awaited BEFORE ordCleanup
+    // releases the ordinal pass's pinned input, per Ids' cleanup contract —
+    // overlapping the two removes a serial wall-clock slice that belongs to
+    // neither stage's scaling story.
     val ((termDict, n, tokens, hashOk), tDict) = t {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dCache = Future(d.count())
       val termStats = byTermDoc.groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
           max(col("term_h")).as("term_h"))
@@ -169,7 +175,7 @@ object ScalingBench {
       val out = td.select("term_id", "term", "term_h", "df", "cf").cache()
       val row = out.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
         (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
-      d.count()
+      Await.result(dCache, Duration.Inf)
       c()
       (out, nTurns, row.getLong(0), row.getBoolean(1))
     }
