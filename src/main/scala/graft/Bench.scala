@@ -33,6 +33,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", LocalTmp.dir("graft_spark_local_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -67,8 +68,7 @@ object Bench {
     // written and committed; queries below are served from it with
     // partition pruning, not from an in-memory posting cache ---------------
     val searcher = timed("index_build", k = math.min(reps, 2)) {
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_bench_idx_").toString + "/index"
+      val path = LocalTmp.dir("graft_bench_idx_") + "/index"
       // termBuckets/writeGroups sized to the corpus (tiny vocab at sf<=0.1):
       // bucket count should track vocabulary, not be fixed at the 100 TB
       // default — empty bucket dirs are pure per-job overhead
@@ -105,8 +105,7 @@ object Bench {
         graft.fixtures.SyntheticTranscripts.Params(
           seed = 42L, nConvs = synConvs, maxTurnsPerConv = 8, vocabSize = 20000,
           minLen = 5, maxLen = 200, partitions = cpus.toInt * 2))
-      val synPath = java.nio.file.Files
-        .createTempDirectory("graft_bench_wand_").toString + "/index"
+      val synPath = LocalTmp.dir("graft_bench_wand_") + "/index"
       def timedBest[A](name: String, k: Int)(body: => A): A = {
         var best = Double.MaxValue; var r: A = null.asInstanceOf[A]; var i = 0
         while (i < k) {

@@ -98,8 +98,7 @@ object SparkEntry {
     indexCache.getOrElseUpdate(dir, {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .withColumn("doc_ord", col("doc_id"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_idx_").toString + "/index"
+      val path = LocalTmp.dir("graft_idx_") + "/index"
       ParquetIndexStorage.build(docs, analyzer, path,
         StorageParams(termBuckets = 16, writeGroups = 4,
           blockParams = BlockParams(blockSize = 128, bucketSpan = 1024)),

@@ -60,6 +60,13 @@ import org.apache.spark.sql.functions._
   * @param keyCols document key columns (e.g. conv_id, turn_idx) to maintain
   *   the keymap table for; empty = no keymap.
   * @param keyBuckets hash buckets of the keymap (on the first key column).
+  * @param sortPostingsFiles additionally sort each postings file by doc_ord
+  *   at write time. Directory-level d_group pruning (the primary O(batch)
+  *   mechanism) never needs this; sorted files tighten parquet row-group
+  *   stats so doc-range predicates prune WITHIN a touched group too —
+  *   worthwhile when dGroupSpan/bucketSpan is large (e.g. 1024 WAND buckets
+  *   per group at the petabyte defaults) at the cost of one extra sort per
+  *   write task (measured ~2x the postings-group time at toy scale).
   */
 final case class StorageParams(
     termBuckets: Int = 64,
@@ -69,7 +76,8 @@ final case class StorageParams(
     groupParallelism: Int = 8,
     dGroupSpan: Long = 1L << 26,
     keyCols: Seq[String] = Nil,
-    keyBuckets: Int = 64
+    keyBuckets: Int = 64,
+    sortPostingsFiles: Boolean = false
 )
 
 final case class PersistedIndex(
@@ -241,9 +249,10 @@ object ParquetIndexStorage {
         // partitioned writes): each group owns a disjoint t_bucket set, so
         // a retried group replaces only its own partitions — with the
         // default static mode this write would wipe the other groups' work.
-        // Files are doc_ord-sorted so row-group stats prune range reads.
-        fin.sortWithinPartitions(col("t_bucket"), col("doc_ord"))
-          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        val finOut = if (p.sortPostingsFiles)
+          fin.sortWithinPartitions(col("t_bucket"), col("d_group"), col("doc_ord"))
+        else fin
+        finOut.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("t_bucket", "d_group").parquet(s"$path/postings")
         val metrics = spark.read.parquet(s"$path/postings")
           .filter(col("t_bucket").isin(buckets: _*))
@@ -457,7 +466,6 @@ object ParquetIndexStorage {
         .join(broadcast(newOrds), Seq("doc_ord"), "left_anti")
         .unionByName(newRows)
         .withColumn("d_group", dGroupOf(col("doc_ord")))
-        .sortWithinPartitions(col("t_bucket"), col("doc_ord"))
         .write.mode("overwrite").partitionBy("t_bucket", "d_group").parquet(s"$sp/postings")
 
       // ---- docs + doc_stats: new content of the touched d_buckets --------
