@@ -1,0 +1,118 @@
+package graft.bench
+
+import graft.analysis.Analyzer
+import graft.fixtures.SyntheticTranscripts
+import graft.index.{Ids, IndexBuilder}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off decomposition of the term-dictionary stage at both parallelism
+  * levels: where does its ~1.8 s parallelism-independent floor live —
+  * the docs-cache build it overlaps, the posting-store groupBy, or the
+  * fixed-latency small jobs (collect / dict-cache agg / broadcast build)?
+  * Also times a fused single-collect alternative (dictionary assembled on
+  * the driver as a LocalRelation). Not part of the benchmark surface. */
+object DictProbe {
+  def main(args: Array[String]): Unit = {
+    val nConvs = args.headOption.map(_.toInt).getOrElse(180000)
+    Seq(8, 32).foreach { cpus =>
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"dict-probe-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try {
+        val analyzer = Analyzer.standard()
+        val turns = SyntheticTranscripts.df(spark, SyntheticTranscripts.Params(
+          seed = 42L, nConvs = nConvs, maxTurnsPerConv = 8, vocabSize = 20000,
+          minLen = 5, maxLen = 200, partitions = cpus * 2))
+          .select("conv_id", "turn_idx", "text").cache()
+        turns.count()
+        def t[A](body: => A): (A, Double) = {
+          val t0 = System.nanoTime(); val r = body
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
+        val (docs, ordCleanup) =
+          Ids.withDenseOrdinalHandle(turns, "doc_ord", Seq("conv_id", "turn_idx"))
+        val byTermDoc = IndexBuilder.docTermPostings(docs, analyzer, "text").persist()
+        byTermDoc.count()
+
+        (1 to 2).foreach { rep =>
+          // (a) docs cache build, alone
+          val d = docs.cache()
+          val (_, tDocsCache) = t(d.count())
+
+          // (b) current path, decomposed. Mirrors timedBuild's dict stage
+          // minus the concurrent d.count (timed above).
+          val termStats = byTermDoc.groupBy(col("term"))
+            .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+              max(col("term_h")).as("term_h"))
+          val ((td, cnt, c), tIds) = t {
+            Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
+              assumeUnsorted = true)
+          }
+          val (out, tOutCache) = t {
+            val o = td.select("term_id", "term", "term_h", "df", "cf").cache()
+            o.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
+              (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
+            o
+          }
+          c()
+
+          // (c) broadcast-exchange build over the cached dict (what the
+          // postings view pays on first materialization)
+          val (_, tBcast) = t {
+            byTermDoc.limit(1)
+              .join(broadcast(out.select("term_id", "term_h")), "term_h")
+              .count()
+          }
+
+          // (d) fused alternative: ONE collect job, dictionary assembled on
+          // the driver, returned as a LocalRelation
+          val (local, tFused) = t {
+            val rows = termStats.collect()
+            val sorted = rows.sortBy(r =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
+            var tokens = 0L
+            val hs = new java.util.HashSet[java.lang.Long](sorted.length * 2)
+            var ok = true
+            val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](sorted.length)
+            var i = 0
+            while (i < sorted.length) {
+              val r = sorted(i)
+              tokens += r.getLong(2)
+              if (!hs.add(r.getLong(3))) ok = false
+              outRows.add(org.apache.spark.sql.Row(
+                i.toLong, r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2)))
+              i += 1
+            }
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("term_id", org.apache.spark.sql.types.LongType, false),
+              org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType, false),
+              org.apache.spark.sql.types.StructField("term_h", org.apache.spark.sql.types.LongType, false),
+              org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType, false),
+              org.apache.spark.sql.types.StructField("cf", org.apache.spark.sql.types.LongType, false)))
+            (spark.createDataFrame(outRows, schema), tokens, ok)
+          }
+          val (_, tBcastLocal) = t {
+            byTermDoc.limit(1)
+              .join(broadcast(local._1.select("term_id", "term_h")), "term_h")
+              .count()
+          }
+          println(f"PROBE cpus=$cpus rep=$rep docsCache=$tDocsCache%.2f " +
+            f"ids(count+collect)=$tIds%.2f outCache+agg=$tOutCache%.2f " +
+            f"bcastCached=$tBcast%.2f :: fusedLocal=$tFused%.2f bcastLocal=$tBcastLocal%.2f " +
+            f"(vocab=$cnt)")
+          out.unpersist(); d.unpersist()
+        }
+        ordCleanup()
+      } finally {
+        spark.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
+  }
+}

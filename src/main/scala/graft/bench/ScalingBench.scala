@@ -170,14 +170,25 @@ object ScalingBench {
       val termStats = byTermDoc.groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
           max(col("term_h")).as("term_h"))
-      val (td, _, c) = Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
-        assumeUnsorted = true)
-      val out = td.select("term_id", "term", "term_h", "df", "cf").cache()
-      val row = out.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
-        (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
+      // single-collect dictionary (ONE job; ids + Σcf + collision check on
+      // the driver; LocalRelation output so downstream broadcasts build
+      // without a scan job) — the three-fixed-latency-job alternative
+      // (dense-ordinal broadcast + cache-materializing agg) was this
+      // stage's measured scaling floor (DictProbe). Exchange fallback for
+      // over-vocab inputs.
+      val (out, tok, ok) = IndexBuilder.localTermDict(termStats) match {
+        case Some((ld, tk, o)) => (ld, tk, o)
+        case None =>
+          val (td0, _, c) = Ids.withDenseOrdinalCounted(termStats, "term_id",
+            Seq("term"), assumeUnsorted = true)
+          val o2 = td0.select("term_id", "term", "term_h", "df", "cf").cache()
+          val row = o2.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
+            (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
+          c()
+          (o2, row.getLong(0), row.getBoolean(1))
+      }
       Await.result(dCache, Duration.Inf)
-      c()
-      (out, nTurns, row.getLong(0), row.getBoolean(1))
+      (out, nTurns, tok, ok)
     }
     val docStats = byTermDoc.groupBy(col("doc_ord"))
       .agg(max(col("dl")).cast("int").as("token_count")) // lazy view
@@ -389,7 +400,7 @@ object ScalingBench {
          || · stage: dense ordinals (verified-sorted fast path, no shuffle) | ${bestStage(8, _.ordinals)}%.1f s | ${bestStage(32, _.ordinals)}%.1f s | ${stageEff(_.ordinals)}%.2f | $calibEff%.2f | ${stageEff(_.ordinals) / calibEff}%.2f |
          || · stage: analyze+group, uncached probe | ${bestStage(8, _.analyzeNoCache)}%.1f s | ${bestStage(32, _.analyzeNoCache)}%.1f s | ${stageEff(_.analyzeNoCache)}%.2f | $calibEff%.2f | ${stageEff(_.analyzeNoCache) / calibEff}%.2f |
          || · stage: analyze+group + cache write | ${bestStage(8, _.analyze)}%.1f s | ${bestStage(32, _.analyze)}%.1f s | ${stageEff(_.analyze)}%.2f | $calibEff%.2f | ${stageEff(_.analyze) / calibEff}%.2f |
-         || · stage: term dictionary + stats (broadcast ordinals) | ${bestStage(8, _.dict)}%.1f s | ${bestStage(32, _.dict)}%.1f s | ${stageEff(_.dict)}%.2f | $cacheEff%.2f | ${stageEff(_.dict) / cacheEff}%.2f |
+         || · stage: term dictionary + stats (single-collect LocalRelation) | ${bestStage(8, _.dict)}%.1f s | ${bestStage(32, _.dict)}%.1f s | ${stageEff(_.dict)}%.2f | $cacheEff%.2f | ${stageEff(_.dict) / cacheEff}%.2f |
          || · stage: WAND block table (no-exchange InternalRow pack) | ${bestStage(8, _.blocks)}%.1f s | ${bestStage(32, _.blocks)}%.1f s | ${stageEff(_.blocks)}%.2f | $cacheEff%.2f | ${stageEff(_.blocks) / cacheEff}%.2f |
          || BM25 top-10 batch throughput ($batchN queries, one plan) | $q8%.1f QPS | $q32%.1f QPS | $qpsEff%.2f | $calibEff%.2f | ${qpsEff / calibEff}%.2f |
          || single-stream latency mix (8 ref queries) | $l8%.2f QPS | $l32%.2f QPS | ${l32 / (4 * l8)}%.2f | — | — |

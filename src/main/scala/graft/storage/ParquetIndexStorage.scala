@@ -207,23 +207,39 @@ object ParquetIndexStorage {
     // ---- stage: term dictionary -----------------------------------------
     val dictMarker = runStage("dict") {
       val raw = spark.read.parquet(s"$path/_stage/raw")
-      val termStats = raw.groupBy(col("term"), col("t_bucket"))
+      val termStats = raw.groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
           max(col("term_h")).as("term_h"))
-      val (withIds, cleanup) =
-        graft.index.Ids.withDenseOrdinalCounted(termStats, "term_id", Seq("term"),
-          assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
-      withIds.select("term_id", "term", "term_h", "df", "cf", "t_bucket")
-        .write.mode("overwrite").parquet(s"$path/term_dict")
-      cleanup()
-      // 64-bit term-hash collision check (vocab-sized agg): when clean, the
+      // 64-bit term-hash collision check ("hashKeyOk"): when clean, the
       // postings id-swap joins on the LONG term_h — no per-posting-row
       // string decode+hash; a collision (expected once per ~6e9-term
       // vocabulary) falls back to the exact string join.
-      val row = spark.read.parquet(s"$path/term_dict")
-        .agg(count(lit(1)).as("n"), countDistinct(col("term_h")).as("nh")).head()
-      StageMarker("dict", row.getLong(0), 0,
-        lineage + ("hashKeyOk" -> (row.getLong(0) == row.getLong(1)).toString))
+      // Vocab-sized dictionaries: ONE collect job assembles ids + the
+      // collision check on the driver (IndexBuilder.localTermDict); the
+      // t_bucket re-derives from term_h exactly as the raw stage derived it.
+      graft.index.IndexBuilder.localTermDict(termStats) match {
+        case Some((ld, _, hashOk)) =>
+          val n = ld.count() // LocalRelation — driver-side, no cluster scan
+          ld.withColumn("t_bucket", pmod(col("term_h"), lit(p.termBuckets)).cast("int"))
+            .select("term_id", "term", "term_h", "df", "cf", "t_bucket")
+            .coalesce(1) // vocab-sized single file beats 2×cpus 600-row files
+            .write.mode("overwrite").parquet(s"$path/term_dict")
+          StageMarker("dict", n, 0, lineage + ("hashKeyOk" -> hashOk.toString))
+        case None =>
+          val withBucket = raw.groupBy(col("term"), col("t_bucket"))
+            .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+              max(col("term_h")).as("term_h"))
+          val (withIds, cleanup) =
+            graft.index.Ids.withDenseOrdinalCounted(withBucket, "term_id", Seq("term"),
+              assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
+          withIds.select("term_id", "term", "term_h", "df", "cf", "t_bucket")
+            .write.mode("overwrite").parquet(s"$path/term_dict")
+          cleanup()
+          val row = spark.read.parquet(s"$path/term_dict")
+            .agg(count(lit(1)).as("n"), countDistinct(col("term_h")).as("nh")).head()
+          StageMarker("dict", row.getLong(0), 0,
+            lineage + ("hashKeyOk" -> (row.getLong(0) == row.getLong(1)).toString))
+      }
     }
     val joinKey =
       if (dictMarker.lineage.get("hashKeyOk").forall(_.toBoolean)) "term_h" else "term"
