@@ -122,8 +122,13 @@ object Bench {
         // (each bucket's WAND has its own k-heap, so fewer/larger buckets
         // let the threshold climb where it can actually skip); blockSize 64
         // makes the skip granularity finer than the common terms' pivot
-        // gaps. Probed: 128/4096 -> skip 0.00; 64/16384 -> skip 0.26-0.45
-        // with wand 2.4-3.1x faster than exhaustive.
+        // gaps. Probed: 128/4096 -> skip 0.00; 64/16384 -> skip 0.26-0.45.
+        // Since the term_h long-keyed postings probe, the per-query
+        // EXHAUSTIVE baseline got ~1.7x faster, so at this corpus size both
+        // per-query paths are fixed-cost-bound (~0.5s/query of driver and
+        // plan latency) and their wall times cross over; the capacity
+        // comparison is the BATCH pair below (~11ms/query WAND vs ~40ms
+        // exhaustive), where pruning shows through undiluted.
         graft.storage.ParquetIndexStorage.build(withOrd, analyzer, synPath,
           graft.storage.StorageParams(
             blockParams = BlockParams(blockSize = 64, bucketSpan = 16384)),
