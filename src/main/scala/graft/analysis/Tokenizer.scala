@@ -66,9 +66,12 @@ final case class NgramTokenizer(n: Int) extends Tokenizer {
 
 /** Pluggable morphological analysis (Japanese path). The reference delegates
   * to kagome + IPA-neologd (`/root/reference/morphology/kagome.go:14-44`);
-  * the dictionary is unavailable offline, so implementations are injected —
-  * the reference itself unit-tests against a mock
-  * (`/root/reference/tokenizer_test.go:37-47`).
+  * implementations are injected — the reference itself unit-tests against a
+  * mock (`/root/reference/tokenizer_test.go:37-47`). The in-repo
+  * [[LatticeMorphology]] is a real kagome-style lattice + Viterbi analyzer
+  * over an embedded demo-scale dictionary (IPA-neologd itself is
+  * unavailable offline); a full dictionary drops in through the same
+  * Entry shape.
   */
 trait Morphology extends Serializable {
   /** Returns (surface form, kana reading) pairs; whitespace tokens dropped. */

@@ -137,4 +137,22 @@ class SearcherSpec extends SparkSpec {
     // (`searcher.go:66-68` after SQL IN dedup); we match on the term SET.
     assert(ids(abc.matchQuery("aa aa bb", And)) == Seq(1L, 3L))
   }
+
+  test("Japanese corpus end-to-end: lattice morphology + kana readings") {
+    // the reference's Japanese pipeline shape (morphological tokenizer +
+    // reading-form filter) over the in-repo lattice analyzer: queries
+    // written in surface forms match documents via shared readings
+    val ja = Analyzer(Nil,
+      MorphologicalTokenizer(LatticeMorphology.demo),
+      Seq(KanaReadingformFilter()))
+    val s = new Searcher(index(Seq(
+      "東京都に住む", "京都の人", "形態素解析をします", "東京の天気"), ja), ja)
+    assert(ids(s.matchQuery("東京都", And)) == Seq(1L))
+    assert(ids(s.matchQuery("京都", And)) == Seq(2L))
+    assert(ids(s.matchQuery("東京 天気", And)) == Seq(4L))
+    assert(ids(s.matchQuery("解析", Or)) == Seq(3L))
+    // phrase: readings must be positionally adjacent
+    assert(ids(s.phraseQuery("形態素 解析")) == Seq(3L))
+    assert(ids(s.phraseQuery("解析 形態素")) == Seq())
+  }
 }
