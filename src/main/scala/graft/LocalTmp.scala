@@ -15,6 +15,21 @@ object LocalTmp {
     else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
   }
 
-  def dir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  /** Temp dir removed recursively at JVM exit: tmpfs is RAM-backed, so
+    * leaked index stores from repeated bench runs would accumulate until
+    * /dev/shm fills and later builds fail or the host swaps. */
+  def dir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(base, prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        try java.nio.file.Files.deleteIfExists(p) catch { case _: java.io.IOException => }
+      }
+      rm(d)
+    }))
+    d.toString
+  }
 }

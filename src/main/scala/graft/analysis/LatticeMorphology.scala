@@ -169,8 +169,10 @@ final class LatticeMorphology(entries: Seq[LatticeMorphology.Entry])
     }
     m
   }
+  // foldLeft, not .max: an EMPTY dictionary must degrade to pure
+  // unknown-node segmentation, not crash on empty.max inside a task
   @transient private lazy val maxSurfaceLen: Int =
-    entries.iterator.map(_.surface.length).max
+    entries.foldLeft(0)((m, e) => math.max(m, e.surface.length))
 
   private[analysis] final case class Node(
       start: Int, end: Int, leftId: Int, rightId: Int, cost: Int,

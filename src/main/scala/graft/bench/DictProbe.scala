@@ -70,31 +70,11 @@ object DictProbe {
           }
 
           // (d) fused alternative: ONE collect job, dictionary assembled on
-          // the driver, returned as a LocalRelation
+          // the driver, returned as a LocalRelation — the SHIPPED path
+          // (IndexBuilder.localTermDict), called directly so the probe
+          // cannot drift from what it claims to measure
           val (local, tFused) = t {
-            val rows = termStats.collect()
-            val sorted = rows.sortBy(r =>
-              org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))
-            var tokens = 0L
-            val hs = new java.util.HashSet[java.lang.Long](sorted.length * 2)
-            var ok = true
-            val outRows = new java.util.ArrayList[org.apache.spark.sql.Row](sorted.length)
-            var i = 0
-            while (i < sorted.length) {
-              val r = sorted(i)
-              tokens += r.getLong(2)
-              if (!hs.add(r.getLong(3))) ok = false
-              outRows.add(org.apache.spark.sql.Row(
-                i.toLong, r.getString(0), r.getLong(3), r.getLong(1), r.getLong(2)))
-              i += 1
-            }
-            val schema = org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("term_id", org.apache.spark.sql.types.LongType, false),
-              org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType, false),
-              org.apache.spark.sql.types.StructField("term_h", org.apache.spark.sql.types.LongType, false),
-              org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType, false),
-              org.apache.spark.sql.types.StructField("cf", org.apache.spark.sql.types.LongType, false)))
-            (spark.createDataFrame(outRows, schema), tokens, ok)
+            IndexBuilder.localTermDict(termStats).get
           }
           val (_, tBcastLocal) = t {
             byTermDoc.limit(1)

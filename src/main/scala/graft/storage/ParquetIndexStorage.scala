@@ -94,6 +94,16 @@ object ParquetIndexStorage {
 
   private def marker(path: String, stage: String) = s"$path/_markers/$stage.json"
 
+  /** Whether `batchId` is already claimed at `path` — staged OR applied.
+    * addDocuments with an applied id is an idempotent no-op, and with a
+    * staged id it re-applies the OLD staged content (ignoring the caller's
+    * frame). Callers that generate batch ids from a restarting counter
+    * (StreamingIndexer's flush epoch) must probe past claimed ids, or a
+    * reused id silently swallows their batch. */
+  def deltaClaimed(path: String, batchId: String): Boolean =
+    ManifestIO.exists(marker(path, s"delta_${batchId}_applied")) ||
+      ManifestIO.exists(marker(path, s"delta_${batchId}_staged"))
+
   /** Pushable doc-range predicate for a set of span-sized buckets: an OR of
     * BETWEENs (parquet row-group prunable) for few buckets, else a single
     * covering range AND the exact bucket membership. `floor(doc_ord/span)
@@ -241,8 +251,11 @@ object ParquetIndexStorage {
             lineage + ("hashKeyOk" -> (row.getLong(0) == row.getLong(1)).toString))
       }
     }
+    // exists, not forall: a resumed marker from a build that predates the
+    // hash-keyed probe has no hashKeyOk (and its staged parquet no term_h
+    // column) — the absent flag must mean the SAFE string join
     val joinKey =
-      if (dictMarker.lineage.get("hashKeyOk").forall(_.toBoolean)) "term_h" else "term"
+      if (dictMarker.lineage.get("hashKeyOk").exists(_.toBoolean)) "term_h" else "term"
 
     // ---- stage: final postings, in resumable bucket groups ---------------
     // groups run as CONCURRENT Spark jobs (disjoint t_bucket partition
@@ -407,7 +420,26 @@ object ParquetIndexStorage {
     val bp = BlockParams(mf.blockSize, mf.bucketSpan, mf.k1, mf.b)
     def dBucketOf(c: Column) = floor(c / lit(span)).cast("long")
     def dGroupOf(c: Column) = floor(c / lit(gSpan)).cast("long")
-    val hasDGroup = mf.dGroupSpan > 0
+    // Pre-d_group stores (flat t_bucket postings partitions) cannot take
+    // deltas from this version: the staged/apply writes are
+    // (t_bucket, d_group)-partitioned, and dynamic overwrite would leave
+    // BOTH layouts on disk — the pre-existing flat files (including the
+    // replaced docs' old postings) survive next to the new two-level
+    // directories, so partition discovery conflicts or silently serves
+    // stale duplicates. Refusing loudly beats corrupting; rebuild migrates.
+    require(mf.dGroupSpan > 0,
+      s"index at $path predates the d_group postings layout " +
+        s"(manifest dGroupSpan=${mf.dGroupSpan}); rebuild it to accept deltas")
+    // A keymapped index REQUIRES every batch to carry the key columns:
+    // silently skipping keymap maintenance would let it drift from the docs
+    // table, and a later streaming lookup would miss the key and mint a
+    // SECOND doc_ord for it — duplicate documents in every query.
+    // INVARIANT: a doc_ord's key never changes across replacements
+    // (ordinals are minted per key); only then is removing the batch's own
+    // keys from the touched buckets enough to keep the keymap exact.
+    require(mf.keyCols.isEmpty || mf.keyCols.forall(newDocs.columns.contains),
+      s"index at $path maintains a keymap over (${mf.keyCols.mkString(",")}) " +
+        s"but the batch only has (${newDocs.columns.mkString(",")})")
 
     val staged = ManifestIO.read(stagedM, classOf[StageMarker]).getOrElse {
       val t0 = System.currentTimeMillis()
@@ -470,10 +502,8 @@ object ParquetIndexStorage {
       // Old rows of other doc ranges are untouched by definition (their docs
       // are not in the batch), so the read is directory-pruned to the
       // batch's d_groups — per-batch bytes ∝ touched ranges, not the store.
-      val oldPost0 = spark.read.parquet(s"$path/postings")
-      val oldPost =
-        if (hasDGroup) oldPost0.filter(col("d_group").isin(dGroups: _*))
-        else oldPost0.filter(docRangePred(col("doc_ord"), dBuckets, span))
+      val oldPost = spark.read.parquet(s"$path/postings")
+        .filter(col("d_group").isin(dGroups: _*))
       val ids = dictStaged.join(broadcast(batchTerms.select("term")), Seq("term"), "left_semi")
         .select("term_id", "term")
       val newRows = byNew.join(broadcast(ids), "term")
@@ -505,7 +535,7 @@ object ParquetIndexStorage {
 
       // ---- keymap: new content of the touched key buckets ----------------
       val kBucketsTouched: Seq[Int] =
-        if (mf.keyCols.isEmpty || !mf.keyCols.forall(batch.columns.contains)) Nil
+        if (mf.keyCols.isEmpty) Nil
         else {
           val kb = kBucketCol(mf.keyCols, mf.keyBuckets)
           val batchKeys = batch.select(mf.keyCols.map(col): _*)
@@ -588,7 +618,7 @@ object ParquetIndexStorage {
     // postings: touched leaves = every pre-existing or staged (t_bucket,
     // d_group) pair inside the touched d_groups. Enumerate via listing the
     // touched group dirs (bounded by termBuckets × touched groups).
-    val touchedGroups = parseBuckets(if (hasDGroup) "dGroups" else "dBuckets")
+    val touchedGroups = parseBuckets("dGroups")
     val postTouched: Seq[Seq[Long]] = {
       val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       val root = new org.apache.hadoop.fs.Path(s"$path/postings")

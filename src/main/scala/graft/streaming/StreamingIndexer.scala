@@ -280,6 +280,15 @@ final class StreamingIndexer(
     val oldDelta = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
     storagePath match {
       case Some(path) =>
+        // restart-safe batch id: the epoch counter restarts at 0 with the
+        // process, and addDocuments is idempotent PER id — reusing a
+        // claimed id would silently swallow this flush's buffered docs
+        // (applied: marker hit, no-op; staged: the OLD session's staged
+        // content gets applied instead of this frame) while the delta
+        // state reset below discards them. Probe past every claimed
+        // stream epoch before staging.
+        while (graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$flushEpoch"))
+          flushEpoch += 1
         // deltaDocs holds exactly one row per buffered key — its final
         // content (in-delta replacements were folded by addBatch)
         graft.storage.ParquetIndexStorage.addDocuments(

@@ -55,6 +55,13 @@ class LatticeMorphologySpec extends AnyFunSuite {
     assert(m.analyze("   ") == Nil)
   }
 
+  test("empty dictionary degrades to unknown-node segmentation, no crash") {
+    val empty = new LatticeMorphology(Seq.empty)
+    assert(empty.analyze("グーグル abc") ==
+      Seq("グーグル" -> "グーグル", "abc" -> "abc"))
+    assert(empty.analyze("") == Nil)
+  }
+
   test("MorphologicalTokenizer + KanaReadingformFilter indexes readings") {
     val a = Analyzer(Nil, MorphologicalTokenizer(m), Seq(KanaReadingformFilter()))
     assert(a.analyze("東京都の天気").map(_.term) ==

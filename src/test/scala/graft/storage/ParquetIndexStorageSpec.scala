@@ -250,4 +250,39 @@ class ParquetIndexStorageSpec extends SparkSpec {
     val plan = s.matchQuery("t000000", And).queryExecution.executedPlan.toString()
     assert(plan.contains("t_bucket"), s"expected t_bucket pruning in plan")
   }
+
+  test("deltas on a pre-d_group store are refused, not layout-corrupted") {
+    // simulate a formatVersion-2 store: flatten postings to t_bucket-only
+    // partitions and stamp dGroupSpan=0 — the layout the old code wrote.
+    // A (t_bucket, d_group)-partitioned delta overwrite on top of it would
+    // leave BOTH layouts on disk (stale flat files + new two-level dirs).
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    val flat = spark.read.parquet(s"$path/postings").drop("d_group").cache()
+    flat.count()
+    flat.write.mode("overwrite").partitionBy("t_bucket").parquet(s"$path/postings_flat")
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/postings_flat"),
+      new org.apache.hadoop.fs.Path(s"$path/postings"))
+    flat.unpersist()
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    ManifestIO.write(s"$path/manifest.json", mf.copy(dGroupSpan = 0L))
+
+    val batch = docsWithOrd.limit(1)
+    val e = intercept[IllegalArgumentException] {
+      ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "old_layout_b0")
+    }
+    assert(e.getMessage.contains("d_group"))
+  }
+
+  test("deltas on a keymapped index require the key columns in the batch") {
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    val noKeys = docsWithOrd.limit(1).select("doc_ord", "text")
+    val e = intercept[IllegalArgumentException] {
+      ParquetIndexStorage.addDocuments(spark, path, noKeys, analyzer, "nokeys_b0")
+    }
+    assert(e.getMessage.contains("keymap"))
+  }
 }

@@ -162,6 +162,16 @@ class StreamingIndexerSpec extends SparkSpec {
     val coldTop = cold.bm25TopKWand("term5 term11", 10)
       .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
     assert(coldTop == freshTop)
+
+    // RESTART SAFETY: a new indexer over the same committed path starts its
+    // flush-epoch counter at 0 again; its first flush must NOT be swallowed
+    // by the previous session's delta_stream_0 idempotency marker
+    val si2 = StreamingIndexer.overStorage(spark, path, analyzer, flushThreshold = 1)
+    si2.addBatch(turnsDf(Seq(("x9", 0, "postrestart epsilon"))))
+    val cold2 = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(byKey(cold2, "postrestart") == Set(("x9", 0)),
+      "post-restart flush was swallowed by a stale stream-epoch marker")
+    assert(byKey(cold2, "newterm") == byKey(freshS, "newterm")) // old content intact
   }
 
   test("storage-backed addBatch INPUT BYTES bounded via keymap + d_bucket pruning") {
