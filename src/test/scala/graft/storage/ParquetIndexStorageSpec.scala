@@ -251,6 +251,34 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(plan.contains("t_bucket"), s"expected t_bucket pruning in plan")
   }
 
+  test("sortPostingsFiles=true: same query results, files doc_ord-sorted") {
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path,
+      params.copy(sortPostingsFiles = true), "src")
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    for (q <- Seq("t000000", "t000001 t000005", "hot0 t000002")) {
+      assert(ids(s.matchQuery(q, And)) == ids(memSearcher.matchQuery(q, And)), s"AND $q")
+      assert(ids(s.bm25TopKWand(q, 10)) == ids(memSearcher.bm25TopK(q, 10)), s"WAND $q")
+    }
+    // every parquet file holds doc_ord-ascending rows (what row-group stats
+    // pruning inside a touched d_group relies on); scan order within one
+    // file is the file's row order, so adjacent same-file descents = unsorted
+    import org.apache.spark.sql.functions._
+    val bad = spark.read.parquet(s"$path/postings")
+      .select(input_file_name().as("f"), col("doc_ord"))
+      .rdd.mapPartitions { it =>
+        var prev: (String, Long) = null
+        var violations = 0L
+        it.foreach { r =>
+          val cur = (r.getString(0), r.getLong(1))
+          if (prev != null && cur._1 == prev._1 && cur._2 < prev._2) violations += 1
+          prev = cur
+        }
+        Iterator(violations)
+      }.sum()
+    assert(bad == 0.0, s"found $bad doc_ord-descending adjacencies within files")
+  }
+
   test("deltas on a pre-d_group store are refused, not layout-corrupted") {
     // simulate a formatVersion-2 store: flatten postings to t_bucket-only
     // partitions and stamp dGroupSpan=0 — the layout the old code wrote.
