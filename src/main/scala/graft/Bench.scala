@@ -164,6 +164,62 @@ object Bench {
       wandDemo("batch_wand_skip_rate") = mb.skipRate
     }
 
+    // ---- ANN pruning win on a workload big enough to prune -----------------
+    // The sf embeddings tables are tiny (2k vectors) — a full brute-force
+    // scan is cheaper than any index there, so op_ann_lsh reads slower than
+    // op_ann_brute below. And with a HANDFUL of queries brute stays cheaper
+    // at any corpus size: brute costs |Q| dots per corpus row, while LSH
+    // pays planes×tables plane projections and IVF nlist centroid dots per
+    // row — the indexes amortize across the query SET (the offline shape:
+    // hundreds of queries per batch, or a prebuilt index reused). The demo
+    // is therefore 200 queries over a deterministic 60k-vector clustered
+    // corpus (256 hash-centers + small per-id noise — clustered like real
+    // embeddings; uniform random 64-d vectors are near-orthogonal and
+    // nothing can bucket them): brute = 12M exact dots; LSH hashes each row
+    // 24 times then verifies candidates; IVF does 32 centroid dots per row
+    // then scans nprobe/nlist of the corpus per query. Recall@10 vs the
+    // exact result is reported alongside the times.
+    val annDemo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    locally {
+      val nVecs = sys.env.getOrElse("SPARK_GRAFT_ANN_VECS", "60000").toInt
+      val nQ = sys.env.getOrElse("SPARK_GRAFT_ANN_QUERIES", "200").toInt
+      val dim = 64
+      val vecs = spark.range(nVecs).toDF("vec_id")
+        .withColumn("embedding", expr(
+          s"""transform(sequence(0, ${dim - 1}), j ->
+             |  cast((pmod(xxhash64(pmod(vec_id, 256) * $dim + j), 2001) - 1000) / 1000.0
+             |     + (pmod(xxhash64(vec_id * $dim + j + 999), 2001) - 1000) / 5000.0
+             |   as float))""".stripMargin))
+        .cache()
+      vecs.count()
+      val qs = vecs.filter(col("vec_id") < nQ)
+      def timedBest[A](name: String, k: Int)(body: => A): A = {
+        var best = Double.MaxValue; var r: A = null.asInstanceOf[A]; var i = 0
+        while (i < k) {
+          val t0 = System.nanoTime(); r = body
+          best = math.min(best, (System.nanoTime() - t0) / 1e9); i += 1
+        }
+        annDemo(name) = best; r
+      }
+      def resultSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      val exact = timedBest("ann_brute", 1)( // the expensive baseline: one shot
+        resultSet(Similarity.bruteForceTopK(vecs, qs, 10)))
+      val lsh = timedBest("ann_lsh", math.min(reps, 2))(
+        resultSet(Similarity.lshTopK(vecs, qs, 10, planes = 12, tables = 4)))
+      val ivf = timedBest("ann_ivf", 1)(
+        resultSet(Similarity.ivfTopK(vecs, qs, 10, nlist = 32, nprobe = 4)))
+      def recall(got: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, want) =>
+          got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+        }.sum / exact.size
+      annDemo("lsh_recall") = recall(lsh)
+      annDemo("ivf_recall") = recall(ivf)
+      annDemo("n_vecs") = nVecs.toDouble
+      vecs.unpersist()
+    }
+
     // ---- training-data ops ------------------------------------------------
     timed("op_dedup_exact")(Dedup.exact(docs).count())
     timed("op_dedup_minhash", k = math.min(reps, 2))(
@@ -182,8 +238,10 @@ object Bench {
       .mkString("{", ",", "}")
     val wd = wandDemo.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val ad = annDemo.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wand_demo":$wd,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wand_demo":$wd,"ann_demo":$ad,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

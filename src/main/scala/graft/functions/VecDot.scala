@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd left-to-right dot product over two equal-length
+  * float/double arrays — bit-identical to the Catalyst higher-order chain
+  * `aggregate(zip_with(cast(a as array<double>), cast(b as array<double>),
+  * (x, y) => x * y), 0.0, (acc, v) => acc + v)`: each element widens to
+  * double (exact), products and the accumulation run in double, strictly
+  * left to right. Bit-identity matters because every similarity oracle
+  * (`ann_*`, `sim_cosine_pairs`, `dedup_embedding`) hash-compares scores
+  * against DuckDB computing the same double fold.
+  *
+  * Why not the HOF chain: higher-order functions have no codegen — they
+  * evaluate interpreted, one lambda invocation per element (measured
+  * ~2.5 µs per 64-dim dot on this host; the brute-force ANN baseline spent
+  * 90% of its time there). This loop inlines into whole-stage codegen at
+  * ~ns/element, and the cast-free float read skips the per-row
+  * array<double> copy the old chain materialized.
+  *
+  * Null semantics mirror the HOF chain exactly: null array → null; any
+  * null element → null (zip_with's product is null, poisoning the sum);
+  * different lengths → null (zip_with null-pads the shorter side).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // checkInputDataTypes directly (ExpectsInputTypes' Seq[AbstractDataType]
+  // is private[sql] and unreachable from a third-party package)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lf = isFloat(left)
+    val rf = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $anyNull = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+         |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |  }
+         |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -14,8 +14,18 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Left-to-right dot product in double precision (deterministic order —
-    * matters for engine-portable score comparison). */
-  def dot(a: Column, b: Column): Column =
+    * matters for engine-portable score comparison). Served by the native
+    * codegen'd [[graft.functions.VecDot]]; [[dotHof]] is the Catalyst
+    * higher-order original it is pinned bit-identical to (VecDotSpec). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.VecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The interpreted higher-order formulation `dot` replaced — kept as the
+    * semantics reference for the bit-identity pin (VecDotSpec). */
+  private[graft] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
       (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
