@@ -371,9 +371,11 @@ object Dedup {
       portable: Boolean = false
   ): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v")).persist()
+    // one-row dim probe → literal plane vectors → codegen'd VecDot hashes
+    val dim = Similarity.measureDim(base, "v")
     val bucketStructs = (0 until tables).map(t =>
       struct(lit(t).as("tbl"),
-        Similarity.lshBucket(col("v"), planes, dim = -1, seed + t * 7919L, portable).as("b")))
+        Similarity.lshBucket(col("v"), planes, dim, seed + t * 7919L, portable).as("b")))
     // payload-free band rows: the heavy vectors never enter the candidate join
     val banded = base
       .select(col("id"), explode(array(bucketStructs: _*)).as("tb"))

@@ -55,22 +55,74 @@ object Similarity {
       .cast("double") / 1000.0
   }
 
+  /** Driver-side twin of [[planeComponent]]: the identical xxhash64 chain
+    * (initial seed 42, fold LongType seed then IntegerType p then
+    * IntegerType j — exactly the `xxhash64(lit(seed), lit(p), j)` child
+    * order) and the identical pmod/scale arithmetic. Pinned bit-identical
+    * to the Column formulation in LshNativeSpec. */
+  private def planeComponentValue(p: Int, j: Int, seed: Long): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    var h = XxHash64Function.hash(seed, LongType, 42L)
+    h = XxHash64Function.hash(p, IntegerType, h)
+    h = XxHash64Function.hash(j, IntegerType, h)
+    (Math.floorMod(h, 2001L) - 1000L).toDouble / 1000.0
+  }
+
+  /** Driver-side twin of [[portablePlaneComponent]] (pmod == floorMod for a
+    * positive modulus; every intermediate fits a long — see that scaladoc). */
+  private def portablePlaneComponentValue(p: Int, j: Int, seed: Long): Double = {
+    val P = graft.ops.Dedup.PortableMod
+    val x = Math.floorMod(seed * 1000003L + p.toLong * 8191L + j, P)
+    (Math.floorMod(Math.floorMod(x * 1103515245L + 12345L, P), 2001L) - 1000L)
+      .toDouble / 1000.0
+  }
+
+  /** Plane `p` as a materialized direction vector — what lets the per-row
+    * projection be a single codegen'd [[graft.functions.VecDot]] against a
+    * literal array instead of `dim` interpreted lambda steps per plane. */
+  private[ops] def planeVector(p: Int, dim: Int, seed: Long, portable: Boolean): Seq[Double] =
+    (0 until dim).map(j =>
+      if (portable) portablePlaneComponentValue(p, j, seed)
+      else planeComponentValue(p, j, seed))
+
   /** LSH bucket id: packed signs of `planes` random-hyperplane projections.
-    * `dim` is only used for documentation; planes adapt to the array length.
     * `portable = true` swaps the xxhash64-derived plane components for the
-    * congruential [[portablePlaneComponent]] (oracle-replicable). */
+    * congruential [[portablePlaneComponent]] (oracle-replicable).
+    *
+    * With `dim > 0` each projection is a codegen'd dot against the
+    * precomputed literal [[planeVector]] — same doubles, same left-to-right
+    * fold (pinned in LshNativeSpec) — and rows whose vectors are NOT
+    * exactly `dim` long get a null projection = a 0 sign bit (the dynamic
+    * path projects whatever length it finds; fixed-dim embedding columns
+    * make the cases identical). `dim = -1` keeps the dynamic higher-order
+    * fold: planes adapt to each row's array length, one interpreted lambda
+    * step per element. */
   def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L,
       portable: Boolean = false): Column = {
-    val idx = sequence(lit(0), size(v) - 1)
+    val projAt: Int => Column =
+      if (dim > 0) { p => dot(v, typedLit(planeVector(p, dim, seed, portable))) }
+      else { p =>
+        val idx = sequence(lit(0), size(v) - 1)
+        val comp = (j: Column) =>
+          if (portable) portablePlaneComponent(p, j, seed) else planeComponent(p, j, seed)
+        aggregate(
+          zip_with(v.cast("array<double>"), idx, (x, j) => x * comp(j)),
+          lit(0.0), (acc, x) => acc + x)
+      }
     (0 until planes).map { p =>
-      val comp = (j: Column) =>
-        if (portable) portablePlaneComponent(p, j, seed) else planeComponent(p, j, seed)
-      val proj = aggregate(
-        zip_with(v.cast("array<double>"), idx, (x, j) => x * comp(j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(projAt(p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** The fixed vector length of `vecCol`, read from one row — callers use
+    * it to plan literal plane vectors / codebooks. -1 on an empty frame
+    * (callers fall back to the dynamic path). */
+  private[graft] def measureDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).head(1) match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case _ => -1
+    }
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set against
     * the corpus, window-rank per query. The per-query work is a full scan —
@@ -119,10 +171,13 @@ object Similarity {
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    // one-row dim probe buys literal plane vectors: every bucket hash below
+    // becomes a codegen'd VecDot instead of planes×dim interpreted lambdas
+    val dim = measureDim(c, "v")
     def bucketed(df: DataFrame, id: String, v: String) = {
       val buckets = (0 until tables).map(t =>
         struct(lit(t).as("tbl"),
-          lshBucket(col(v), planes, -1, seed + t * 7919L, portable).as("b")))
+          lshBucket(col(v), planes, dim, seed + t * 7919L, portable).as("b")))
       df.select(col(id), explode(array(buckets: _*)).as("tb"))
         .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
     }
@@ -187,6 +242,31 @@ object Similarity {
     * strict `>` keeps the SMALLEST cid on ties, matching `row_number` over
     * (sim desc, cid asc). Returns the corpus projected to (id, v, cid). */
   def ivfAssign(
+      corpus: DataFrame,
+      centVecs: Seq[Seq[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    // unrolled: array(cosine(v, c_1) .. cosine(v, c_n)) stays inside
+    // whole-stage codegen (each cosine is VecDot against a literal
+    // centroid; the repeated norm(v) dedupes via subexpression
+    // elimination), then cid = 1-based position of the FIRST maximum —
+    // array_max skips null sims and first-max == smallest cid on ties,
+    // exactly the fold semantics ([[ivfAssignFold]], pinned in
+    // LshNativeSpec). All-null sims (or an empty codebook) give the
+    // fold's never-assigned cid 0.
+    val assignExpr = if (centVecs.isEmpty) lit(0) else {
+      val sims = array(centVecs.map(cv => cosine(col("v"), typedLit(cv))): _*)
+      val best = array_max(sims)
+      when(best.isNull, lit(0)).otherwise(array_position(sims, best).cast("int"))
+    }
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cid", assignExpr)
+  }
+
+  /** The interpreted struct-fold `ivfAssign` replaced — kept as the
+    * semantics reference for the equivalence pin (LshNativeSpec). */
+  private[ops] def ivfAssignFold(
       corpus: DataFrame,
       centVecs: Seq[Seq[Double]],
       idCol: String = "vec_id",
