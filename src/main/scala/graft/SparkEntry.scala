@@ -217,6 +217,18 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_cc" -> ((s, d) => { // exact transitive clustering: jaccard pairs
+      // (threshold low enough for multi-node components at sf0.01: 179
+      // edges, 76 non-trivial components, largest 12) -> alternating-star
+      // connected components -> every doc labeled with its component min
+      val docs = docsTable(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "source", threshold = 0.01, n = 3)
+      val labels = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+      docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .orderBy("doc_id")
+    }),
+
     // ---- dedup family ----------------------------------------------------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(docsTable(s, d)).orderBy("keep_id")),
@@ -528,6 +540,33 @@ object SparkEntry {
          |    ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END, 6) >= 0.05
          |)
          |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_cc" -> // transitive closure of the jaccard-pair graph via a
+      // recursive CTE (reachability UNION dedups -> terminates), then
+      // component = LEAST(self, min reachable); singletons label themselves
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(arr) < 3 THEN [] ELSE
+         |      list_transform(range(1, len(arr) - 1), i -> array_to_string(arr[i:i+2], ' '))
+         |    END AS sh
+         |  FROM (SELECT doc_id, source, $toksSql AS arr FROM documents)
+         |), p AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END, 6) >= 0.01
+         |), sym AS (
+         |  SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM sym
+         |  UNION
+         |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+         |), comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS comp FROM reach GROUP BY u
+         |)
+         |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+         |FROM documents d LEFT JOIN comp c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->

@@ -396,7 +396,97 @@ object Dedup {
 
   /** Keep-one representative view from a pair list: drop every id that
     * appears as the larger member of a dup pair (transitive enough for
-    * near-dup filtering pipelines; exact clustering is a later round). */
+    * near-dup filtering pipelines; [[connectedComponents]] /
+    * [[dropDuplicatesCC]] is the exact clustering). */
   def dropDuplicates(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
+  /** Connected components over the undirected dup-pair graph — the exact
+    * clustering that [[dropDuplicates]]' drop-the-larger-endpoint rule only
+    * approximates (a pair (B,C) whose canonical B was itself dropped via
+    * (A,B) leaves C's true representative A undiscovered without the
+    * transitive closure). Returns one row per distinct pair endpoint:
+    * `(id, comp)` with `comp` = the minimum id in the component; singleton
+    * docs never enter a pair, so callers left-join and coalesce to self.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", MapReduce alg. 2) —
+    * each round hangs nodes under the minimum of their neighborhood,
+    * converging to depth-1 stars rooted at component minima in O(log² n)
+    * rounds. The 100 TB shape: per-round work is linear in the edge count
+    * (two map-side-combinable `min` aggregates + two co-partitioned joins);
+    * no vertex ever materializes its neighbor list, so a hub with 10^8
+    * neighbors costs a combiner, not a `collect_list`. `localCheckpoint`
+    * per round keeps the iterative plan's lineage (and thus task binary
+    * size) constant instead of growing by four operators every round.
+    *
+    * Convergence = the (count, xxhash64-XOR) signature of the edge set
+    * repeating — a fixed-size driver check instead of a two-sided
+    * `except` (XOR, not sum: order-independent AND overflow-free under
+    * ANSI mode; the edge set is distinct, so no multiset cancellation);
+    * a signature collision on UNequal sets is a ~2^-64 event, and
+    * `maxIter` (>> the O(log² n) bound) backstops it loudly rather than
+    * silently mislabeling. */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIter: Int = 50
+  ): DataFrame = {
+    var edges = pairs
+      .select(col(idACol).as("a"), col(idBCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var converged = sig._1 == 0L // empty graph: nothing to iterate
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every neighbor v > u re-hangs under m = min(Γ(u) ∪ {u})
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val lsMin = sym.groupBy("a").agg(min("b").as("mb"))
+      val ls = sym.join(lsMin, "a")
+        .where(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mb")).as("b"))
+        .distinct()
+      // small-star: orient (hi, lo); all of N(hi) ∪ {hi} re-hangs under min(N(hi))
+      val ori = ls.select(greatest(col("a"), col("b")).as("h"), least(col("a"), col("b")).as("l"))
+      val ssMin = ori.groupBy("h").agg(min("l").as("ml"))
+      val next = ori.join(ssMin, "h")
+        .select(col("l").as("a"), col("ml").as("b"))
+        .union(ssMin.select(col("h").as("a"), col("ml").as("b")))
+        .where(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val nsig = signature(next)
+      converged = nsig == sig
+      sig = nsig
+      edges.unpersist()
+      edges = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"(edge signature still moving: $sig) — graph degenerate or maxIter too low")
+    // fixpoint edges are (child, root) stars; roots label themselves
+    edges.select(col("a").as("id"), col("b").as("comp"))
+      .union(edges.select(col("b").as("id"), col("b").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+  }
+
+  /** Keep-one view with EXACT transitive clustering: keep each component's
+    * minimum-id doc (plus every doc that never entered a pair). */
+  def dropDuplicatesCC(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val dropped = connectedComponents(pairs)
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 }

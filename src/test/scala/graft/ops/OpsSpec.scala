@@ -349,6 +349,64 @@ class OpsSpec extends SparkSpec {
     assert(maxBucket < n / 100, s"max bucket $maxBucket of $n rows (${sizes.getLong(1)} buckets)")
   }
 
+  // driver-side union-find: the independent oracle for connectedComponents
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(i => i)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // path-compress to the component MINIMUM (roots are minima by the
+    // max-under-min union above)
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("connected components == union-find on random graphs (3 densities)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (m <- Seq(30, 120, 400)) {
+      val n = 200
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(n, edges)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched, s"m=$m: label rows must cover exactly the pair endpoints")
+      touched.foreach { id =>
+        assert(got(id) == want(id), s"m=$m id=$id: got ${got(id)} want ${want(id)}")
+      }
+    }
+  }
+
+  test("CC fixes dropDuplicates' non-transitive blind spot; CC keep-one keeps component minima") {
+    import spark.implicits._
+    // edges (B,C) and (A,C) with A<B<C: pairwise rule drops only C and keeps
+    // BOTH A and B though they share a component through C
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val docs3 = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairwise = Dedup.dropDuplicates(docs3, pairs).collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(1L, 2L, 9L))
+    val exact = Dedup.dropDuplicatesCC(docs3, pairs).collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 9L), "CC keep-one must keep only the component minimum + singletons")
+    // empty pair set: nothing labeled, nothing dropped
+    val none = pairs.where(lit(false))
+    assert(Dedup.connectedComponents(none).count() == 0L)
+    assert(Dedup.dropDuplicatesCC(docs3, none).count() == 4L)
+  }
+
+  test("CC converges on adversarial long chains and a star hub") {
+    import spark.implicits._
+    // 150-node path (worst case for naive min-propagation) + a 100-leaf hub
+    val chain = (0L until 149L).map(i => (i, i + 1))
+    val hub = (1L to 100L).map(i => (1000L, 1000L + i))
+    val labels = Dedup.connectedComponents((chain ++ hub).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 150L).forall(labels(_) == 0L), "chain collapses to min 0")
+    assert((0L to 100L).forall(i => labels(1000L + i) == 1000L), "hub collapses to min 1000")
+  }
+
   test("multimodal plumbing: schema, determinism, stub features") {
     val withMedia = Multimodal.withSyntheticMedia(docs)
     assert(withMedia.schema("media").dataType.typeName == "binary")
