@@ -1,0 +1,195 @@
+package graft
+
+import graft.analysis.{Analyzer, NgramTokenizer, StandardTokenizer}
+import graft.index.Ids
+import graft.query.{And, Or, Searcher}
+import graft.storage.{ParquetIndexStorage, StorageParams}
+import graft.streaming.StreamingIndexer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit deployment surface for the engine (north_star: "runs via
+  * spark-submit on multi-executor clusters").
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar \
+  *   build  --input s3://bucket/transcripts --index s3://bucket/idx [--term-buckets 64]
+  *   delta  --input batch.parquet --index s3://bucket/idx
+  *   search --index s3://bucket/idx --query "spark join" [--mode wand] [--k 10]
+  * }}}
+  *
+  * The cluster master/executors come from spark-submit's own configuration;
+  * this object only declares the job. All heavy lifting is the library's
+  * tested paths: `ParquetIndexStorage.build` (resumable staged build),
+  * `StreamingIndexer.overStorage` (O(batch) delta through the staged
+  * dynamic-partition-overwrite), `Searcher` (pruned query plans).
+  *
+  * Subcommands:
+  *  - `build`: read a transcripts table (`input_hint` shape: conv_id,
+  *    turn_idx, role, text, tool, ts), assign dense ordinals by the stable
+  *    (conv_id, turn_idx) order, and commit a persisted index (resumable —
+  *    rerunning after a crash skips committed stages).
+  *  - `delta`: fold a batch of new/replaced turns into a committed index.
+  *    Idempotent per `--batch-id`; re-running an applied id is a no-op.
+  *  - `search`: run one query against a committed index and print a TSV of
+  *    results (modes: and, or, phrase, tfidf, bm25, wand, all).
+  *
+  * The query-side analyzer MUST match the one the index was built with; the
+  * manifest records the build analyzer and a mismatch fails loudly (scoring
+  * with a different analyzer silently returns wrong matches).
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    // master comes from spark-submit (or GRAFT_MASTER for bare-JVM runs)
+    val builder = SparkSession.builder().appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+    sys.env.get("GRAFT_MASTER").foreach(builder.master)
+    val spark = builder.getOrCreate()
+    try {
+      val code = run(spark, args.toIndexedSeq, println(_))
+      if (code != 0) sys.exit(code)
+    } finally spark.stop()
+  }
+
+  private val usage: String =
+    """usage: graft.Main <build|delta|search> [options]
+      |  build  --input <parquet> --index <path> [--text-col text]
+      |         [--analyzer standard|stem|ngram:N] [--stopwords a,b,c]
+      |         [--term-buckets 64] [--write-groups 8] [--block-size 128]
+      |         [--bucket-span 65536] [--no-keymap]
+      |  delta  --input <parquet> --index <path> [--batch-id <id>]
+      |         [--analyzer ...] [--stopwords ...] [--text-col text]
+      |  search --index <path> --query <q> [--mode and|or|phrase|tfidf|bm25|wand|all]
+      |         [--k 10] [--limit 20]""".stripMargin
+
+  /** Testable core: returns a process exit code, prints through `out`. */
+  def run(spark: SparkSession, args: Seq[String], out: String => Unit): Int = {
+    if (args.isEmpty) { out(usage); return 2 }
+    val opts = parseOpts(args.tail) match {
+      case Right(o) => o
+      case Left(msg) => out(s"error: $msg"); out(usage); return 2
+    }
+    def req(key: String): String = opts.getOrElse(key,
+      throw new IllegalArgumentException(s"missing required --$key"))
+    try {
+      args.head match {
+        case "build"  => build(spark, req("input"), req("index"), opts, out)
+        case "delta"  => delta(spark, req("input"), req("index"), opts, out)
+        case "search" => search(spark, req("index"), req("query"), opts, out)
+        case other    => out(s"error: unknown subcommand '$other'"); out(usage); return 2
+      }
+      0
+    } catch {
+      case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); out(usage); 2
+    }
+  }
+
+  private def parseOpts(args: Seq[String]): Either[String, Map[String, String]] = {
+    @annotation.tailrec
+    def loop(rest: List[String], acc: Map[String, String]): Either[String, Map[String, String]] =
+      rest match {
+        case Nil => Right(acc)
+        case flag :: tail if flag.startsWith("--") =>
+          val key = flag.stripPrefix("--")
+          if (key == "no-keymap") loop(tail, acc + (key -> "true"))
+          else tail match {
+            case v :: tail2 => loop(tail2, acc + (key -> v))
+            case Nil => Left(s"flag $flag needs a value")
+          }
+        case other :: _ => Left(s"unexpected argument '$other'")
+      }
+    loop(args.toList, Map.empty)
+  }
+
+  private[graft] def analyzerOf(opts: Map[String, String]): Analyzer = {
+    val stop = opts.get("stopwords").map(_.split(",").toSeq).getOrElse(Nil)
+    opts.getOrElse("analyzer", "standard") match {
+      case "standard" => Analyzer.standard(stopWords = stop)
+      case "stem"     => Analyzer.standard(stopWords = stop, stem = true)
+      case s if s.startsWith("ngram:") =>
+        val n = s.stripPrefix("ngram:").toInt
+        Analyzer(Nil, NgramTokenizer(n), Analyzer.standard(stopWords = stop).tokenFilters)
+      case other => throw new IllegalArgumentException(s"unknown analyzer '$other'")
+    }
+  }
+
+  private def build(spark: SparkSession, input: String, index: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val analyzer = analyzerOf(opts)
+    val textCol = opts.getOrElse("text-col", "text")
+    val in = spark.read.parquet(input)
+    val keyCols =
+      if (opts.contains("no-keymap")) Nil
+      else Seq("conv_id", "turn_idx").filter(in.columns.contains)
+    // dense ordinals from the stable (conv_id, turn_idx) order — the per-row
+    // invariant vs the reference (per-turn text equality under stable turn
+    // ordering); inputs without those columns order by their first column
+    val ordCols = if (keyCols.nonEmpty) keyCols else in.columns.take(1).toSeq
+    val (withOrd, ordCleanup) = Ids.withDenseOrdinalHandle(in, "doc_ord", ordCols)
+    val params = StorageParams(
+      termBuckets = opts.get("term-buckets").map(_.toInt).getOrElse(64),
+      writeGroups = opts.get("write-groups").map(_.toInt).getOrElse(8),
+      blockParams = graft.index.BlockParams(
+        blockSize = opts.get("block-size").map(_.toInt).getOrElse(128),
+        bucketSpan = opts.get("bucket-span").map(_.toLong).getOrElse(65536L)),
+      keyCols = keyCols)
+    val mf = ParquetIndexStorage.build(withOrd, analyzer, index, params,
+      sourceDesc = input, textCol = textCol)
+    ordCleanup()
+    out(s"""{"built":"$index","numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen},"stages":${mf.stages.size}}""")
+  }
+
+  private def delta(spark: SparkSession, input: String, index: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val analyzer = checkAnalyzer(index, opts)
+    val textCol = opts.getOrElse("text-col", "text")
+    val batch = spark.read.parquet(input)
+    // one explicit flush per CLI invocation; addBatch handles key resolution
+    // (keymap-pruned), replacement semantics, and ordinal/term-id minting
+    val si = StreamingIndexer.overStorage(spark, index, analyzer, textCol,
+      flushThreshold = Long.MaxValue)
+    si.addBatch(batch)
+    si.flush()
+    val mf = graft.storage.ManifestIO
+      .read(s"$index/manifest.json", classOf[graft.storage.IndexManifest]).get
+    out(s"""{"applied":"$input","numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen}}""")
+  }
+
+  private def checkAnalyzer(index: String, opts: Map[String, String]): Analyzer = {
+    val analyzer = analyzerOf(opts)
+    val mf = graft.storage.ManifestIO
+      .read(s"$index/manifest.json", classOf[graft.storage.IndexManifest])
+    mf.foreach { m =>
+      require(m.analyzer == analyzer.describe,
+        s"analyzer mismatch: index built with ${m.analyzer}, got ${analyzer.describe} " +
+          "(pass the SAME --analyzer/--stopwords the index was built with)")
+    }
+    analyzer
+  }
+
+  private def search(spark: SparkSession, index: String, query: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val analyzer = checkAnalyzer(index, opts)
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    val limit = opts.get("limit").map(_.toInt).getOrElse(20)
+    val searcher = Searcher(ParquetIndexStorage.read(spark, index), analyzer)
+    val mode = opts.getOrElse("mode", "wand")
+    val (df, ranked): (DataFrame, Boolean) = mode match {
+      case "and"    => (searcher.matchQuery(query, And).limit(limit), false)
+      case "or"     => (searcher.matchQuery(query, Or).limit(limit), false)
+      case "phrase" => (searcher.phraseQuery(query).limit(limit), false)
+      case "tfidf"  => (searcher.matchQueryRanked(query, Or).limit(k), true)
+      case "bm25"   => (searcher.bm25TopK(query, k), true)
+      case "wand"   => (searcher.bm25TopKWand(query, k), true)
+      case "all"    => (searcher.matchAll().limit(limit), false)
+      case other    => throw new IllegalArgumentException(s"unknown mode '$other'")
+    }
+    val cols = Seq("doc_ord") ++ (if (ranked) Seq("score") else Nil) ++
+      Seq("conv_id", "turn_idx", "text").filter(df.columns.contains)
+    out(cols.mkString("\t"))
+    df.select(cols.map(col): _*).collect().foreach { r =>
+      out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))
+    }
+  }
+}

@@ -118,7 +118,15 @@ final class StreamingIndexer(
     * its doc_ord); new turns get fresh dense ordinals. */
   def addBatch(turns: DataFrame): Unit = synchronized {
     if (turns.isEmpty) return
-    val keyed = turns.select(col("conv_id"), col("turn_idx"), col(textCol))
+    // the batch must carry EVERY docs column (not just key + text): the
+    // delta frames union with the base docs view, and a storage-backed
+    // flush stages complete replacement rows for the touched d_buckets —
+    // passthrough columns (role, tool, ts, ...) included
+    val docCols = docsOf(base).columns.filterNot(_ == "doc_ord").toSeq
+    require(docCols.forall(turns.columns.contains),
+      s"batch must carry the docs columns (${docCols.mkString(",")}) " +
+        s"but has (${turns.columns.mkString(",")})")
+    val keyed = turns.select(docCols.map(col): _*)
       .dropDuplicates("conv_id", "turn_idx")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val batchSize = keyed.count()
@@ -171,8 +179,8 @@ final class StreamingIndexer(
     val (freshOrd, freshCleanup) =
       Ids.withDenseOrdinalHandle(fresh0, "doc_ord0", Seq("conv_id", "turn_idx"))
     val fresh = freshOrd.withColumn("doc_ord", col("doc_ord0") + lit(nextOrd)).drop("doc_ord0")
-    val batchDocs = existing.select(col("doc_ord"), col("conv_id"), col("turn_idx"), col(textCol))
-      .unionByName(fresh.select("doc_ord", "conv_id", "turn_idx", textCol))
+    val batchDocs = existing.select((col("doc_ord") +: docCols.map(col)): _*)
+      .unionByName(fresh.select((col("doc_ord") +: docCols.map(col)): _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freshCount = batchDocs.count() - existing.count()
     nextOrd += freshCount

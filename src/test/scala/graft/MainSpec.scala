@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end drive of the spark-submit CLI surface (`graft.Main.run`):
+  * build an index from a transcripts parquet, query it in every mode, fold
+  * in a delta batch, and verify replacement semantics through the CLI. */
+class MainSpec extends SparkSpec {
+
+  private def captured(args: String*): (Int, Seq[String]) = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Main.run(spark, args, buf += _)
+    (code, buf.toSeq)
+  }
+
+  private lazy val root = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_main_spec_").toString
+    import spark.implicits._
+    val turns = Seq(
+      ("c1", 0, "user", "spark join table", "none", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("c1", 1, "assistant", "broadcast join wins", "none", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+      ("c2", 0, "user", "shuffle partitions tuning", "none", java.sql.Timestamp.valueOf("2026-01-01 00:01:00")),
+      ("c2", 1, "assistant", "spark shuffle join table", "none", java.sql.Timestamp.valueOf("2026-01-01 00:01:30"))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    turns.write.parquet(s"$dir/turns")
+    Seq(
+      ("c1", 1, "assistant", "sort merge join replaces it", "none", java.sql.Timestamp.valueOf("2026-01-02 00:00:01")),
+      ("c3", 0, "user", "new conversation about spark", "none", java.sql.Timestamp.valueOf("2026-01-02 00:01:00"))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.parquet(s"$dir/delta")
+    dir
+  }
+  private lazy val idx = s"$root/idx"
+
+  test("build commits a keymapped index and reports stats") {
+    val (code, out) = captured("build", "--input", s"$root/turns", "--index", idx,
+      "--term-buckets", "4", "--write-groups", "2",
+      "--block-size", "8", "--bucket-span", "64")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.contains("\"numDocs\":4")))
+    val mf = graft.storage.ManifestIO
+      .read(s"$idx/manifest.json", classOf[graft.storage.IndexManifest]).get
+    assert(mf.keyCols == Seq("conv_id", "turn_idx"))
+  }
+
+  test("search modes return expected docs through the CLI") {
+    val (c1, andOut) = captured("search", "--index", idx, "--query", "spark join", "--mode", "and")
+    assert(c1 == 0)
+    // header + matches; "spark join table" rows (c1/0 and c2/1) both match AND
+    val andRows = andOut.drop(1)
+    assert(andRows.length == 2 && andRows.forall(_.contains("spark")))
+
+    val (c2, wandOut) = captured("search", "--index", idx, "--query", "spark join", "--mode", "wand", "--k", "3")
+    assert(c2 == 0)
+    assert(wandOut.length == 4) // header + 3 BM25 hits (spark OR join)
+    assert(wandOut(1).split("\t")(1).toDouble >= wandOut(2).split("\t")(1).toDouble)
+
+    val (c3, phraseOut) = captured("search", "--index", idx, "--query", "join table", "--mode", "phrase")
+    assert(c3 == 0 && phraseOut.drop(1).length == 2)
+
+    val (c4, allOut) = captured("search", "--index", idx, "--query", "-", "--mode", "all")
+    assert(c4 == 0 && allOut.drop(1).length == 4)
+  }
+
+  test("search with a mismatched analyzer fails loudly") {
+    val (code, out) = captured("search", "--index", idx, "--query", "spark",
+      "--analyzer", "ngram:3")
+    assert(code == 2 && out.exists(_.contains("analyzer mismatch")))
+  }
+
+  test("delta replaces and appends through the CLI; queries see new content") {
+    val (code, out) = captured("delta", "--input", s"$root/delta", "--index", idx)
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(_.contains("\"numDocs\":5"))) // 4 - 1 replaced + 2 = 5
+
+    // replaced turn (c1,1): old term gone, new term matches
+    val (_, oldQ) = captured("search", "--index", idx, "--query", "broadcast", "--mode", "or")
+    assert(oldQ.drop(1).isEmpty)
+    val (_, newQ) = captured("search", "--index", idx, "--query", "merge", "--mode", "or")
+    assert(newQ.drop(1).length == 1 && newQ(1).contains("c1"))
+    // appended turn is searchable
+    val (_, c3Q) = captured("search", "--index", idx, "--query", "conversation", "--mode", "or")
+    assert(c3Q.drop(1).length == 1 && c3Q(1).contains("c3"))
+  }
+
+  test("bad invocations return exit code 2 with usage") {
+    assert(captured()._1 == 2)
+    assert(captured("frobnicate")._1 == 2)
+    val (c, out) = captured("search", "--index", idx) // missing --query
+    assert(c == 2 && out.exists(_.contains("usage:")))
+    assert(captured("search", "--index", idx, "--query", "x", "--mode", "nope")._1 == 2)
+  }
+}
