@@ -175,10 +175,11 @@ object Bench {
     // is therefore 200 queries over a deterministic 60k-vector clustered
     // corpus (256 hash-centers + small per-id noise — clustered like real
     // embeddings; uniform random 64-d vectors are near-orthogonal and
-    // nothing can bucket them): brute = 12M exact dots; LSH hashes each row
-    // 24 times then verifies candidates; IVF does 32 centroid dots per row
-    // then scans nprobe/nlist of the corpus per query. Recall@10 vs the
-    // exact result is reported alongside the times.
+    // nothing can bucket them): brute = 12M exact dots per batch; LSH
+    // projects each row onto 12 planes × 4 tables ONCE at build, then a
+    // query batch is a bucket join + candidate verify; IVF does 32 centroid
+    // dots per row once at build, then scans nprobe/nlist of the corpus per
+    // query. Recall@10 vs the exact result is reported alongside the times.
     val annDemo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     locally {
       val nVecs = sys.env.getOrElse("SPARK_GRAFT_ANN_VECS", "60000").toInt
@@ -206,10 +207,21 @@ object Bench {
           .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val exact = timedBest("ann_brute", 1)( // the expensive baseline: one shot
         resultSet(Similarity.bruteForceTopK(vecs, qs, 10)))
-      val lsh = timedBest("ann_lsh", math.min(reps, 2))(
-        resultSet(Similarity.lshTopK(vecs, qs, 10, planes = 12, tables = 4)))
-      val ivf = timedBest("ann_ivf", 1)(
-        resultSet(Similarity.ivfTopK(vecs, qs, 10, nlist = 32, nprobe = 4)))
+      // the deployment shape: hash/assign the corpus ONCE into a persisted
+      // index (timed as *_build), then serve the query batch from it (timed
+      // as *_query — the number that beats the per-batch full scan). The
+      // one-shot lshTopK/ivfTopK compositions pay the build on EVERY call,
+      // which only amortizes if the index is kept.
+      val lshIdx = timedBest("ann_lsh_build", 1)(
+        Similarity.lshIndex(vecs, planes = 12, tables = 4).cached())
+      val lsh = timedBest("ann_lsh_query", math.min(reps, 2))(
+        resultSet(Similarity.lshTopKIndexed(lshIdx, qs, 10)))
+      val ivfIdx = timedBest("ann_ivf_build", 1)(
+        Similarity.ivfIndex(vecs, nlist = 32).cached())
+      val ivf = timedBest("ann_ivf_query", math.min(reps, 2))(
+        resultSet(Similarity.ivfTopKIndexed(ivfIdx, qs, 10, nprobe = 4)))
+      lshIdx.buckets.unpersist(); lshIdx.corpus.unpersist()
+      ivfIdx.assigned.unpersist()
       def recall(got: Map[Long, Set[Long]]): Double =
         exact.map { case (q, want) =>
           got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size

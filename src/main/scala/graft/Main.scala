@@ -33,6 +33,9 @@ import org.apache.spark.sql.functions._
   *    Idempotent per `--batch-id`; re-running an applied id is a no-op.
   *  - `search`: run one query against a committed index and print a TSV of
   *    results (modes: and, or, phrase, tfidf, bm25, wand, all).
+  *  - `vacuum`: drop staging data whose delta is already applied (and the
+  *    build's raw checkpoint once the build is committed); markers stay, so
+  *    idempotence and resumability are unaffected.
   *
   * The query-side analyzer MUST match the one the index was built with; the
   * manifest records the build analyzer and a mismatch fails loudly (scoring
@@ -61,7 +64,8 @@ object Main {
       |  delta  --input <parquet> --index <path> [--batch-id <id>]
       |         [--analyzer ...] [--stopwords ...] [--text-col text]
       |  search --index <path> --query <q> [--mode and|or|phrase|tfidf|bm25|wand|all]
-      |         [--k 10] [--limit 20]""".stripMargin
+      |         [--k 10] [--limit 20]
+      |  vacuum --index <path>""".stripMargin
 
   /** Testable core: returns a process exit code, prints through `out`. */
   def run(spark: SparkSession, args: Seq[String], out: String => Unit): Int = {
@@ -77,6 +81,9 @@ object Main {
         case "build"  => build(spark, req("input"), req("index"), opts, out)
         case "delta"  => delta(spark, req("input"), req("index"), opts, out)
         case "search" => search(spark, req("index"), req("query"), opts, out)
+        case "vacuum" =>
+          val deleted = ParquetIndexStorage.vacuum(spark, req("index"))
+          out(s"""{"vacuumed":${deleted.size}}""")
         case other    => out(s"error: unknown subcommand '$other'"); out(usage); return 2
       }
       0
@@ -150,7 +157,7 @@ object Main {
     val si = StreamingIndexer.overStorage(spark, index, analyzer, textCol,
       flushThreshold = Long.MaxValue)
     si.addBatch(batch)
-    si.flush()
+    si.flush(opts.get("batch-id")) // explicit id = idempotent across re-runs
     val mf = graft.storage.ManifestIO
       .read(s"$index/manifest.json", classOf[graft.storage.IndexManifest]).get
     out(s"""{"applied":"$input","numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen}}""")

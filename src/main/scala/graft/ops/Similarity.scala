@@ -168,26 +168,73 @@ object Similarity {
       vecCol: String = "embedding",
       seed: Long = 42L,
       portable: Boolean = false
-  ): DataFrame = {
+  ): DataFrame =
+    lshTopKIndexed(lshIndex(corpus, planes, tables, idCol, vecCol, seed, portable),
+      queries, k, idCol, vecCol)
+
+  /** Prebuilt LSH index: the payload-free bucket table plus the projected
+    * corpus and every hashing parameter a query probe must reproduce. The
+    * caller owns persistence (cache/parquet) — the 100 TB shape is build
+    * ONCE, persist, then serve every query batch from it; hashing the
+    * corpus per query set (what the one-shot [[lshTopK]] composition does)
+    * pays the dominant cost — `tables × planes` projections per corpus
+    * row — on every call. */
+  final case class LshIndex(
+      buckets: DataFrame, // (tbl, bucket, id) — payload-free
+      corpus: DataFrame,  // (id, v)
+      planes: Int, tables: Int, dim: Int, seed: Long, portable: Boolean) {
+    /** Pin both frames in memory and return this (bench/serving hot shape). */
+    def cached(): LshIndex = {
+      buckets.cache().count(); corpus.cache().count(); this
+    }
+  }
+
+  private def lshBucketed(df: DataFrame, id: String, v: String,
+      planes: Int, tables: Int, dim: Int, seed: Long, portable: Boolean): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(col(v), planes, dim, seed + t * 7919L, portable).as("b")))
+    df.select(col(id), explode(array(buckets: _*)).as("tb"))
+      .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+  }
+
+  def lshIndex(
+      corpus: DataFrame,
+      planes: Int = 6,
+      tables: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): LshIndex = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     // one-row dim probe buys literal plane vectors: every bucket hash below
     // becomes a codegen'd VecDot instead of planes×dim interpreted lambdas
     val dim = measureDim(c, "v")
-    def bucketed(df: DataFrame, id: String, v: String) = {
-      val buckets = (0 until tables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshBucket(col(v), planes, dim, seed + t * 7919L, portable).as("b")))
-      df.select(col(id), explode(array(buckets: _*)).as("tb"))
-        .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
-    }
-    val cand = bucketed(c, "id", "v")
-      .join(broadcast(bucketed(q, "q_id", "q_v")), Seq("tbl", "bucket"))
+    LshIndex(lshBucketed(c, "id", "v", planes, tables, dim, seed, portable),
+      c, planes, tables, dim, seed, portable)
+  }
+
+  /** Query a prebuilt [[LshIndex]]: hash only the (small, broadcast) query
+    * set, bucket-equality join against the index's candidate table, then
+    * exact-cosine verify + rank on the deduplicated candidates. */
+  def lshTopKIndexed(
+      index: LshIndex,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    val qb = lshBucketed(q, "q_id", "q_v",
+      index.planes, index.tables, index.dim, index.seed, index.portable)
+    val cand = index.buckets
+      .join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col("id") =!= col("q_id"))
       .select("q_id", "id")
       .distinct() // union of tables — id pairs only, no vector payload
     val scored = cand
-      .join(c, "id")
+      .join(index.corpus, "id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("id"),
         round(cosine(col("v"), col("q_v")), 6).as("cosine"))
@@ -286,6 +333,29 @@ object Similarity {
       .withColumn("cid", assignExpr)
   }
 
+  /** Prebuilt IVF index: the corpus with its argmax centroid assignment,
+    * plus the broadcast-sized codebook a probe must score against. Same
+    * ownership contract as [[LshIndex]]: build once, persist (ideally
+    * partitioned by cid so a probe's join prunes to its lists), serve every
+    * query batch — re-assigning the corpus per call pays nlist cosines per
+    * row every time. */
+  final case class IvfIndex(
+      assigned: DataFrame, // (id, v, cid)
+      centVecs: Seq[Seq[Double]]) {
+    def cached(): IvfIndex = { assigned.cache().count(); this }
+  }
+
+  def ivfIndex(
+      corpus: DataFrame,
+      nlist: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seed: Long = 42L
+  ): IvfIndex = {
+    val centVecs = ivfCentroids(corpus, nlist, idCol, vecCol, seed)
+    IvfIndex(ivfAssign(corpus, centVecs, idCol, vecCol), centVecs)
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -295,14 +365,30 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L
+  ): DataFrame =
+    ivfTopKIndexed(ivfIndex(corpus, nlist, idCol, vecCol, seed),
+      queries, k, nprobe, idCol, vecCol)
+
+  /** Query a prebuilt [[IvfIndex]]: score the query set against the
+    * broadcast codebook, keep each query's top-nprobe centroid lists, and
+    * verify exactly within them. */
+  def ivfTopKIndexed(
+      index: IvfIndex,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
   ): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    val spark = corpus.sparkSession
+    val centVecs = index.centVecs
+    val nlist = centVecs.size
+    require(nprobe >= 1 && (nlist == 0 || nprobe <= nlist),
+      "need 1 <= nprobe <= nlist")
+    val spark = index.assigned.sparkSession
     import spark.implicits._
-    val centVecs = ivfCentroids(corpus, nlist, idCol, vecCol, seed)
     if (centVecs.isEmpty)
       return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "rank", "id", "cosine")
-    val assigned = ivfAssign(corpus, centVecs, idCol, vecCol) // no shuffle
+    val assigned = index.assigned
 
     // probe side: same centroid order as the argmax (cid = 1-based rank in
     // cent_src order), windowed top-nprobe over the tiny query set

@@ -313,7 +313,13 @@ object ParquetIndexStorage {
     runStage("blocks") {
       val postings = spark.read.parquet(s"$path/postings")
       val docStats = spark.read.parquet(s"$path/doc_stats")
+      // term_id-sorted files (a task-LOCAL sort — no exchange; the pack
+      // stays shuffle-free): a query's `term_id isin` filter then prunes
+      // parquet row groups / pages instead of decoding the entire block
+      // table — the per-query WAND scan is proportional to the query
+      // terms' blocks, not the corpus
       PostingBlocks.buildFrom(postings, docStats, p.blockParams)
+        .sortWithinPartitions(col("bucket"), col("term_id"), col("min_doc"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/blocks")
       StageMarker("blocks", spark.read.parquet(s"$path/blocks").count(), 0, lineage)
     }
@@ -350,6 +356,29 @@ object ParquetIndexStorage {
         col("docs"), col("tfs"), col("dls"))
       .as[PostingBlockRow]
     PersistedIndex(index, blocks, mf)
+  }
+
+  /** Delete staging data whose delta is already APPLIED (the staged content
+    * is only needed to recover a crash between staging and apply; once the
+    * applied marker exists the apply is complete and re-runnable as a
+    * no-op). Also drops the build's `_stage/raw` checkpoint when the build
+    * manifest is committed. Markers are kept — they are the idempotence
+    * record (bytes, not gigabytes). Returns the deleted paths. */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(s"$path/_stage")
+    if (!fs.exists(stage)) return Nil
+    val committed = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).isDefined
+    val deletable = fs.listStatus(stage).toSeq.filter(_.isDirectory).map(_.getPath).filter { p =>
+      p.getName match {
+        case "raw" => committed
+        case n if n.startsWith("delta_") =>
+          ManifestIO.exists(marker(path, s"${n}_applied"))
+        case _ => false
+      }
+    }
+    deletable.foreach(fs.delete(_, true))
+    deletable.map(_.toString)
   }
 
   /** Resolve document keys to ordinals through the bucketed keymap: reads
@@ -559,6 +588,7 @@ object ParquetIndexStorage {
         .filter(docRangePred(col("doc_ord"), dBuckets, span))
       PostingBlocks.buildFrom(postDelta.drop("t_bucket", "d_group"), null, bp)
         .filter(col("bucket").isin(dBuckets: _*))
+        .sortWithinPartitions(col("bucket"), col("term_id"), col("min_doc"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$sp/blocks")
 
       // ---- exact global stats by integer delta ---------------------------

@@ -282,7 +282,14 @@ final class StreamingIndexer(
     * touched partitions only) and the indexer rebases on the committed
     * layout. In-memory: materialize the assembled view. Both reset the
     * delta state and the cached-plan lineage. */
-  def flush(): Unit = synchronized {
+  def flush(): Unit = flush(None)
+
+  /** As [[flush()]], with a caller-chosen batch id (CLI/orchestrator runs
+    * that need cross-process idempotence: re-flushing an already-APPLIED id
+    * is a no-op at the storage layer, so re-running the same job twice
+    * cannot double-apply). Auto ids (None) probe past claimed stream
+    * epochs instead. */
+  def flush(explicitBatchId: Option[String]): Unit = synchronized {
     if (bufferedDocs == 0) return
     val oldBase = base
     val oldDelta = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
@@ -295,13 +302,15 @@ final class StreamingIndexer(
         // content gets applied instead of this frame) while the delta
         // state reset below discards them. Probe past every claimed
         // stream epoch before staging.
-        while (graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$flushEpoch"))
-          flushEpoch += 1
+        val id = explicitBatchId.getOrElse {
+          while (graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$flushEpoch"))
+            flushEpoch += 1
+          val s = s"stream_$flushEpoch"; flushEpoch += 1; s
+        }
         // deltaDocs holds exactly one row per buffered key — its final
         // content (in-delta replacements were folded by addBatch)
         graft.storage.ParquetIndexStorage.addDocuments(
-          spark, path, deltaDocs, analyzer, batchId = s"stream_$flushEpoch", textCol)
-        flushEpoch += 1
+          spark, path, deltaDocs, analyzer, batchId = id, textCol)
         base = graft.storage.ParquetIndexStorage.read(spark, path).index
         baseTokens = base.exactTotalTokens
         // storage minted its own ids for the flushed batch's new terms —

@@ -83,6 +83,30 @@ class MainSpec extends SparkSpec {
     assert(c3Q.drop(1).length == 1 && c3Q(1).contains("c3"))
   }
 
+  test("vacuum drops applied staging data; index stays queryable and idempotent") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def stageDirs() = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/_stage")
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSeq else Nil
+    }
+    assert(stageDirs().exists(_.startsWith("delta_"))) // delta test staged one
+    assert(stageDirs().contains("raw"))
+    val (code, out) = captured("vacuum", "--index", idx)
+    assert(code == 0 && out.exists(_.contains("\"vacuumed\":2")))
+    assert(stageDirs().isEmpty)
+    // still queryable, and the applied marker still makes re-apply a no-op
+    val (_, q) = captured("search", "--index", idx, "--query", "merge", "--mode", "or")
+    assert(q.drop(1).length == 1)
+    // explicit-batch-id deltas are idempotent across re-runs (applied
+    // marker survives vacuum): twice with the same id, same numDocs
+    val (c2, out2) = captured("delta", "--input", s"$root/delta", "--index", idx,
+      "--batch-id", "redo1")
+    assert(c2 == 0 && out2.exists(_.contains("\"numDocs\":5")))
+    val (c3, out3) = captured("delta", "--input", s"$root/delta", "--index", idx,
+      "--batch-id", "redo1")
+    assert(c3 == 0 && out3.exists(_.contains("\"numDocs\":5")))
+  }
+
   test("bad invocations return exit code 2 with usage") {
     assert(captured()._1 == 2)
     assert(captured("frobnicate")._1 == 2)

@@ -191,6 +191,25 @@ class OpsSpec extends SparkSpec {
     assert(part.subsetOf(bf.map(t => (t._1, t._3))) || part.nonEmpty)
   }
 
+  test("prebuilt LSH/IVF indexes answer queries identically to the one-shot paths") {
+    val queries = emb.filter(col("vec_id").isin(0L, 3L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val lshIdx = Similarity.lshIndex(emb, planes = 2, tables = 8).cached()
+    assert(rows(Similarity.lshTopKIndexed(lshIdx, queries, 3)) ==
+      rows(Similarity.lshTopK(emb, queries, 3, planes = 2, tables = 8)))
+    // a SECOND query batch served from the same cached index, no rebuild
+    val q2 = emb.filter(col("vec_id") === 5L)
+    assert(rows(Similarity.lshTopKIndexed(lshIdx, q2, 3)) ==
+      rows(Similarity.lshTopK(emb, q2, 3, planes = 2, tables = 8)))
+    lshIdx.buckets.unpersist(); lshIdx.corpus.unpersist()
+
+    val ivfIdx = Similarity.ivfIndex(emb, nlist = 4).cached()
+    assert(rows(Similarity.ivfTopKIndexed(ivfIdx, queries, 3, nprobe = 2)) ==
+      rows(Similarity.ivfTopK(emb, queries, 3, nlist = 4, nprobe = 2)))
+    ivfIdx.assigned.unpersist()
+  }
+
   test("IVF assignment is a pure projection: no Exchange, no Window in the plan") {
     val cents = Similarity.ivfCentroids(emb, nlist = 4)
     val plan = Similarity.ivfAssign(emb, cents)
