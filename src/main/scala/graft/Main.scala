@@ -31,8 +31,15 @@ import org.apache.spark.sql.functions._
   *    rerunning after a crash skips committed stages).
   *  - `delta`: fold a batch of new/replaced turns into a committed index.
   *    Idempotent per `--batch-id`; re-running an applied id is a no-op.
+  *  - `remove`: delete documents from a committed index (retention /
+  *    right-to-be-forgotten). Input rows carry either `doc_ord` or the
+  *    index's key columns (conv_id, turn_idx). Idempotent per `--batch-id`.
   *  - `search`: run one query against a committed index and print a TSV of
   *    results (modes: and, or, phrase, tfidf, bm25, wand, all).
+  *  - `batch`: evaluate a FILE of queries (one per line) as ONE Spark plan —
+  *    the capacity shape (per-query plans are pinned at a few q/s by driver
+  *    latency at any cluster size; the batch plan amortizes it). Mode
+  *    `wand` (default) adds lossless block-max pruning.
   *  - `vacuum`: drop staging data whose delta is already applied (and the
   *    build's raw checkpoint once the build is committed); markers stay, so
   *    idempotence and resumability are unaffected.
@@ -63,8 +70,12 @@ object Main {
       |         [--bucket-span 65536] [--no-keymap]
       |  delta  --input <parquet> --index <path> [--batch-id <id>]
       |         [--analyzer ...] [--stopwords ...] [--text-col text]
+      |  remove --input <parquet of doc_ord or key columns> --index <path>
+      |         [--batch-id <id>]
       |  search --index <path> --query <q> [--mode and|or|phrase|tfidf|bm25|wand|all]
       |         [--k 10] [--limit 20]
+      |  batch  --index <path> --queries <text file, one query per line>
+      |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>""".stripMargin
 
   /** Testable core: returns a process exit code, prints through `out`. */
@@ -80,7 +91,9 @@ object Main {
       args.head match {
         case "build"  => build(spark, req("input"), req("index"), opts, out)
         case "delta"  => delta(spark, req("input"), req("index"), opts, out)
+        case "remove" => remove(spark, req("input"), req("index"), opts, out)
         case "search" => search(spark, req("index"), req("query"), opts, out)
+        case "batch"  => batchSearch(spark, req("index"), req("queries"), opts, out)
         case "vacuum" =>
           val deleted = ParquetIndexStorage.vacuum(spark, req("index"))
           out(s"""{"vacuumed":${deleted.size}}""")
@@ -163,6 +176,19 @@ object Main {
     out(s"""{"applied":"$input","numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen}}""")
   }
 
+  private def remove(spark: SparkSession, input: String, index: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val keys = spark.read.parquet(input)
+    val id = opts.getOrElse("batch-id",
+      s"remove_${java.util.UUID.nameUUIDFromBytes(input.getBytes("UTF-8"))}")
+    val mf = ParquetIndexStorage.removeDocuments(spark, index, keys, batchId = id)
+    val removed = graft.storage.ManifestIO // this batch's own marker, not the
+      .read(s"$index/_markers/delta_${id}_applied.json", // manifest's last
+        classOf[graft.storage.StageMarker])              // (possibly older) stage
+      .flatMap(_.lineage.get("removed")).getOrElse("0")
+    out(s"""{"removed":$removed,"numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen}}""")
+  }
+
   private def checkAnalyzer(index: String, opts: Map[String, String]): Analyzer = {
     val analyzer = analyzerOf(opts)
     val mf = graft.storage.ManifestIO
@@ -197,6 +223,28 @@ object Main {
     out(cols.mkString("\t"))
     df.select(cols.map(col): _*).collect().foreach { r =>
       out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))
+    }
+  }
+
+  private def batchSearch(spark: SparkSession, index: String, queriesFile: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val analyzer = checkAnalyzer(index, opts)
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    val queries = scala.io.Source.fromFile(queriesFile, "UTF-8") match {
+      case src => try src.getLines().map(_.trim).filter(_.nonEmpty).toSeq
+                  finally src.close()
+    }
+    require(queries.nonEmpty, s"no queries in $queriesFile")
+    val searcher = Searcher(ParquetIndexStorage.read(spark, index), analyzer)
+    val df = opts.getOrElse("mode", "wand") match {
+      case "wand" => searcher.bm25TopKBatchWand(queries, k)
+      case "bm25" => searcher.bm25TopKBatch(queries, k)
+      case other  => throw new IllegalArgumentException(s"unknown batch mode '$other'")
+    }
+    out(Seq("q_id", "query", "rank", "doc_ord", "score").mkString("\t"))
+    df.orderBy(col("q_id"), col("rank")).collect().foreach { r =>
+      out(Seq(r.get(0), queries(r.getAs[Number](0).intValue), r.get(1), r.get(2), r.get(3))
+        .map(String.valueOf).mkString("\t"))
     }
   }
 }

@@ -615,7 +615,18 @@ object ParquetIndexStorage {
       m
     }
 
-    // ---- APPLY: deterministic overwrites from the staged content ---------
+    applyStagedDelta(spark, path, sp, staged, batchId, mf)
+  }
+
+  /** APPLY phase shared by [[addDocuments]] and [[removeDocuments]]:
+    * deterministic dynamic-partition overwrites from the staged content,
+    * explicit deletion of touched partitions whose post-delta content is
+    * empty, manifest update, applied marker. Every write is a pure function
+    * of the staged data, so a crash mid-apply is recovered by re-running
+    * the same batchId (staging is skipped, overwrites repeat). */
+  private def applyStagedDelta(
+      spark: SparkSession, path: String, sp: String,
+      staged: StageMarker, batchId: String, mf: IndexManifest): IndexManifest = {
     // dynamic overwrite only replaces partitions PRESENT in the staged
     // data; a touched partition whose post-delta content is EMPTY (e.g.
     // every doc of a range replaced away) must be deleted explicitly
@@ -675,7 +686,163 @@ object ParquetIndexStorage {
       avgDocLen = if (n2 == 0) 0.0 else tok2.toDouble / n2,
       stages = mf.stages :+ staged)
     ManifestIO.write(s"$path/manifest.json", mf2)
-    ManifestIO.write(appliedM, staged.copy(stage = s"delta_${batchId}_applied"))
+    ManifestIO.write(marker(path, s"delta_${batchId}_applied"),
+      staged.copy(stage = s"delta_${batchId}_applied"))
     mf2
+  }
+
+  /** Incrementally REMOVE documents from a committed persisted index — the
+    * retention/right-to-be-forgotten delta a 100 TB training store needs
+    * (the reference has no delete surface; this extends its threshold-merge
+    * contract, `/root/reference/indexer.go:38-61`, to removals).
+    *
+    * Same two-phase staged protocol as [[addDocuments]], idempotent per
+    * `batchId`, and the same O(touched partitions) cost contract: every
+    * read is directory-pruned to the d_buckets/d_groups of the removed
+    * ordinals (+ the removed keys' key buckets), never a scan of the store.
+    * No re-analysis is needed: df/cf decrements come from the removed
+    * ordinals' own posting rows (exact by construction), token decrements
+    * from their doc_stats rows.
+    *
+    * @param keys either rows with a `doc_ord` column (used directly), or —
+    *             on a keymapped index — rows with the manifest's key
+    *             columns, resolved through the bucketed keymap. Unknown
+    *             keys/ordinals are ignored (remove is idempotent on them).
+    */
+  def removeDocuments(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      batchId: String
+  ): IndexManifest = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    val appliedM = marker(path, s"delta_${batchId}_applied")
+    if (ManifestIO.exists(appliedM))
+      return ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    val stagedM = marker(path, s"delta_${batchId}_staged")
+    val sp = s"$path/_stage/delta_$batchId"
+    val span = mf.bucketSpan
+    val gSpan = if (mf.dGroupSpan > 0) mf.dGroupSpan else span
+    val bp = BlockParams(mf.blockSize, mf.bucketSpan, mf.k1, mf.b)
+    def dBucketOf(c: Column) = floor(c / lit(span)).cast("long")
+    require(mf.dGroupSpan > 0,
+      s"index at $path predates the d_group postings layout " +
+        s"(manifest dGroupSpan=${mf.dGroupSpan}); rebuild it to accept deltas")
+
+    val staged = ManifestIO.read(stagedM, classOf[StageMarker]).getOrElse {
+      val t0 = System.currentTimeMillis()
+      // resolve to ordinals: an explicit doc_ord column wins; otherwise the
+      // keymap (which requires the manifest's key columns in `keys`)
+      val probeOrds = (if (keys.columns.contains("doc_ord")) keys.select("doc_ord")
+        else {
+          require(mf.keyCols.nonEmpty && mf.keyCols.forall(keys.columns.contains),
+            s"remove batch must carry doc_ord or the keymap columns " +
+              s"(${mf.keyCols.mkString(",")}); got (${keys.columns.mkString(",")})")
+          lookupOrds(spark, path, keys).select("doc_ord")
+        }).distinct().persist()
+      // phantom ordinals (never indexed / already removed) must not widen
+      // the touched set: intersect with the docs table first, pruned to the
+      // probe's candidate buckets
+      val candBuckets = probeOrds.select(dBucketOf(col("doc_ord")).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val removedDocs = spark.read.parquet(s"$path/docs")
+        .filter(col("d_bucket").isin(candBuckets: _*))
+        .join(broadcast(probeOrds), Seq("doc_ord"), "left_semi")
+        .persist()
+      val removeOrds = removedDocs.select("doc_ord")
+      val dBuckets = removedDocs.select(col("d_bucket").cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val dGroups = dBuckets.map(b => b * span / gSpan).distinct
+
+      // ---- dictionary: exact df/cf decrements from the removed ordinals'
+      // own posting rows (directory-pruned to the touched d_groups) --------
+      val remPost = spark.read.parquet(s"$path/postings")
+        .filter(col("d_group").isin(dGroups: _*))
+        .join(broadcast(removeOrds), Seq("doc_ord"), "left_semi")
+      val decs = remPost.groupBy(col("term_id"))
+        .agg(count(lit(1)).as("df_x"), sum(col("tf")).cast("long").as("cf_x"))
+      val dict0 = spark.read.parquet(s"$path/term_dict")
+      val dict = if (dict0.columns.contains("term_h")) dict0
+                 else dict0.withColumn("term_h", xxhash64(col("term")))
+      dict
+        .join(broadcast(decs), Seq("term_id"), "left")
+        .select(col("term_id"), col("term"), col("term_h"),
+          (col("df") - coalesce(col("df_x"), lit(0L))).as("df"),
+          (col("cf") - coalesce(col("cf_x"), lit(0L))).as("cf"), col("t_bucket"))
+        .filter(col("df") > 0)
+        .write.mode("overwrite").parquet(s"$sp/term_dict")
+
+      // ---- postings / docs / doc_stats: touched partitions minus removed -
+      spark.read.parquet(s"$path/postings")
+        .filter(col("d_group").isin(dGroups: _*))
+        .join(broadcast(removeOrds), Seq("doc_ord"), "left_anti")
+        .write.mode("overwrite").partitionBy("t_bucket", "d_group").parquet(s"$sp/postings")
+      spark.read.parquet(s"$path/docs")
+        .filter(col("d_bucket").isin(dBuckets: _*))
+        .join(broadcast(removeOrds), Seq("doc_ord"), "left_anti")
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/docs")
+      val oldStats = spark.read.parquet(s"$path/doc_stats")
+        .filter(col("d_bucket").isin(dBuckets: _*))
+      oldStats
+        .join(broadcast(removeOrds), Seq("doc_ord"), "left_anti")
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/doc_stats")
+
+      // ---- keymap: drop the removed docs' keys from their key buckets ----
+      val kBucketsTouched: Seq[Int] =
+        if (mf.keyCols.isEmpty) Nil
+        else {
+          val kb = kBucketCol(mf.keyCols, mf.keyBuckets)
+          val remKeys = removedDocs.select(mf.keyCols.map(col): _*)
+          val kbs = remKeys.select(kb.as("kb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          spark.read.parquet(s"$path/keymap")
+            .filter(col("k_bucket").isin(kbs: _*))
+            .join(broadcast(remKeys), mf.keyCols, "left_anti")
+            .drop("k_bucket")
+            .withColumn("k_bucket", kb)
+            .write.mode("overwrite").partitionBy("k_bucket").parquet(s"$sp/keymap")
+          kbs
+        }
+
+      // ---- blocks: rebuild the touched doc-range buckets from the staged
+      // (post-removal) postings of those ranges. A batch that empties its
+      // doc ranges stages ZERO postings (an unreadable fileless parquet
+      // dir) — skip the rebuild; apply then DELETES the touched block
+      // partitions, which is exactly the post-removal content ---------------
+      val stagedPost =
+        try Some(spark.read.parquet(s"$sp/postings"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      stagedPost.foreach { sp0 =>
+        val postDelta = sp0.filter(docRangePred(col("doc_ord"), dBuckets, span))
+        PostingBlocks.buildFrom(postDelta.drop("t_bucket", "d_group"), null, bp)
+          .filter(col("bucket").isin(dBuckets: _*))
+          .sortWithinPartitions(col("bucket"), col("term_id"), col("min_doc"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$sp/blocks")
+      }
+
+      // ---- exact global stats by integer delta ----------------------------
+      val removed = removedDocs.count()
+      val remTok = oldStats
+        .join(broadcast(removeOrds), Seq("doc_ord"), "left_semi")
+        .agg(coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+      val prevTokens = mf.stages.reverse.collectFirst {
+        case s if s.lineage.contains("tokens") => s.lineage("tokens").toLong
+      }.getOrElse(0L)
+      val n2 = mf.numDocs - removed
+      val tok2 = prevTokens - remTok
+      removedDocs.unpersist(); probeOrds.unpersist()
+      val m = StageMarker(s"delta_${batchId}_staged", removed,
+        System.currentTimeMillis() - t0,
+        Map("tokens" -> tok2.toString, "numDocs" -> n2.toString,
+          "removed" -> removed.toString,
+          "dGroups" -> dGroups.mkString(","),
+          "kBuckets" -> kBucketsTouched.mkString(","),
+          "dBuckets" -> dBuckets.mkString(",")))
+      ManifestIO.write(stagedM, m)
+      m
+    }
+
+    applyStagedDelta(spark, path, sp, staged, batchId, mf)
   }
 }

@@ -29,7 +29,9 @@ import org.apache.spark.storage.StorageLevel
   * version — exactly-once index content under at-least-once delivery. df/cf
   * stay exact across replacements: the replaced version's text is
   * re-analyzed (O(batch)) for per-term decrements rather than re-counting
-  * the posting store.
+  * the posting store. [[removeBatch]] deletes by key under the same
+  * contract (retention / right-to-be-forgotten), with removals folded
+  * through the storage layer's staged removal delta at flush.
   */
 /** @param storagePath when set, `initial` must be (the TextIndex of) the
   *   persisted index at that path, and flush() folds the buffered delta
@@ -77,6 +79,16 @@ final class StreamingIndexer(
   @volatile private var nDelta: Long = 0L      // net new docs in delta
   @volatile private var tokensDelta: Long = 0L // net new tokens in delta
   @volatile private var bufferedDocs: Long = 0L
+  // keys removed this epoch (conv_id, turn_idx, doc_ord): their base/storage
+  // versions still need removal at flush, the on-disk keymap still lists
+  // them (resolution must skip them), and a re-add gets the stable ordinal
+  // back WITHOUT an old-text decrement (the removal already decremented)
+  @volatile private var removedKeys: DataFrame =
+    (if (Seq("conv_id", "turn_idx").forall(initial.docs.columns.contains))
+       docsOf(initial).select("conv_id", "turn_idx", "doc_ord").limit(0)
+     else Seq.empty[(String, Int, Long)].toDF("conv_id", "turn_idx", "doc_ord")).cache()
+  @volatile private var removedBuffered: Long = 0L
+  @volatile private var deltaDocsRows: Long = 0L
   @volatile private var nextOrd: Long =
     initial.docs.agg(coalesce(max(col("doc_ord")), lit(-1L))).head().getLong(0) + 1
   @volatile private var nextTermId: Long =
@@ -113,6 +125,116 @@ final class StreamingIndexer(
     )
   }
 
+  /** Resolve which of `batchKeys` (conv_id, turn_idx) currently EXIST in
+    * the live view, returning (conv_id, turn_idx, doc_ord, __old_text) and
+    * a cleanup for pinned lookup frames.
+    *
+    * Storage-backed: delta overrides first (keys rewritten this epoch live
+    * in the cached, delta-sized deltaDocs with their current text), then
+    * the BUCKETED KEYMAP (reads only the batch's key buckets) plus a
+    * d_bucket-pruned docs read for the old text — per-batch input bytes ∝
+    * touched partitions, never the base docs table (which a 10^12-turn
+    * index cannot scan per micro-batch). Keys removed this epoch are
+    * excluded (the on-disk keymap still lists them until flush). In-memory
+    * fallback: broadcast probe of the live view (a cache scan, no shuffle),
+    * which already excludes removed and tombstoned rows. */
+  private def resolveExisting(batchKeys: DataFrame): (DataFrame, () => Unit) =
+    if (keymapUsable) {
+      val fromDelta = deltaDocs
+        .select(col("conv_id"), col("turn_idx"), col("doc_ord"),
+          col(textCol).as("__old_text"))
+        .join(broadcast(batchKeys), Seq("conv_id", "turn_idx"))
+      val remaining = batchKeys
+        .join(fromDelta.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+        .join(broadcast(removedKeys.select("conv_id", "turn_idx")),
+          Seq("conv_id", "turn_idx"), "left_anti")
+      // committed keys: doc_ords are STABLE across replacement, so keymap
+      // entries stay valid even when the delta already replaced the text
+      // (those keys were peeled off above and never reach the keymap)
+      val ordsBase = graft.storage.ParquetIndexStorage
+        .lookupOrds(spark, storagePath.get, remaining)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val span = storageManifest.get.bucketSpan
+      val dbs = ordsBase.select(floor(col("doc_ord") / lit(span)).cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val fromBase = base.docs.filter(col("d_bucket").isin(dbs: _*))
+        .select(col("conv_id"), col("turn_idx"), col("doc_ord"),
+          col(textCol).as("__old_text"))
+        .join(broadcast(ordsBase.select("doc_ord")), Seq("doc_ord"), "left_semi")
+      (fromDelta.unionByName(fromBase), () => ordsBase.unpersist())
+    } else {
+      val live = index
+      (live.docs.select(col("conv_id"), col("turn_idx"),
+          col("doc_ord"), col(textCol).as("__old_text"))
+        .join(broadcast(batchKeys), Seq("conv_id", "turn_idx")), () => ())
+    }
+
+  /** Remove turns by (conv_id, turn_idx) from the live view — the streaming
+    * counterpart of `ParquetIndexStorage.removeDocuments` (retention /
+    * right-to-be-forgotten under the same O(batch) per-micro-batch
+    * contract). Unknown and already-removed keys are no-ops. Removals
+    * count toward the flush threshold; a storage-backed flush folds them
+    * through the staged removal delta before applying the buffered adds. */
+  def removeBatch(keys: DataFrame): Unit = synchronized {
+    if (keys.isEmpty) return
+    val keyed = keys.select(col("conv_id"), col("turn_idx"))
+      .dropDuplicates("conv_id", "turn_idx")
+      .join(broadcast(removedKeys.select("conv_id", "turn_idx")),
+        Seq("conv_id", "turn_idx"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (keyed.count() == 0) { keyed.unpersist(); return }
+    val (hits0, hitsCleanup) = resolveExisting(keyed)
+    val hits = hits0.persist(StorageLevel.MEMORY_AND_DISK)
+    val removedCount = hits.count()
+    hitsCleanup()
+    if (removedCount == 0) { hits.unpersist(); keyed.unpersist(); return }
+    val remOrds = hits.select("doc_ord")
+    // exact df/cf decrements: re-analyze ONLY the removed versions' text
+    val byOld = IndexBuilder.docTermPostings(
+      hits.select(col("doc_ord"), col("__old_text").as(textCol)), analyzer, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // state generations localCheckpoint (materialize + truncate lineage),
+    // not persist — see the matching note in addBatch
+    val tombstones2 = tombstones.unionByName(remOrds).distinct()
+      .localCheckpoint()
+    val deltaDocs2 = deltaDocs
+      .join(broadcast(remOrds), Seq("doc_ord"), "left_anti")
+      .localCheckpoint()
+    val deltaStats2 = deltaStats
+      .join(broadcast(remOrds), Seq("doc_ord"), "left_anti")
+      .localCheckpoint()
+    val deltaPostings2 = deltaPostings
+      .join(broadcast(remOrds), Seq("doc_ord"), "left_anti")
+      .localCheckpoint()
+    val decs = byOld.groupBy(col("term"))
+      .agg((count(lit(1)) * lit(-1L)).as("df_d"),
+        (sum(col("tf")).cast("long") * lit(-1L)).as("cf_d"))
+    val dictAdj2 = dictAdj.unionByName(decs)
+      .groupBy(col("term"))
+      .agg(sum(col("df_d")).as("df_d"), sum(col("cf_d")).as("cf_d"))
+      .filter(col("df_d") =!= 0 || col("cf_d") =!= 0)
+      .localCheckpoint()
+    val removedKeys2 = removedKeys
+      .unionByName(hits.select("conv_id", "turn_idx", "doc_ord"))
+      .localCheckpoint()
+    val removedTokens = byOld.groupBy(col("doc_ord")).agg(max(col("dl")).as("dl"))
+      .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+
+    deltaDocsRows = deltaDocs2.count()
+    val old = Seq(deltaDocs, deltaStats, deltaPostings, dictAdj, tombstones, removedKeys)
+    deltaDocs = deltaDocs2; deltaStats = deltaStats2; deltaPostings = deltaPostings2
+    dictAdj = dictAdj2; tombstones = tombstones2; removedKeys = removedKeys2
+    nDelta -= removedCount
+    tokensDelta -= removedTokens
+    removedBuffered += removedCount
+    bufferedDocs += removedCount
+    old.foreach(_.unpersist())
+    Seq(hits, byOld, keyed).foreach(_.unpersist())
+
+    if (bufferedDocs >= flushThreshold) flush()
+  }
+
   /** Fold one (micro-)batch of turns into the delta. Turns whose
     * (conv_id, turn_idx) already exists replace the old version (keeping
     * its doc_ord); new turns get fresh dense ordinals. */
@@ -132,57 +254,28 @@ final class StreamingIndexer(
     val batchSize = keyed.count()
     if (batchSize == 0) { keyed.unpersist(); return }
 
-    // -- resolve keys. Storage-backed: the base side goes through the
-    // BUCKETED KEYMAP (reads only the batch's key buckets) plus a
-    // d_bucket-pruned docs read for the replaced old text — per-batch input
-    // bytes ∝ touched partitions, never the base docs table (which a
-    // 10^12-turn index cannot scan per micro-batch). In-memory fallback:
-    // broadcast probe of the live view (a cache scan, no shuffle).
-    var ordsBasePinned: Option[DataFrame] = None
-    val hits = if (keymapUsable) {
-      val batchKeys = keyed.select("conv_id", "turn_idx")
-      // delta overrides first: keys already rewritten this epoch live in
-      // the (cached, delta-sized) deltaDocs with their current text
-      val fromDelta = deltaDocs
-        .select(col("conv_id"), col("turn_idx"), col("doc_ord"),
-          col(textCol).as("__old_text"))
-        .join(broadcast(batchKeys), Seq("conv_id", "turn_idx"))
-      val remaining = batchKeys.join(
-        fromDelta.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
-      // committed keys: doc_ords are STABLE across replacement, so keymap
-      // entries stay valid even when the delta already replaced the text
-      // (those keys were peeled off above and never reach the keymap)
-      val ordsBase = graft.storage.ParquetIndexStorage
-        .lookupOrds(spark, storagePath.get, remaining)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ordsBasePinned = Some(ordsBase)
-      val span = storageManifest.get.bucketSpan
-      val dbs = ordsBase.select(floor(col("doc_ord") / lit(span)).cast("long").as("b"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      val fromBase = base.docs.filter(col("d_bucket").isin(dbs: _*))
-        .select(col("conv_id"), col("turn_idx"), col("doc_ord"),
-          col(textCol).as("__old_text"))
-        .join(broadcast(ordsBase.select("doc_ord")), Seq("doc_ord"), "left_semi")
-      fromDelta.unionByName(fromBase)
-    } else {
-      val live = index
-      live.docs.select(col("conv_id"), col("turn_idx"),
-          col("doc_ord"), col(textCol).as("__old_text"))
-        .join(broadcast(keyed.select("conv_id", "turn_idx")), Seq("conv_id", "turn_idx"))
-    }
+    val (hits, hitsCleanup) = resolveExisting(keyed.select("conv_id", "turn_idx"))
     val existing = keyed.join(broadcast(hits), Seq("conv_id", "turn_idx"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     existing.count()
-    ordsBasePinned.foreach(_.unpersist())
-    val fresh0 = keyed.join(existing.select("conv_id", "turn_idx"),
-      Seq("conv_id", "turn_idx"), "left_anti")
+    hitsCleanup()
+    // keys removed earlier this epoch re-enter with their stable ordinal
+    // and NO old-text decrement (the removal already decremented that
+    // version's terms)
+    val revived = keyed.join(broadcast(removedKeys), Seq("conv_id", "turn_idx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val revivedCount = revived.count()
+    val fresh0 = keyed
+      .join(existing.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
+      .join(revived.select("conv_id", "turn_idx"), Seq("conv_id", "turn_idx"), "left_anti")
     val (freshOrd, freshCleanup) =
       Ids.withDenseOrdinalHandle(fresh0, "doc_ord0", Seq("conv_id", "turn_idx"))
     val fresh = freshOrd.withColumn("doc_ord", col("doc_ord0") + lit(nextOrd)).drop("doc_ord0")
     val batchDocs = existing.select((col("doc_ord") +: docCols.map(col)): _*)
+      .unionByName(revived.select((col("doc_ord") +: docCols.map(col)): _*))
       .unionByName(fresh.select((col("doc_ord") +: docCols.map(col)): _*))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val freshCount = batchDocs.count() - existing.count()
+    val freshCount = batchDocs.count() - existing.count() - revivedCount
     nextOrd += freshCount
     freshCleanup()
 
@@ -206,8 +299,15 @@ final class StreamingIndexer(
         assumeUnsorted = true) match { case (d0, _, c0) => (d0, c0) }
     val newMinted = newMintedRaw
       .select((col("term_id0") + lit(nextTermId)).as("term_id"), col("term"))
-    val mintedTerms2 = mintedTerms.unionByName(newMinted).persist(StorageLevel.MEMORY_AND_DISK)
-    // materialize BEFORE releasing the mint handle: the minted ids are only
+    // STATE frames (mintedTerms2 and every *2 generation below) are cut
+    // over with an EAGER localCheckpoint, not persist: a cached frame keeps
+    // its full logical plan, and since each micro-batch's state references
+    // the previous generation (and, through key resolution, the live view),
+    // plans would compound across batches — a multi-hour stream slowly
+    // chokes the driver on analysis/explain of ever-deeper trees. The
+    // checkpoint materializes the rows AND truncates lineage to a leaf.
+    val mintedTerms2 = mintedTerms.unionByName(newMinted).localCheckpoint()
+    // materialized BEFORE releasing the mint handle: the minted ids are only
     // stable while the handle's pinned partitioning lives
     val mintedCount2 = mintedTerms2.count()
     nextTermId += mintedCount2 - mintedTerms.count()
@@ -221,22 +321,22 @@ final class StreamingIndexer(
     // only ever filter BASE tables)
     val replacedOrds = existing.select("doc_ord")
     val tombstones2 = tombstones.unionByName(replacedOrds).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deltaDocs2 = deltaDocs
       .join(broadcast(replacedOrds), Seq("doc_ord"), "left_anti")
       .unionByName(batchDocs.select(deltaDocs.columns.map(col): _*))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val newStats = newPost.groupBy(col("doc_ord"))
       .agg(max(col("dl")).cast("int").as("token_count"))
     val deltaStats2 = deltaStats
       .join(broadcast(replacedOrds), Seq("doc_ord"), "left_anti")
       .unionByName(newStats)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val deltaPostings2 = deltaPostings
       .join(broadcast(replacedOrds), Seq("doc_ord"), "left_anti")
       .unionByName(newPost.join(broadcast(idByTerm), "term")
         .select(deltaPostings.columns.map(col): _*))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // -- dictionary adjustments: adds from new postings, removes from the
     // replaced versions — batch-sized aggregates merged into the running adj
@@ -252,7 +352,7 @@ final class StreamingIndexer(
       .groupBy(col("term"))
       .agg(sum(col("df_d")).as("df_d"), sum(col("cf_d")).as("cf_d"))
       .filter(col("df_d") =!= 0 || col("cf_d") =!= 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // -- exact global stats by integer delta
     val addedTokens = newStats
@@ -260,17 +360,25 @@ final class StreamingIndexer(
     val removedTokens = oldPost.groupBy(col("doc_ord")).agg(max(col("dl")).as("dl"))
       .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
 
-    // -- materialize the new delta generation, then retire the old one
-    deltaDocs2.count(); deltaStats2.count(); deltaPostings2.count()
-    dictAdj2.count(); tombstones2.count()
-    val old = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
+    // revived keys are live again — they leave the removal ledger
+    val removedKeys2 =
+      if (revivedCount == 0) removedKeys // unchanged: keep the cached frame
+      else removedKeys.join(broadcast(revived.select("conv_id", "turn_idx")),
+        Seq("conv_id", "turn_idx"), "left_anti").localCheckpoint()
+
+    // -- swap in the new (already-materialized) generation, retire the old
+    deltaDocsRows = deltaDocs2.count()
+    val old = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj,
+      tombstones) ++ (if (revivedCount > 0) Seq(removedKeys) else Nil)
     deltaDocs = deltaDocs2; deltaStats = deltaStats2; deltaPostings = deltaPostings2
     mintedTerms = mintedTerms2; dictAdj = dictAdj2; tombstones = tombstones2
-    nDelta += freshCount
+    removedKeys = removedKeys2
+    nDelta += freshCount + revivedCount
+    removedBuffered -= revivedCount
     tokensDelta += addedTokens - removedTokens
     bufferedDocs += batchSize
     old.foreach(_.unpersist())
-    Seq(newPost, oldPost, existing, batchDocs, keyed).foreach(_.unpersist())
+    Seq(newPost, oldPost, existing, revived, batchDocs, keyed).foreach(_.unpersist())
 
     if (bufferedDocs >= flushThreshold) flush()
   }
@@ -292,7 +400,8 @@ final class StreamingIndexer(
   def flush(explicitBatchId: Option[String]): Unit = synchronized {
     if (bufferedDocs == 0) return
     val oldBase = base
-    val oldDelta = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj, tombstones)
+    val oldDelta = Seq(deltaDocs, deltaStats, deltaPostings, mintedTerms, dictAdj,
+      tombstones, removedKeys)
     storagePath match {
       case Some(path) =>
         // restart-safe batch id: the epoch counter restarts at 0 with the
@@ -301,16 +410,25 @@ final class StreamingIndexer(
         // (applied: marker hit, no-op; staged: the OLD session's staged
         // content gets applied instead of this frame) while the delta
         // state reset below discards them. Probe past every claimed
-        // stream epoch before staging.
+        // stream epoch before staging (the removal twin `<id>_rm` too).
         val id = explicitBatchId.getOrElse {
-          while (graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$flushEpoch"))
+          while (graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$flushEpoch") ||
+                 graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_${flushEpoch}_rm"))
             flushEpoch += 1
           val s = s"stream_$flushEpoch"; flushEpoch += 1; s
         }
+        // removals first: their ordinals are disjoint from deltaDocs' by
+        // construction (a revived key leaves the removal ledger), so the
+        // two staged deltas commute — but removing first keeps the
+        // intermediate committed state smallest
+        if (removedBuffered > 0)
+          graft.storage.ParquetIndexStorage.removeDocuments(
+            spark, path, removedKeys.select("doc_ord"), batchId = s"${id}_rm")
         // deltaDocs holds exactly one row per buffered key — its final
         // content (in-delta replacements were folded by addBatch)
-        graft.storage.ParquetIndexStorage.addDocuments(
-          spark, path, deltaDocs, analyzer, batchId = id, textCol)
+        if (deltaDocsRows > 0)
+          graft.storage.ParquetIndexStorage.addDocuments(
+            spark, path, deltaDocs, analyzer, batchId = id, textCol)
         base = graft.storage.ParquetIndexStorage.read(spark, path).index
         baseTokens = base.exactTotalTokens
         // storage minted its own ids for the flushed batch's new terms —
@@ -330,7 +448,9 @@ final class StreamingIndexer(
     deltaPostings = postingsOf(base).limit(0).cache()
     mintedTerms = Seq.empty[(Long, String)].toDF("term_id", "term").cache()
     dictAdj = Seq.empty[(String, Long, Long)].toDF("term", "df_d", "cf_d").cache()
+    removedKeys = removedKeys.limit(0).cache()
     nDelta = 0L; tokensDelta = 0L; bufferedDocs = 0L
+    removedBuffered = 0L; deltaDocsRows = 0L
     oldDelta.foreach(_.unpersist())
     if ((oldBase ne initial) && storagePath.isEmpty) oldBase.unpersist()
   }

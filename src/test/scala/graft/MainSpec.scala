@@ -107,6 +107,46 @@ class MainSpec extends SparkSpec {
     assert(c3 == 0 && out3.exists(_.contains("\"numDocs\":5")))
   }
 
+  test("batch evaluates a query file in one plan; wand ranks == exhaustive") {
+    val qf = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/queries.txt"),
+      "spark join\nmerge\n\nconversation\n".getBytes("UTF-8")).toString
+    val (cw, wand) = captured("batch", "--index", idx, "--queries", qf, "--k", "3")
+    assert(cw == 0, wand.mkString("\n"))
+    val (ce, exh) = captured("batch", "--index", idx, "--queries", qf,
+      "--k", "3", "--mode", "bm25")
+    assert(ce == 0)
+    // rank-identical (WAND is lossless), and the echoed query text matches
+    assert(wand == exh)
+    val rows = wand.drop(1).map(_.split("\t"))
+    assert(rows.nonEmpty && rows.forall(_.length == 5))
+    assert(rows.filter(_(1) == "merge").map(_(3)).distinct.length == 1)
+    assert(rows.exists(_(1) == "conversation"))
+    // per-query ranks ascend from 1
+    rows.groupBy(_(0)).values.foreach { g =>
+      assert(g.map(_(2).toInt).toSeq == (1 to g.length))
+    }
+  }
+
+  test("remove deletes documents through the CLI; idempotent per batch id") {
+    import spark.implicits._
+    // corpus here: 5 docs (after the delta tests). Remove (c2, 0) by key.
+    Seq(("c2", 0)).toDF("conv_id", "turn_idx").write.parquet(s"$root/rmkeys")
+    val (code, out) = captured("remove", "--input", s"$root/rmkeys",
+      "--index", idx, "--batch-id", "rmcli1")
+    assert(code == 0, out.mkString("\n"))
+    assert(out.exists(o => o.contains("\"removed\":1") && o.contains("\"numDocs\":4")))
+    val (_, q) = captured("search", "--index", idx, "--query", "tuning", "--mode", "or")
+    assert(q.drop(1).isEmpty, "removed doc still matches")
+    // other docs untouched
+    val (_, q2) = captured("search", "--index", idx, "--query", "merge", "--mode", "or")
+    assert(q2.drop(1).length == 1)
+    // same batch id re-run: no-op, same stats
+    val (c2, out2) = captured("remove", "--input", s"$root/rmkeys",
+      "--index", idx, "--batch-id", "rmcli1")
+    assert(c2 == 0 && out2.exists(_.contains("\"numDocs\":4")))
+  }
+
   test("bad invocations return exit code 2 with usage") {
     assert(captured()._1 == 2)
     assert(captured("frobnicate")._1 == 2)

@@ -179,6 +179,105 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(mfBefore == mfAfter)
   }
 
+  test("removeDocuments == fresh rebuild without those docs; pruned, idempotent") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+
+    // victims: two docs from the FIRST doc-range group, one resolved through
+    // the keymap (key columns) and one by explicit doc_ord
+    val victims = memIndex.docs.filter($"doc_ord".isin(3L, 5L))
+      .select("conv_id", "turn_idx", "doc_ord").collect()
+    val byKey = Seq((victims(0).getString(0), victims(0).getInt(1)))
+      .toDF("conv_id", "turn_idx")
+    val byOrd = Seq(victims(1).getLong(2)).toDF("doc_ord")
+
+    def leafMtimes(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(s"$path/postings")
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.list(root).forEach { tb =>
+        if (java.nio.file.Files.isDirectory(tb))
+          java.nio.file.Files.list(tb).forEach { dg =>
+            if (java.nio.file.Files.isDirectory(dg))
+              out(s"${tb.getFileName}/${dg.getFileName}") =
+                java.nio.file.Files.getLastModifiedTime(dg).toMillis
+          }
+      }
+      out.toMap
+    }
+    val before = leafMtimes()
+
+    ParquetIndexStorage.removeDocuments(spark, path, byKey, "rm1")
+    ParquetIndexStorage.removeDocuments(spark, path, byOrd, "rm2")
+
+    // pruning evidence: only the victims' doc-range groups were rewritten
+    val touched = Seq("rm1", "rm2").flatMap { id =>
+      ManifestIO.read(s"$path/_markers/delta_${id}_staged.json", classOf[StageMarker])
+        .get.lineage("dGroups").split(",").map(_.toLong)
+    }.toSet
+    val allGroups = before.keySet.map(_.split("/")(1).stripPrefix("d_group=").toLong)
+    assert(touched.size < allGroups.size, s"remove touched every group ($touched)")
+    before.foreach { case (leaf, mtime) =>
+      val g = leaf.split("/")(1).stripPrefix("d_group=").toLong
+      if (!touched.contains(g))
+        assert(java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(s"$path/postings/$leaf")).toMillis == mtime,
+          s"untouched leaf $leaf was rewritten by remove")
+    }
+
+    // fresh rebuild WITHOUT the victims answers identically (docs, dict
+    // df/cf, blocks, stats all exact after the removal)
+    val remaining = memIndex.docs.filter(!$"doc_ord".isin(3L, 5L))
+    val freshPath = tmp()
+    ParquetIndexStorage.build(remaining, analyzer, freshPath, params, "fresh")
+    val a = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    val b = Searcher(ParquetIndexStorage.read(spark, freshPath), analyzer)
+    assert(a.index.numDocs == b.index.numDocs)
+    assert(math.abs(a.index.avgDocLen - b.index.avgDocLen) < 1e-12)
+    assert(a.index.termDict.select("term_id", "term", "df", "cf")
+      .except(b.index.termDict.select("term_id", "term", "df", "cf")).count() == 0)
+    assert(b.index.termDict.select("term_id", "term", "df", "cf")
+      .except(a.index.termDict.select("term_id", "term", "df", "cf")).count() == 0)
+    for (q <- Seq("t000000", "t000001 t000005", "hot0 t000002", "planteda plantedb")) {
+      assert(ids(a.matchQuery(q, Or)) == ids(b.matchQuery(q, Or)), s"OR $q")
+      assert(ids(a.bm25TopKWand(q, 10)) == ids(b.bm25TopK(q, 10)), s"WAND $q")
+      assert(ids(a.phraseQuery(q)) == ids(b.phraseQuery(q)), s"PHRASE $q")
+    }
+    assert(ids(a.matchAll()) == ids(b.matchAll()))
+    // removed keys no longer resolve through the keymap
+    assert(ParquetIndexStorage.lookupOrds(spark, path, byKey).count() == 0)
+
+    // idempotent: re-applying an applied id and removing already-gone /
+    // unknown ordinals are both no-ops
+    val mfBefore = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    ParquetIndexStorage.removeDocuments(spark, path, byKey, "rm1")
+    assert(ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get == mfBefore)
+    val mf3 = ParquetIndexStorage.removeDocuments(spark, path,
+      Seq(3L, 5L, 999999L).toDF("doc_ord"), "rm3")
+    assert(mf3.numDocs == mfBefore.numDocs)
+    assert(math.abs(mf3.avgDocLen - mfBefore.avgDocLen) < 1e-12)
+  }
+
+  test("removing every doc of a d_bucket deletes its partitions (no stale rows)") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    // bucketSpan=64: ords 64..127 form d_bucket 1
+    val bucket1 = memIndex.docs.filter($"doc_ord" >= 64L && $"doc_ord" < 128L)
+      .select("doc_ord")
+    assert(bucket1.count() > 0)
+    ParquetIndexStorage.removeDocuments(spark, path, bucket1, "rmb1")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/docs/d_bucket=1")),
+      "emptied docs partition must be deleted, not left stale")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/blocks/bucket=1")))
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    val got = ids(s.matchAll()).toSet
+    assert(got.intersect((64L until 128L).toSet).isEmpty)
+    assert(s.index.numDocs == memIndex.numDocs - bucket1.count())
+  }
+
   test("per-batch INPUT BYTES are bounded by touched partitions, not index size") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // same vocabulary and same batch against a 1x and a 16x index: if the

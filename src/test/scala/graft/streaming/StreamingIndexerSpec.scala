@@ -108,6 +108,109 @@ class StreamingIndexerSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap)
   }
 
+  test("removeBatch: base/delta removals + revival == fresh build of survivors") {
+    val baseRows = corpus(60)
+    val si = freshIndexer(baseRows)
+    si.addBatch(turnsDf(Seq(
+      ("x1", 0, "newterm alpha common"), ("c00003", 0, "replacedterm beta"))))
+    // remove a base doc, a delta-resident replacement, a fresh delta doc;
+    // unknown keys are no-ops
+    si.removeBatch(Seq(("c00010", 0), ("c00003", 0), ("x1", 0), ("nope", 9))
+      .toDF("conv_id", "turn_idx"))
+    // double-remove is a no-op too
+    si.removeBatch(Seq(("c00010", 0)).toDF("conv_id", "turn_idx"))
+    // revive one removed key with new content: stable semantics, and the
+    // removal's decrement must not be repeated (df/cf stay exact)
+    si.addBatch(turnsDf(Seq(("x1", 0, "revived gamma common"))))
+
+    val finalRows = (baseRows.map(r => (r._1, r._2) -> r._3).toMap
+      + (("c00003", 0) -> "replacedterm beta")
+      - (("c00010", 0)) - (("c00003", 0))
+      + (("x1", 0) -> "revived gamma common"))
+      .toSeq.map { case ((c, t), x) => (c, t, x) }
+    val fresh = new StreamingIndexer(
+      IndexBuilder.buildFromTurns(turnsDf(finalRows), analyzer, materialize = true), analyzer)
+
+    assert(si.index.numDocs == fresh.index.numDocs)
+    assert(math.abs(si.index.avgDocLen - fresh.index.avgDocLen) < 1e-12,
+      s"${si.index.avgDocLen} vs ${fresh.index.avgDocLen}")
+    def byKey(si2: StreamingIndexer, kw: String) = {
+      val s = new Searcher(si2.index, analyzer)
+      s.matchQuery(kw, Or).select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    }
+    for (kw <- Seq("newterm", "alpha", "replacedterm", "beta", "common",
+        "term3", "revived", "gamma"))
+      assert(byKey(si, kw) == byKey(fresh, kw), s"query '$kw'")
+    assert(byKey(si, "replacedterm").isEmpty) // the c00003 replacement is gone
+    def dict(si2: StreamingIndexer) =
+      si2.index.termDict.select("term", "df", "cf").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dict(si) == dict(fresh))
+
+    // flush compacts removals away without changing any answer
+    val before = queriesOf(si)
+    si.flush()
+    assert(queriesOf(si) == before)
+    assert(dict(si) == dict(fresh))
+  }
+
+  test("storage-backed removeBatch folds removals through the staged removal delta") {
+    import graft.index.BlockParams
+    import graft.storage.{ParquetIndexStorage, StorageParams}
+    val baseRows = corpus(60)
+    val baseIdx = IndexBuilder.buildFromTurns(turnsDf(baseRows), analyzer, materialize = true)
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_rm_").toString
+    ParquetIndexStorage.build(baseIdx.docs, analyzer, path,
+      StorageParams(termBuckets = 8, writeGroups = 2, saltFactor = 2,
+        blockParams = BlockParams(blockSize = 32, bucketSpan = 64),
+        dGroupSpan = 64, keyCols = Seq("conv_id", "turn_idx"), keyBuckets = 16), "spec")
+
+    val si = StreamingIndexer.overStorage(spark, path, analyzer,
+      flushThreshold = Long.MaxValue)
+    si.addBatch(turnsDf(Seq(
+      ("x1", 0, "newterm alpha common"), ("c00003", 0, "replacedterm beta"))))
+    // remove a committed base doc AND the never-committed fresh delta doc
+    si.removeBatch(Seq(("c00005", 0), ("x1", 0)).toDF("conv_id", "turn_idx"))
+    si.addBatch(turnsDf(Seq(("c00007", 0, "late zeta"))))
+    si.flush()
+
+    val finalRows = (baseRows.map(r => (r._1, r._2) -> r._3).toMap
+      + (("c00003", 0) -> "replacedterm beta")
+      - (("c00005", 0))
+      + (("c00007", 0) -> "late zeta"))
+      .toSeq.map { case ((c, t), x) => (c, t, x) }
+    val fresh = IndexBuilder.buildFromTurns(turnsDf(finalRows), analyzer, materialize = true)
+    val freshS = new Searcher(fresh, analyzer)
+    val cold = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    def byKey(s: Searcher, kw: String) =
+      s.matchQuery(kw, Or).select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    for (kw <- Seq("newterm", "alpha", "replacedterm", "common", "term3",
+        "term5", "zeta"))
+      assert(byKey(cold, kw) == byKey(freshS, kw), s"query '$kw'")
+    assert(cold.index.numDocs == fresh.numDocs)
+    assert(math.abs(cold.index.avgDocLen - fresh.avgDocLen) < 1e-12)
+    def dict(ti: graft.index.TextIndex) =
+      ti.termDict.select("term", "df", "cf").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dict(cold.index) == dict(fresh))
+    // removed committed key left the on-disk keymap; never-committed key
+    // never entered it
+    import org.apache.spark.sql.functions.col
+    assert(ParquetIndexStorage.lookupOrds(spark, path,
+      Seq(("c00005", 0), ("x1", 0)).toDF("conv_id", "turn_idx")).count() == 0)
+    // WAND over the rebuilt persisted blocks ranks like the fresh build
+    val freshTop = freshS.bm25TopK("term5 term11", 10)
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val coldTop = cold.bm25TopKWand("term5 term11", 10)
+      .select("conv_id", "turn_idx").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(coldTop == freshTop)
+    // live view == cold view after the rebase
+    assert(si.index.numDocs == fresh.numDocs)
+    assert(byKey(new Searcher(si.index, analyzer), "zeta") == Set(("c00007", 0)))
+  }
+
   test("storage-backed flush commits deltas to disk == fresh batch build") {
     import graft.index.BlockParams
     import graft.storage.{ParquetIndexStorage, StorageParams}
