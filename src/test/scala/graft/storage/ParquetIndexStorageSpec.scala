@@ -339,6 +339,18 @@ class ParquetIndexStorageSpec extends SparkSpec {
     // slack for footer/metadata reads that scale with file count.
     assert(bLarge < bSmall * 3 + (1 << 20),
       s"delta input bytes scale with index size: small=$bSmall large=$bLarge")
+
+    // removal deltas carry the same O(touched partitions) contract: the
+    // only size-dependent read is the vocab-sized dictionary (constant
+    // vocabulary here), everything else prunes by d_bucket/d_group/k_bucket
+    import spark.implicits._
+    def removeFor() = Seq(3L).toDF("doc_ord")
+    val rSmall = measure(
+      ParquetIndexStorage.removeDocuments(spark, smallPath, removeFor(), "rb1"))
+    val rLarge = measure(
+      ParquetIndexStorage.removeDocuments(spark, largePath, removeFor(), "rb1"))
+    assert(rLarge < rSmall * 3 + (1 << 20),
+      s"removal input bytes scale with index size: small=$rSmall large=$rLarge")
   }
 
   test("postings scan is partition-pruned by t_bucket") {
