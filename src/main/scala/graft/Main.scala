@@ -63,7 +63,7 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.Main <build|delta|search> [options]
+    """usage: graft.Main <build|delta|remove|search|batch|vacuum> [options]
       |  build  --input <parquet> --index <path> [--text-col text]
       |         [--analyzer standard|stem|ngram:N] [--stopwords a,b,c]
       |         [--term-buckets 64] [--write-groups 8] [--block-size 128]
@@ -179,8 +179,16 @@ object Main {
   private def remove(spark: SparkSession, input: String, index: String,
       opts: Map[String, String], out: String => Unit): Unit = {
     val keys = spark.read.parquet(input)
-    val id = opts.getOrElse("batch-id",
-      s"remove_${java.util.UUID.nameUUIDFromBytes(input.getBytes("UTF-8"))}")
+    // default id: probe past claimed remove epochs. A path- or run-derived
+    // id would hit its own applied marker when the SAME path carries NEW
+    // keys next run and silently skip the deletion; a fresh epoch always
+    // applies, and re-running the same key set is a semantic no-op anyway
+    // (removing already-gone docs removes nothing).
+    val id = opts.getOrElse("batch-id", {
+      var e = 0L
+      while (ParquetIndexStorage.deltaClaimed(index, s"remove_$e")) e += 1
+      s"remove_$e"
+    })
     val mf = ParquetIndexStorage.removeDocuments(spark, index, keys, batchId = id)
     val removed = graft.storage.ManifestIO // this batch's own marker, not the
       .read(s"$index/_markers/delta_${id}_applied.json", // manifest's last

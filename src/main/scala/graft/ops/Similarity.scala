@@ -365,9 +365,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L
-  ): DataFrame =
+  ): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     ivfTopKIndexed(ivfIndex(corpus, nlist, idCol, vecCol, seed),
       queries, k, nprobe, idCol, vecCol)
+  }
 
   /** Query a prebuilt [[IvfIndex]]: score the query set against the
     * broadcast codebook, keep each query's top-nprobe centroid lists, and
@@ -381,9 +383,11 @@ object Similarity {
       vecCol: String = "embedding"
   ): DataFrame = {
     val centVecs = index.centVecs
-    val nlist = centVecs.size
-    require(nprobe >= 1 && (nlist == 0 || nprobe <= nlist),
-      "need 1 <= nprobe <= nlist")
+    require(nprobe >= 1, "need nprobe >= 1")
+    // a corpus smaller than the requested nlist yields fewer centroids than
+    // nprobe — probe them all (the one-shot ivfTopK contract: exact results
+    // on tiny corpora), don't reject
+    val np = math.min(nprobe, math.max(centVecs.size, 1))
     val spark = index.assigned.sparkSession
     import spark.implicits._
     if (centVecs.isEmpty)
@@ -401,7 +405,7 @@ object Similarity {
       q.join(broadcast(cents), expr("true"))
         .withColumn("sim", cosine(col("q_v"), col("cv")))
         .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= nprobe)
+        .filter(col("crk") <= np)
         .drop("cv", "sim", "crk")
     } // (q_id, q_v, cid)
 

@@ -104,6 +104,23 @@ object ParquetIndexStorage {
     ManifestIO.exists(marker(path, s"delta_${batchId}_applied")) ||
       ManifestIO.exists(marker(path, s"delta_${batchId}_staged"))
 
+  /** addDocuments and removeDocuments share the delta_<id> marker
+    * namespace; an id reused ACROSS kinds would hit the other operation's
+    * idempotence marker and silently no-op (a remove that "succeeds"
+    * without deleting). Markers record their kind (`op` in lineage); a
+    * mismatch fails loudly. Markers from older stores lack `op` — no check
+    * is possible there. */
+  private def checkDeltaKind(path: String, batchId: String, expected: String): Unit =
+    Seq(s"delta_${batchId}_applied", s"delta_${batchId}_staged").foreach { name =>
+      ManifestIO.read(marker(path, name), classOf[StageMarker])
+        .flatMap(_.lineage.get("op")).filter(_ != expected)
+        .foreach { other =>
+          throw new IllegalArgumentException(
+            s"batch id '$batchId' at $path was already used by a '$other' delta; " +
+              s"reusing it for a '$expected' would silently no-op — use a distinct id")
+        }
+    }
+
   /** Pushable doc-range predicate for a set of span-sized buckets: an OR of
     * BETWEENs (parquet row-group prunable) for few buckets, else a single
     * covering range AND the exact bucket membership. `floor(doc_ord/span)
@@ -365,7 +382,10 @@ object ParquetIndexStorage {
     * manifest is committed. Markers are kept — they are the idempotence
     * record (bytes, not gigabytes). Returns the deleted paths. */
   def vacuum(spark: SparkSession, path: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // the INDEX PATH's filesystem, not fs.defaultFS — an s3a:// index on an
+    // hdfs-default cluster must resolve to the s3a filesystem
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$path/_stage")
     if (!fs.exists(stage)) return Nil
     val committed = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).isDefined
@@ -439,6 +459,7 @@ object ParquetIndexStorage {
   ): IndexManifest = {
     val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
       .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    checkDeltaKind(path, batchId, "add")
     val appliedM = marker(path, s"delta_${batchId}_applied")
     if (ManifestIO.exists(appliedM))
       return ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
@@ -606,7 +627,8 @@ object ParquetIndexStorage {
       Seq(batch, oldDocs, byNew, byOld).foreach(_.unpersist())
       val m = StageMarker(s"delta_${batchId}_staged", added,
         System.currentTimeMillis() - t0,
-        Map("tokens" -> tok2.toString, "numDocs" -> n2.toString,
+        Map("op" -> "add",
+          "tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "replaced" -> replaced.toString,
           "dGroups" -> dGroups.mkString(","),
           "kBuckets" -> kBucketsTouched.mkString(","),
@@ -646,7 +668,8 @@ object ParquetIndexStorage {
           .distinct().collect()
           .map(r => partCols.indices.map(r.getLong).toSeq: Seq[Long]).toSet)
         .getOrElse(Set.empty[Seq[Long]])
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       touched.filterNot(present).foreach { vals =>
         val sub = partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$sub"), true)
@@ -661,7 +684,8 @@ object ParquetIndexStorage {
     // touched group dirs (bounded by termBuckets × touched groups).
     val touchedGroups = parseBuckets("dGroups")
     val postTouched: Seq[Seq[Long]] = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val root = new org.apache.hadoop.fs.Path(s"$path/postings")
       if (!fs.exists(root)) Nil
       else fs.listStatus(root).toSeq.filter(_.isDirectory)
@@ -717,6 +741,7 @@ object ParquetIndexStorage {
   ): IndexManifest = {
     val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
       .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    checkDeltaKind(path, batchId, "remove")
     val appliedM = marker(path, s"delta_${batchId}_applied")
     if (ManifestIO.exists(appliedM))
       return ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
@@ -834,7 +859,8 @@ object ParquetIndexStorage {
       removedDocs.unpersist(); probeOrds.unpersist()
       val m = StageMarker(s"delta_${batchId}_staged", removed,
         System.currentTimeMillis() - t0,
-        Map("tokens" -> tok2.toString, "numDocs" -> n2.toString,
+        Map("op" -> "remove",
+          "tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "removed" -> removed.toString,
           "dGroups" -> dGroups.mkString(","),
           "kBuckets" -> kBucketsTouched.mkString(","),

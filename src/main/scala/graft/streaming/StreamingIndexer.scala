@@ -83,10 +83,11 @@ final class StreamingIndexer(
   // versions still need removal at flush, the on-disk keymap still lists
   // them (resolution must skip them), and a re-add gets the stable ordinal
   // back WITHOUT an old-text decrement (the removal already decremented)
-  @volatile private var removedKeys: DataFrame =
-    (if (Seq("conv_id", "turn_idx").forall(initial.docs.columns.contains))
-       docsOf(initial).select("conv_id", "turn_idx", "doc_ord").limit(0)
+  private def emptyRemovedKeys(ti: TextIndex): DataFrame =
+    (if (Seq("conv_id", "turn_idx").forall(ti.docs.columns.contains))
+       docsOf(ti).select("conv_id", "turn_idx", "doc_ord").limit(0)
      else Seq.empty[(String, Int, Long)].toDF("conv_id", "turn_idx", "doc_ord")).cache()
+  @volatile private var removedKeys: DataFrame = emptyRemovedKeys(initial)
   @volatile private var removedBuffered: Long = 0L
   @volatile private var deltaDocsRows: Long = 0L
   @volatile private var nextOrd: Long =
@@ -448,7 +449,10 @@ final class StreamingIndexer(
     deltaPostings = postingsOf(base).limit(0).cache()
     mintedTerms = Seq.empty[(Long, String)].toDF("term_id", "term").cache()
     dictAdj = Seq.empty[(String, Long, Long)].toDF("term", "df_d", "cf_d").cache()
-    removedKeys = removedKeys.limit(0).cache()
+    // fresh leaf plan over the NEW base, not limit(0) over the old frame —
+    // that would stack one plan node per flush (the growth this class's
+    // localCheckpoints exist to prevent)
+    removedKeys = emptyRemovedKeys(base)
     nDelta = 0L; tokensDelta = 0L; bufferedDocs = 0L
     removedBuffered = 0L; deltaDocsRows = 0L
     oldDelta.foreach(_.unpersist())

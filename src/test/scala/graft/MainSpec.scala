@@ -145,6 +145,19 @@ class MainSpec extends SparkSpec {
     val (c2, out2) = captured("remove", "--input", s"$root/rmkeys",
       "--index", idx, "--batch-id", "rmcli1")
     assert(c2 == 0 && out2.exists(_.contains("\"numDocs\":4")))
+    // WITHOUT --batch-id, fresh content at the same input path must still
+    // apply (auto ids probe past claimed epochs; a path-derived id would
+    // silently hit its own old marker)
+    Seq(("c3", 0)).toDF("conv_id", "turn_idx")
+      .write.mode("overwrite").parquet(s"$root/rmkeys")
+    val (c3, out3) = captured("remove", "--input", s"$root/rmkeys", "--index", idx)
+    assert(c3 == 0 && out3.exists(o =>
+      o.contains("\"removed\":1") && o.contains("\"numDocs\":3")), out3.mkString("\n"))
+    Seq(("c1", 0)).toDF("conv_id", "turn_idx")
+      .write.mode("overwrite").parquet(s"$root/rmkeys")
+    val (c4, out4) = captured("remove", "--input", s"$root/rmkeys", "--index", idx)
+    assert(c4 == 0 && out4.exists(o =>
+      o.contains("\"removed\":1") && o.contains("\"numDocs\":2")), out4.mkString("\n"))
   }
 
   test("bad invocations return exit code 2 with usage") {

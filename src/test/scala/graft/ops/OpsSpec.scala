@@ -210,6 +210,16 @@ class OpsSpec extends SparkSpec {
     ivfIdx.assigned.unpersist()
   }
 
+  test("ivfTopK on a corpus smaller than nprobe probes every centroid (no throw)") {
+    val tiny = emb.filter(col("vec_id") < 5) // 5 rows < default nprobe 8
+    val got = Similarity.ivfTopK(tiny, tiny.filter(col("vec_id") === 0L), 3,
+      nlist = 64, nprobe = 8)
+    val brute = Similarity.bruteForceTopK(tiny, tiny.filter(col("vec_id") === 0L), 3)
+    // probing all centroids of a tiny corpus = exact
+    assert(got.select("id").collect().map(_.getLong(0)).toSet ==
+      brute.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("IVF assignment is a pure projection: no Exchange, no Window in the plan") {
     val cents = Similarity.ivfCentroids(emb, nlist = 4)
     val plan = Similarity.ivfAssign(emb, cents)

@@ -258,6 +258,27 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(math.abs(mf3.avgDocLen - mfBefore.avgDocLen) < 1e-12)
   }
 
+  test("a batch id reused across add/remove kinds fails loudly, not no-ops") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    val batch = memIndex.docs.filter($"doc_ord" === 3L)
+      .select(docCols.map(org.apache.spark.sql.functions.col): _*)
+    ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "shared_id")
+    val e = intercept[IllegalArgumentException] {
+      ParquetIndexStorage.removeDocuments(spark, path,
+        Seq(3L).toDF("doc_ord"), "shared_id")
+    }
+    assert(e.getMessage.contains("'add'") && e.getMessage.contains("shared_id"))
+    // and the reverse direction
+    ParquetIndexStorage.removeDocuments(spark, path, Seq(5L).toDF("doc_ord"), "rm_id")
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "rm_id")
+    }
+    assert(e2.getMessage.contains("'remove'"))
+  }
+
   test("removing every doc of a d_bucket deletes its partitions (no stale rows)") {
     import spark.implicits._
     val path = tmp()
