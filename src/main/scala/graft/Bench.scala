@@ -162,6 +162,29 @@ object Bench {
       timedBest("q_bm25_batch_wand_syn", reps)(
         synSearcher.bm25TopKBatchWand(batchSet, 10, Some(mb)).count())
       wandDemo("batch_wand_skip_rate") = mb.skipRate
+
+      // maintenance demo on the same persisted index: a realistic retention
+      // delta (drop the OLDEST 30% of ordinals — contiguous, so the staged
+      // rewrite is directory-pruned to those doc ranges), then compaction
+      // (the O(index) dense-ordinal rewrite), then query service from the
+      // compacted store. Densities evidence the hole and its repair.
+      if (sys.env.getOrElse("SPARK_GRAFT_MAINT", "1") == "1") {
+        val nSyn = synSearcher.index.numDocs
+        val cutoff = (nSyn * 3) / 10
+        timedBest("maint_remove_30pct", 1)(
+          graft.storage.ParquetIndexStorage.removeDocuments(spark, synPath,
+            spark.range(cutoff).toDF("doc_ord"), "bench_rm"))
+        wandDemo("maint_density_after_remove") =
+          graft.storage.ParquetIndexStorage.ordinalDensity(spark, synPath)
+        timedBest("maint_compact", 1)(
+          graft.storage.ParquetIndexStorage.compact(spark, synPath, "bench_c0"))
+        wandDemo("maint_density_after_compact") =
+          graft.storage.ParquetIndexStorage.ordinalDensity(spark, synPath)
+        val sc2 = Searcher(
+          graft.storage.ParquetIndexStorage.read(spark, synPath), analyzer)
+        timedBest("q_bm25_wand_postcompact", reps)(
+          wandQueries.foreach(q => sc2.bm25TopKWand(q, 10).collect()))
+      }
     }
 
     // ---- ANN pruning win on a workload big enough to prune -----------------

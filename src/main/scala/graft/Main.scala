@@ -43,6 +43,9 @@ import org.apache.spark.sql.functions._
   *  - `vacuum`: drop staging data whose delta is already applied (and the
   *    build's raw checkpoint once the build is committed); markers stay, so
   *    idempotence and resumability are unaffected.
+  *  - `compact`: rewrite the index with a dense ordinal space (removals
+  *    never reclaim ordinals). Offline maintenance — run when the reported
+  *    ordinal density drifts low; idempotent per `--batch-id`.
   *
   * The query-side analyzer MUST match the one the index was built with; the
   * manifest records the build analyzer and a mismatch fails loudly (scoring
@@ -63,7 +66,7 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.Main <build|delta|remove|search|batch|vacuum> [options]
+    """usage: graft.Main <build|delta|remove|search|batch|vacuum|compact> [options]
       |  build  --input <parquet> --index <path> [--text-col text]
       |         [--analyzer standard|stem|ngram:N] [--stopwords a,b,c]
       |         [--term-buckets 64] [--write-groups 8] [--block-size 128]
@@ -76,7 +79,8 @@ object Main {
       |         [--k 10] [--limit 20]
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
-      |  vacuum --index <path>""".stripMargin
+      |  vacuum --index <path>
+      |  compact --index <path> [--batch-id <id>]""".stripMargin
 
   /** Testable core: returns a process exit code, prints through `out`. */
   def run(spark: SparkSession, args: Seq[String], out: String => Unit): Int = {
@@ -97,6 +101,7 @@ object Main {
         case "vacuum" =>
           val deleted = ParquetIndexStorage.vacuum(spark, req("index"))
           out(s"""{"vacuumed":${deleted.size}}""")
+        case "compact" => compact(spark, req("index"), opts, out)
         case other    => out(s"error: unknown subcommand '$other'"); out(usage); return 2
       }
       0
@@ -195,6 +200,24 @@ object Main {
         classOf[graft.storage.StageMarker])              // (possibly older) stage
       .flatMap(_.lineage.get("removed")).getOrElse("0")
     out(s"""{"removed":$removed,"numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen}}""")
+  }
+
+  private def compact(spark: SparkSession, index: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val before = ParquetIndexStorage.ordinalDensity(spark, index)
+    // auto id probes past claimed compaction epochs (same reasoning as
+    // remove: a path-derived id would no-op a LATER compaction of the same
+    // index; a fresh epoch always applies, and compacting an already-dense
+    // index is cheap and harmless)
+    val id = opts.getOrElse("batch-id", {
+      var e = 0L
+      while (ParquetIndexStorage.compactClaimed(index, s"$e")) e += 1
+      s"$e"
+    })
+    val mf = ParquetIndexStorage.compact(spark, index, id)
+    val after = ParquetIndexStorage.ordinalDensity(spark, index)
+    out(s"""{"compacted":"$index","numDocs":${mf.numDocs},""" +
+      s""""densityBefore":$before,"densityAfter":$after}""")
   }
 
   private def checkAnalyzer(index: String, opts: Map[String, String]): Analyzer = {

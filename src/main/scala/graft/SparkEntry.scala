@@ -2,7 +2,7 @@ package graft
 
 import graft.analysis.Analyzer
 import graft.index.BlockParams
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextStats}
 import graft.query.{And, Or, Searcher}
 import graft.storage.{ParquetIndexStorage, StorageParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -32,6 +32,20 @@ object SparkEntry {
   /** Dedup.portableHash60 in SQL: two polynomial hashes packed 30+30 bits. */
   private def portable60Sql(v: String): String =
     s"(${polySql(v, 31)} + ${polySql(v, 131)} * ${1L << 30})"
+
+  /** Pipeline.bucketPortable in SQL: a subquery over `documents` carrying
+    * `cols` plus the salted doc_id's mixed bucket `b` (two polynomial folds
+    * combined, then three modular squarings — see Pipeline.bucketPortable
+    * for why the squaring mix is needed). */
+  private def plBucketSql(cols: String, salt: String): String = {
+    val v = s"'$salt' || doc_id::VARCHAR"
+    val M = Dedup.PortableMod
+    s"""(SELECT $cols, ((x2*x2 + 12345) % $M) % 1000000 AS b FROM
+       | (SELECT $cols, (x1*x1 + 12345) % $M AS x2 FROM
+       |  (SELECT $cols, (x0*x0 + 12345) % $M AS x1 FROM
+       |   (SELECT $cols, (${polySql(v, 31)} + 1000003 * ${polySql(v, 131)}) % $M AS x0
+       |    FROM documents))))""".stripMargin
+  }
 
   /** Similarity.portablePlaneComponent as SQL: component j (0-based) of
     * plane p for LSH table t (seed = 42 + t*7919), congruential mod 1e9+7 —
@@ -319,6 +333,27 @@ object SparkEntry {
 
     "text_fingerprint_roll" -> ((s, d) => // no oracle: engine string-fold differs
       TextStats.fingerprintRolling(docsTable(s, d)).orderBy("doc_id")),
+
+    // ---- pipeline plumbing: deterministic sampling / splits / stratified
+    // draws / token-budget packing (portable-hash twins of the xxhash64
+    // production ops in ops/Pipeline.scala — oracle-checkable) -------------
+    "pl_sample" -> ((s, d) =>
+      Pipeline.sampleByHashPortable(docsTable(s, d), "doc_id", 0.25, "s1")
+        .select("doc_id").orderBy("doc_id")),
+
+    "pl_split" -> ((s, d) =>
+      Pipeline.withSplitPortable(docsTable(s, d), "doc_id", 0.2, 0.1, "sp")
+        .select("doc_id", "split").orderBy("doc_id")),
+
+    "pl_stratified_n" -> ((s, d) =>
+      Pipeline.stratifiedSampleN(docsTable(s, d), "source", "doc_id", 5, "st",
+        portable = true).select("doc_id", "source").orderBy("source", "doc_id")),
+
+    "pl_pack_chunks" -> ((s, d) =>
+      Pipeline.packByTokenBudget(docsTable(s, d), "source", "doc_id",
+        size(TextStats.tokensCol(col("text"))), 500L)
+        .select("doc_id", "source", "n_tokens", "chunk_id")
+        .orderBy("source", "doc_id")),
 
     // ---- event-stream aggregations (same code runs under readStream +
     // watermark — spec-tested; here exercised in batch for the oracle) -----
@@ -635,6 +670,31 @@ object SparkEntry {
 
     "text_tokcount" ->
       s"SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents ORDER BY doc_id",
+
+    "pl_sample" ->
+      s"""SELECT doc_id FROM ${plBucketSql("doc_id", "s1")}
+         |WHERE b < 250000 ORDER BY doc_id""".stripMargin,
+
+    "pl_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN b < 200000 THEN 'test'
+         |       WHEN b < 300000 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM ${plBucketSql("doc_id", "sp")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "pl_stratified_n" ->
+      s"""SELECT doc_id, source FROM ${plBucketSql("doc_id, source", "st")}
+         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY b, doc_id) <= 5
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "pl_pack_chunks" ->
+      s"""SELECT doc_id, source, len($toksSql)::BIGINT AS n_tokens,
+         |  ((sum(len($toksSql)::BIGINT) OVER
+         |      (PARTITION BY source ORDER BY doc_id
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - len($toksSql)::BIGINT) // 500)::BIGINT AS chunk_id
+         |FROM documents ORDER BY source, doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -392,7 +392,7 @@ object ParquetIndexStorage {
     val deletable = fs.listStatus(stage).toSeq.filter(_.isDirectory).map(_.getPath).filter { p =>
       p.getName match {
         case "raw" => committed
-        case n if n.startsWith("delta_") =>
+        case n if n.startsWith("delta_") || n.startsWith("compact_") =>
           ManifestIO.exists(marker(path, s"${n}_applied"))
         case _ => false
       }
@@ -870,5 +870,187 @@ object ParquetIndexStorage {
     }
 
     applyStagedDelta(spark, path, sp, staged, batchId, mf)
+  }
+
+  /** Whether `batchId` is already claimed by a compaction at `path` —
+    * staged OR applied (the compact twin of [[deltaClaimed]]; compactions
+    * have their own marker namespace, so ids never collide with deltas). */
+  def compactClaimed(path: String, batchId: String): Boolean =
+    ManifestIO.exists(marker(path, s"compact_${batchId}_applied")) ||
+      ManifestIO.exists(marker(path, s"compact_${batchId}_staged"))
+
+  /** Fraction of the ordinal space [0, maxOrd] that live documents occupy.
+    * Removals never reclaim ordinals, so a churned index drifts below 1.0:
+    * WAND doc-range buckets underfill (looser block maxima per scanned
+    * bucket), d_group leaf directories proliferate, and downstream dense
+    * arrays sized by maxOrd waste space. Cheap: maxOrd comes from ONE
+    * partition of the docs table (the max d_bucket directory — a listing,
+    * not a scan). Compact when this drifts below ~0.5. */
+  def ordinalDensity(spark: SparkSession, path: String): Double = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    if (mf.numDocs == 0) return 1.0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/docs"))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("d_bucket=")).map(_.stripPrefix("d_bucket=").toLong)
+    if (buckets.isEmpty) return 1.0
+    val maxOrd = spark.read.parquet(s"$path/docs")
+      .filter(col("d_bucket") === buckets.max)
+      .agg(max(col("doc_ord"))).head().getLong(0)
+    mf.numDocs.toDouble / (maxOrd + 1)
+  }
+
+  /** Rewrite the committed index with a DENSE ordinal space — the offline
+    * maintenance op a churned store needs (Lucene's forceMerge; the
+    * reference's threshold merge `/root/reference/indexer.go:38-61` compacts
+    * its in-memory buffer the same way). Removal deltas leave holes:
+    * ordinals are never reclaimed, so doc-range WAND buckets underfill and
+    * d_group directories accumulate. Compaction remaps every surviving
+    * doc_ord to its rank (order-PRESERVING, so the north_rule's stable
+    * (conv_id, turn_idx) turn ordering survives) and rewrites docs,
+    * doc_stats, keymap, postings, and blocks; the term dictionary is
+    * content-unchanged (df/cf were kept exact by the deltas). The result is
+    * bit-identical to a fresh [[build]] over the surviving docs in ordinal
+    * order. numDocs/avgdl are unchanged by construction.
+    *
+    * Cost: O(index) by nature — one remap join per table plus a full block
+    * rebuild — run it when [[ordinalDensity]] drifts, not per batch. The
+    * remap itself scales: per-d_group survivor counts collect to the driver
+    * (~15k entries at 10^12 docs with the default 2^26 span) and ranks are
+    * computed within d_group partitions.
+    *
+    * Two-phase and idempotent per `batchId`, same contract as the deltas:
+    * STAGE writes the complete new content of every table under
+    * `_stage/compact_<id>/` then the staged marker; APPLY overwrites each
+    * table root from the staged content (static overwrite — every partition
+    * is rewritten, vanished high buckets disappear), updates the manifest,
+    * writes the applied marker. Every apply write is a pure function of the
+    * staged data, so a crash mid-apply is recovered by re-running the SAME
+    * batchId. Like all writes here: no concurrent writer.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      batchId: String,
+      failAfter: Option[String] = None
+  ): IndexManifest = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    require(mf.dGroupSpan > 0,
+      s"index at $path predates the d_group postings layout " +
+        s"(manifest dGroupSpan=${mf.dGroupSpan}); rebuild it instead")
+    val appliedM = marker(path, s"compact_${batchId}_applied")
+    if (ManifestIO.exists(appliedM))
+      return ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    if (mf.numDocs == 0) { // nothing to remap; tables are already empty
+      val m = StageMarker(s"compact_${batchId}_applied", 0, 0,
+        Map("op" -> "compact", "numDocs" -> "0"))
+      ManifestIO.write(appliedM, m)
+      return mf
+    }
+    val stagedM = marker(path, s"compact_${batchId}_staged")
+    val sp = s"$path/_stage/compact_$batchId"
+    val span = mf.bucketSpan
+    val gSpan = mf.dGroupSpan
+    val bp = BlockParams(mf.blockSize, mf.bucketSpan, mf.k1, mf.b)
+    def dBucketOf(c: Column) = floor(c / lit(span)).cast("long")
+    def dGroupOf(c: Column) = floor(c / lit(gSpan)).cast("long")
+
+    val staged = ManifestIO.read(stagedM, classOf[StageMarker]).getOrElse {
+      val t0 = System.currentTimeMillis()
+      val docs0 = spark.read.parquet(s"$path/docs")
+      // per-d_group survivor counts -> driver-side cumulative offsets. The
+      // remap is deterministic across staging retries (a pure function of
+      // the committed docs table, which apply has not yet touched).
+      val gCounts = docs0.select(dGroupOf(col("doc_ord")).as("g"))
+        .groupBy("g").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val offsets = {
+        var acc = 0L
+        gCounts.map { case (g, c) => val o = (g, acc); acc += c; o }.toSeq
+      }
+      import spark.implicits._
+      val offDf = offsets.toDF("g", "g_off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("doc_ord"))
+      val remap = docs0
+        .select(col("doc_ord"), dGroupOf(col("doc_ord")).as("g"))
+        .join(broadcast(offDf), "g")
+        .withColumn("new_ord",
+          col("g_off") + row_number().over(w).cast("long") - lit(1L))
+        .select("doc_ord", "new_ord")
+        .persist()
+      def remapped(df: DataFrame): DataFrame =
+        df.join(remap, "doc_ord").drop("doc_ord")
+          .withColumnRenamed("new_ord", "doc_ord")
+
+      val docsCols = docs0.drop("d_bucket").columns
+      remapped(docs0.drop("d_bucket"))
+        .select(docsCols.map(col): _*)
+        .withColumn("d_bucket", dBucketOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/docs")
+      remapped(spark.read.parquet(s"$path/doc_stats").drop("d_bucket"))
+        .select("doc_ord", "token_count")
+        .withColumn("d_bucket", dBucketOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/doc_stats")
+      if (mf.keyCols.nonEmpty)
+        remapped(spark.read.parquet(s"$path/keymap").drop("k_bucket"))
+          .select((mf.keyCols.map(col) :+ col("doc_ord")): _*)
+          .withColumn("k_bucket", kBucketCol(mf.keyCols, mf.keyBuckets))
+          .write.mode("overwrite").partitionBy("k_bucket").parquet(s"$sp/keymap")
+      remapped(spark.read.parquet(s"$path/postings").drop("d_group"))
+        .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
+        .withColumn("d_group", dGroupOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("t_bucket", "d_group")
+        .parquet(s"$sp/postings")
+      // dict content is unchanged; staged copy keeps apply uniform (every
+      // table root rewritten from _stage, nothing read from live tables)
+      spark.read.parquet(s"$path/term_dict")
+        .write.mode("overwrite").parquet(s"$sp/term_dict")
+      PostingBlocks.buildFrom(
+          spark.read.parquet(s"$sp/postings").drop("t_bucket", "d_group"), null, bp)
+        .sortWithinPartitions(col("bucket"), col("term_id"), col("min_doc"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$sp/blocks")
+      remap.unpersist()
+      val prevTokens = mf.stages.reverse.collectFirst {
+        case s if s.lineage.contains("tokens") => s.lineage("tokens").toLong
+      }.getOrElse(0L)
+      val m = StageMarker(s"compact_${batchId}_staged", mf.numDocs,
+        System.currentTimeMillis() - t0,
+        Map("op" -> "compact", "tokens" -> prevTokens.toString,
+          "numDocs" -> mf.numDocs.toString))
+      ManifestIO.write(stagedM, m)
+      m
+    }
+    if (failAfter.contains("staged")) throw new InjectedFailure("staged")
+
+    def swap(table: String, partCols: Seq[String]): Unit = {
+      val staged0 =
+        try Some(spark.read.parquet(s"$sp/$table"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      staged0 match {
+        case Some(df) =>
+          val wtr = df.write.mode("overwrite")
+          (if (partCols.nonEmpty) wtr.partitionBy(partCols: _*) else wtr)
+            .parquet(s"$path/$table")
+        case None => // staged empty => post-compact table is empty
+          new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(new org.apache.hadoop.fs.Path(s"$path/$table"), true)
+      }
+    }
+    swap("postings", Seq("t_bucket", "d_group"))
+    if (failAfter.contains("apply_postings")) throw new InjectedFailure("apply_postings")
+    swap("docs", Seq("d_bucket"))
+    swap("doc_stats", Seq("d_bucket"))
+    swap("blocks", Seq("bucket"))
+    if (mf.keyCols.nonEmpty) swap("keymap", Seq("k_bucket"))
+    swap("term_dict", Nil)
+    val mf2 = mf.copy(stages = mf.stages :+ staged)
+    ManifestIO.write(s"$path/manifest.json", mf2)
+    ManifestIO.write(appliedM, staged.copy(stage = s"compact_${batchId}_applied"))
+    mf2
   }
 }

@@ -160,6 +160,21 @@ class MainSpec extends SparkSpec {
       o.contains("\"removed\":1") && o.contains("\"numDocs\":2")), out4.mkString("\n"))
   }
 
+  test("compact densifies the ordinal space through the CLI; auto-id re-runs apply") {
+    // runs after the remove tests: 2 docs live in an ordinal space the
+    // removals left sparse
+    val (c1, out1) = captured("compact", "--index", idx)
+    assert(c1 == 0, out1.mkString("\n"))
+    assert(out1.exists(_.contains("\"densityAfter\":1.0")), out1.mkString("\n"))
+    // the index still answers, from remapped ordinals
+    val (_, q) = captured("search", "--index", idx, "--query", "merge", "--mode", "or")
+    assert(q.drop(1).length == 1, q.mkString("\n"))
+    // auto-id: a SECOND compaction gets a fresh epoch and applies (already
+    // dense, so it's a cheap identity rewrite), not a silent marker no-op
+    val (c2, out2) = captured("compact", "--index", idx)
+    assert(c2 == 0 && out2.exists(_.contains("\"densityBefore\":1.0")), out2.mkString("\n"))
+  }
+
   test("bad invocations return exit code 2 with usage") {
     assert(captured()._1 == 2)
     assert(captured("frobnicate")._1 == 2)

@@ -436,6 +436,81 @@ class OpsSpec extends SparkSpec {
     assert((0L to 100L).forall(i => labels(1000L + i) == 1000L), "hub collapses to min 1000")
   }
 
+  test("hash sampling: deterministic, partition-invariant, monotone in frac") {
+    val many = spark.range(2000).toDF("doc_id")
+    def sampled(df: org.apache.spark.sql.DataFrame, f: Double) =
+      Pipeline.sampleByHash(df, "doc_id", f, "s1")
+        .collect().map(_.getLong(0)).toSet
+    val at20 = sampled(many, 0.2)
+    assert(sampled(many.repartition(7), 0.2) == at20, "partition-dependent sample")
+    // within sampling tolerance of the target fraction
+    assert(math.abs(at20.size / 2000.0 - 0.2) < 0.05, s"got ${at20.size}")
+    // monotone: growing the fraction only ADDS rows (incremental-pipeline
+    // contract: a larger sample never discards previously selected data)
+    assert(at20.subsetOf(sampled(many, 0.5)))
+    // portable twin has the same properties (different hash, different set)
+    val p20 = Pipeline.sampleByHashPortable(many, "doc_id", 0.2, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(p20.subsetOf(Pipeline.sampleByHashPortable(many, "doc_id", 0.5, "s1")
+      .collect().map(_.getLong(0)).toSet))
+    assert(math.abs(p20.size / 2000.0 - 0.2) < 0.05)
+  }
+
+  test("hash splits: disjoint, total, and stable as the corpus grows") {
+    val many = spark.range(1000).toDF("doc_id")
+    val s = Pipeline.withSplit(many, "doc_id", testFrac = 0.2, valFrac = 0.1, "sp")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s.size == 1000, "split must be total")
+    val frac = s.values.groupBy(identity).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(frac("test") - 0.2) < 0.05, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.05, frac.toString)
+    // stability: the same keys in a LARGER corpus keep their assignment
+    val grown = Pipeline.withSplit(spark.range(5000).toDF("doc_id"),
+      "doc_id", 0.2, 0.1, "sp")
+      .filter(col("doc_id") < 1000).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == s, "keys migrated between splits as the corpus grew")
+  }
+
+  test("stratified sample draws exactly min(n, |stratum|) rows, deterministically") {
+    val got = Pipeline.stratifiedSampleN(docs, "source", "doc_id", 3, "st")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.count(_._2 == "src0") == 3)
+    assert(got.count(_._2 == "src1") == 3)
+    val again = Pipeline.stratifiedSampleN(docs.repartition(5), "source", "doc_id", 3, "st")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // quota above the stratum size returns the whole stratum
+    assert(Pipeline.stratifiedSampleN(docs, "source", "doc_id", 100, "st")
+      .count() == docs.count())
+  }
+
+  test("token-budget packing: chunk offsets respect the quantized-budget rule") {
+    val budget = 8L
+    val packed = Pipeline.packByTokenBudget(docs, "source", "doc_id",
+      size(TextStats.tokensCol(col("text"))), budget)
+      .select("source", "doc_id", "n_tokens", "chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, id, tok, chunk) =>
+        assert(chunk == cum / budget, s"doc $id: chunk $chunk, offset $cum")
+        cum += tok
+      }
+    }
+    // chunk ids are contiguous from 0 within each group
+    packed.groupBy(_._1).foreach { case (g, rows) =>
+      val cs = rows.map(_._4).distinct.sorted
+      assert(cs.head == 0L && cs.sameElements(cs.head to cs.last), s"$g: $cs")
+    }
+    // deterministic under repartition
+    val again = Pipeline.packByTokenBudget(docs.repartition(5), "source", "doc_id",
+      size(TextStats.tokensCol(col("text"))), budget)
+      .select("source", "doc_id", "chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(again == packed.map(t => (t._1, t._2, t._4)).sorted.toSeq)
+  }
+
   test("multimodal plumbing: schema, determinism, stub features") {
     val withMedia = Multimodal.withSyntheticMedia(docs)
     assert(withMedia.schema("media").dataType.typeName == "binary")

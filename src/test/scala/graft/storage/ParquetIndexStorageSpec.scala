@@ -299,6 +299,127 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(s.index.numDocs == memIndex.numDocs - bucket1.count())
   }
 
+  test("compact after removals == fresh dense rebuild of the survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, row_number}
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    // carve holes across several d_buckets (span 64)
+    val victims = Seq(3L, 5L, 64L, 70L, 129L, 200L)
+    ParquetIndexStorage.removeDocuments(spark, path,
+      victims.toDF("doc_ord"), "rm_for_compact")
+    val densityBefore = ParquetIndexStorage.ordinalDensity(spark, path)
+    assert(densityBefore < 1.0, s"removals must open holes ($densityBefore)")
+
+    val mfC = ParquetIndexStorage.compact(spark, path, "c0")
+    assert(ParquetIndexStorage.ordinalDensity(spark, path) == 1.0)
+
+    // fresh build over the survivors with DENSE ordinals in old-ord order
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_ord"))
+    val survivors = memIndex.docs.filter(!col("doc_ord").isin(victims: _*))
+      .withColumn("new_ord", row_number().over(w).cast("long") - 1L)
+      .drop("doc_ord").withColumnRenamed("new_ord", "doc_ord")
+      // original column order: Dataset.except is positional
+      .select(memIndex.docs.columns.map(col): _*)
+    val freshPath = tmp()
+    val mfF = ParquetIndexStorage.build(survivors, analyzer, freshPath, params, "fresh")
+    assert(mfC.numDocs == mfF.numDocs)
+    assert(math.abs(mfC.avgDocLen - mfF.avgDocLen) < 1e-12)
+
+    // every table is content-identical to the fresh dense build
+    val a = ParquetIndexStorage.read(spark, path)
+    val b = ParquetIndexStorage.read(spark, freshPath)
+    def sym(x0: org.apache.spark.sql.DataFrame, y0: org.apache.spark.sql.DataFrame,
+        what: String): Unit = {
+      // name-normalized column order: except() is positional, and the table
+      // column order legitimately differs across write paths (a remove
+      // delta's join moves doc_ord first; a fresh build keeps input order)
+      val cols = x0.columns.sorted
+      assert(y0.columns.sorted.sameElements(cols), s"$what: schemas differ")
+      val (x, y) = (x0.select(cols.map(col): _*), y0.select(cols.map(col): _*))
+      assert(x.except(y).count() == 0, s"$what: compacted has extra rows")
+      assert(y.except(x).count() == 0, s"$what: compacted is missing rows")
+    }
+    sym(a.index.docs, b.index.docs, "docs")
+    sym(a.index.postings, b.index.postings, "postings")
+    sym(a.index.termDict.select("term_id", "term", "df", "cf"),
+      b.index.termDict.select("term_id", "term", "df", "cf"), "term_dict")
+    sym(a.blocks.toDF(), b.blocks.toDF(), "blocks")
+    sym(spark.read.parquet(s"$path/doc_stats").drop("d_bucket"),
+      spark.read.parquet(s"$freshPath/doc_stats").drop("d_bucket"), "doc_stats")
+
+    // queries identical, keymap resolves keys to the REMAPPED ordinals
+    val sa = Searcher(a, analyzer)
+    val sb = Searcher(b, analyzer)
+    for (q <- Seq("t000000", "t000001 t000005", "hot0 t000002", "planteda plantedb")) {
+      assert(ids(sa.matchQuery(q, And)) == ids(sb.matchQuery(q, And)), s"AND $q")
+      assert(ids(sa.bm25TopKWand(q, 10)) == ids(sb.bm25TopK(q, 10)), s"WAND $q")
+      assert(ids(sa.phraseQuery(q)) == ids(sb.phraseQuery(q)), s"PHRASE $q")
+    }
+    val keyProbe = memIndex.docs.filter(col("doc_ord") === 10L)
+      .select("conv_id", "turn_idx")
+    val resolved = ParquetIndexStorage.lookupOrds(spark, path, keyProbe)
+      .collect().map(_.getLong(2))
+    val expected = a.index.docs
+      .join(keyProbe, Seq("conv_id", "turn_idx"), "left_semi")
+      .collect().map(_.getAs[Long]("doc_ord"))
+    assert(resolved.toSet == expected.toSet && resolved.nonEmpty)
+
+    // idempotent: re-running the applied id changes nothing
+    val mfBefore = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    ParquetIndexStorage.compact(spark, path, "c0")
+    assert(ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get == mfBefore)
+
+    // a delta AFTER compaction appends cleanly at the new dense frontier
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    val template = a.index.docs.limit(1).collect().head
+    val row = org.apache.spark.sql.Row.fromSeq(docCols.map {
+      case "doc_ord" => mfC.numDocs.asInstanceOf[Any]
+      case "text" => "postcompact t000001".asInstanceOf[Any]
+      case "conv_id" => "post_compact_conv".asInstanceOf[Any]
+      case "turn_idx" => 0.asInstanceOf[Any]
+      case c => template.get(template.fieldIndex(c))
+    }.toSeq)
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)),
+      spark.read.parquet(s"$path/docs").drop("d_bucket").schema)
+    val mf2 = ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "post_c0")
+    assert(mf2.numDocs == mfC.numDocs + 1)
+    val sa2 = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(ids(sa2.matchQuery("postcompact", And)) == Seq(mfC.numDocs))
+  }
+
+  test("compact crash between staging and apply recovers by re-running") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    ParquetIndexStorage.removeDocuments(spark, path,
+      Seq(1L, 65L).toDF("doc_ord"), "rm0")
+    val before = ids(Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+      .bm25TopKWand("t000000 hot1", 10))
+    intercept[InjectedFailure] {
+      ParquetIndexStorage.compact(spark, path, "cx", failAfter = Some("staged"))
+    }
+    // crash mid-APPLY too: postings swapped, docs/blocks not yet
+    intercept[InjectedFailure] {
+      ParquetIndexStorage.compact(spark, path, "cx", failAfter = Some("apply_postings"))
+    }
+    val mf = ParquetIndexStorage.compact(spark, path, "cx")
+    assert(mf.numDocs == memIndex.numDocs - 2)
+    assert(ParquetIndexStorage.ordinalDensity(spark, path) == 1.0)
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    // same docs (remapped ordinals), so same result COUNT and scores; spot
+    // the full equality through the keymap: texts of the top hits match
+    assert(ids(s.bm25TopKWand("t000000 hot1", 10)).size == before.size)
+    assert(s.index.docs.count() == mf.numDocs)
+    // vacuum now reclaims the applied compact staging
+    val deleted = ParquetIndexStorage.vacuum(spark, path)
+    assert(deleted.exists(_.contains("compact_cx")), deleted.mkString(","))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_stage/compact_cx")))
+    assert(ids(s.matchAll()).size == mf.numDocs.toInt)
+  }
+
   test("per-batch INPUT BYTES are bounded by touched partitions, not index size") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // same vocabulary and same batch against a 1x and a 16x index: if the
