@@ -46,6 +46,9 @@ import org.apache.spark.sql.functions._
   *  - `compact`: rewrite the index with a dense ordinal space (removals
   *    never reclaim ordinals). Offline maintenance — run when the reported
   *    ordinal density drifts low; idempotent per `--batch-id`.
+  *  - `stats`: one JSON line of index introspection (docs, avgdl, vocab
+  *    size, ordinal density, applied stages) — cheap: manifest + the
+  *    vocab-sized dictionary + one docs partition.
   *
   * The query-side analyzer MUST match the one the index was built with; the
   * manifest records the build analyzer and a mismatch fails loudly (scoring
@@ -66,7 +69,7 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.Main <build|delta|remove|search|batch|vacuum|compact> [options]
+    """usage: graft.Main <build|delta|remove|search|batch|vacuum|compact|stats> [options]
       |  build  --input <parquet> --index <path> [--text-col text]
       |         [--analyzer standard|stem|ngram:N] [--stopwords a,b,c]
       |         [--term-buckets 64] [--write-groups 8] [--block-size 128]
@@ -80,7 +83,8 @@ object Main {
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
-      |  compact --index <path> [--batch-id <id>]""".stripMargin
+      |  compact --index <path> [--batch-id <id>]
+      |  stats  --index <path>""".stripMargin
 
   /** Testable core: returns a process exit code, prints through `out`. */
   def run(spark: SparkSession, args: Seq[String], out: String => Unit): Int = {
@@ -102,6 +106,7 @@ object Main {
           val deleted = ParquetIndexStorage.vacuum(spark, req("index"))
           out(s"""{"vacuumed":${deleted.size}}""")
         case "compact" => compact(spark, req("index"), opts, out)
+        case "stats"   => stats(spark, req("index"), out)
         case other    => out(s"error: unknown subcommand '$other'"); out(usage); return 2
       }
       0
@@ -218,6 +223,21 @@ object Main {
     val after = ParquetIndexStorage.ordinalDensity(spark, index)
     out(s"""{"compacted":"$index","numDocs":${mf.numDocs},""" +
       s""""densityBefore":$before,"densityAfter":$after}""")
+  }
+
+  private def stats(spark: SparkSession, index: String, out: String => Unit): Unit = {
+    val mf = graft.storage.ManifestIO
+      .read(s"$index/manifest.json", classOf[graft.storage.IndexManifest])
+      .getOrElse(throw new IllegalArgumentException(s"no committed index at $index"))
+    val density = ParquetIndexStorage.ordinalDensity(spark, index)
+    val vocab = spark.read.parquet(s"$index/term_dict").count()
+    val tokens = mf.stages.reverse.collectFirst {
+      case s if s.lineage.contains("tokens") => s.lineage("tokens").toLong
+    }.getOrElse(-1L)
+    out(s"""{"index":"$index","numDocs":${mf.numDocs},"avgDocLen":${mf.avgDocLen},""" +
+      s""""tokens":$tokens,"vocab":$vocab,"ordinalDensity":$density,""" +
+      s""""analyzer":"${mf.analyzer}","formatVersion":${mf.formatVersion},""" +
+      s""""termBuckets":${mf.termBuckets},"stages":${mf.stages.size}}""")
   }
 
   private def checkAnalyzer(index: String, opts: Map[String, String]): Analyzer = {

@@ -173,6 +173,11 @@ class MainSpec extends SparkSpec {
     // dense, so it's a cheap identity rewrite), not a silent marker no-op
     val (c2, out2) = captured("compact", "--index", idx)
     assert(c2 == 0 && out2.exists(_.contains("\"densityBefore\":1.0")), out2.mkString("\n"))
+    // stats introspection agrees with the post-compact state
+    val (c3, out3) = captured("stats", "--index", idx)
+    assert(c3 == 0 && out3.exists(o =>
+      o.contains("\"numDocs\":2") && o.contains("\"ordinalDensity\":1.0") &&
+        o.contains("\"analyzer\":")), out3.mkString("\n"))
   }
 
   test("bad invocations return exit code 2 with usage") {
