@@ -81,10 +81,26 @@ object DictProbe {
               .join(broadcast(local._1.select("term_id", "term_h")), "term_h")
               .count()
           }
+
+          // (e) REJECTED alternative, kept as evidence: keying the vocab agg
+          // on the LONG term_h (min/max(term) carrying the string + a free
+          // collision check) measured ~2x SLOWER than the string-keyed agg
+          // (2.1s vs 1.0s warm at local[8]) — maintaining two running
+          // string min/max per group costs more per row than hashing the
+          // string key once. The string agg stays.
+          val (hRows, tHashed) = t {
+            byTermDoc.groupBy(col("term_h"))
+              .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+                min(col("term")).as("term"), max(col("term")).as("term_mx"))
+              .limit(IndexBuilder.SmallVocabMax + 1).collect()
+          }
+          require(hRows.forall(r => r.getAs[String]("term") == r.getAs[String]("term_mx")),
+            "unexpected 64-bit term_h collision in probe corpus")
+
           println(f"PROBE cpus=$cpus rep=$rep docsCache=$tDocsCache%.2f " +
             f"ids(count+collect)=$tIds%.2f outCache+agg=$tOutCache%.2f " +
             f"bcastCached=$tBcast%.2f :: fusedLocal=$tFused%.2f bcastLocal=$tBcastLocal%.2f " +
-            f"(vocab=$cnt)")
+            f"fusedHashed=$tHashed%.2f (vocab=$cnt)")
           out.unpersist(); d.unpersist()
         }
         ordCleanup()

@@ -928,7 +928,10 @@ object ParquetIndexStorage {
     * is rewritten, vanished high buckets disappear), updates the manifest,
     * writes the applied marker. Every apply write is a pure function of the
     * staged data, so a crash mid-apply is recovered by re-running the SAME
-    * batchId. Like all writes here: no concurrent writer.
+    * batchId. Like all writes here: no concurrent writer. A live
+    * [[graft.streaming.StreamingIndexer]] attached to this store holds
+    * pre-compaction ordinals — its flush detects the compaction (manifest
+    * compact-stage count) and fails loudly; re-attach after compacting.
     */
   def compact(
       spark: SparkSession,

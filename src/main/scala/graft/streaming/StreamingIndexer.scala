@@ -64,6 +64,17 @@ final class StreamingIndexer(
   private def keymapUsable: Boolean =
     storageManifest.exists(m => m.keyCols == Seq("conv_id", "turn_idx"))
 
+  // A compaction REMAPS ordinals: this indexer's cached base frames and its
+  // minted ordinals (nextOrd) refer to the PRE-compaction space, and
+  // addDocuments treats an ordinal collision as a REPLACEMENT — flushing
+  // stale ordinals into a compacted store would silently overwrite
+  // arbitrary other documents. Record the store's compaction count at
+  // attach; flush checks it and fails loudly on a mismatch.
+  private def compactCount(mf: graft.storage.IndexManifest): Long =
+    mf.stages.count(_.stage.startsWith("compact_"))
+  private val attachedCompactCount: Long =
+    storageManifest.map(compactCount).getOrElse(0L)
+
   // ---- mutable state (driver-side; all DataFrames below are cached) ------
   @volatile private var base: TextIndex = initial
   @volatile private var tombstones: DataFrame = emptyOrds() // base ords replaced
@@ -405,6 +416,14 @@ final class StreamingIndexer(
       tombstones, removedKeys)
     storagePath match {
       case Some(path) =>
+        val nowMf = graft.storage.ManifestIO
+          .read(s"$path/manifest.json", classOf[graft.storage.IndexManifest])
+          .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+        require(compactCount(nowMf) == attachedCompactCount,
+          s"index at $path was compacted while this StreamingIndexer was " +
+            "attached: its buffered ordinals refer to the pre-compaction " +
+            "space and flushing them would alias other documents — discard " +
+            "this indexer and re-attach with StreamingIndexer.overStorage")
         // restart-safe batch id: the epoch counter restarts at 0 with the
         // process, and addDocuments is idempotent PER id — reusing a
         // claimed id would silently swallow this flush's buffered docs

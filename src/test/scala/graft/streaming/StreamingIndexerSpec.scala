@@ -211,6 +211,41 @@ class StreamingIndexerSpec extends SparkSpec {
     assert(byKey(new Searcher(si.index, analyzer), "zeta") == Set(("c00007", 0)))
   }
 
+  test("flush refuses to write into a store compacted since attach") {
+    import graft.index.BlockParams
+    import graft.storage.{ParquetIndexStorage, StorageParams}
+    val baseRows = corpus(60)
+    val baseIdx = IndexBuilder.buildFromTurns(turnsDf(baseRows), analyzer, materialize = true)
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_cmp_").toString
+    ParquetIndexStorage.build(baseIdx.docs, analyzer, path,
+      StorageParams(termBuckets = 8, writeGroups = 2, saltFactor = 2,
+        blockParams = BlockParams(blockSize = 32, bucketSpan = 64),
+        dGroupSpan = 64, keyCols = Seq("conv_id", "turn_idx"), keyBuckets = 16), "spec")
+    // open a hole so the compaction actually remaps ordinals
+    ParquetIndexStorage.removeDocuments(spark, path,
+      Seq(("c00002", 0)).toDF("conv_id", "turn_idx"), "pre_rm")
+
+    val si = StreamingIndexer.overStorage(spark, path, analyzer,
+      flushThreshold = Long.MaxValue)
+    si.addBatch(turnsDf(Seq(("y1", 0, "buffered sigma"))))
+    // external compaction while the indexer holds buffered state: its
+    // minted ordinal for y1 now points into the REMAPPED space
+    ParquetIndexStorage.compact(spark, path, "cmp_guard")
+    val e = intercept[IllegalArgumentException](si.flush())
+    assert(e.getMessage.contains("compacted"), e.getMessage)
+    // nothing was written: the store still answers from the compacted state
+    val cold = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(cold.index.numDocs == baseIdx.numDocs - 1)
+    assert(cold.matchQuery("sigma", Or).count() == 0)
+    // a FRESH indexer over the compacted store works
+    val si2 = StreamingIndexer.overStorage(spark, path, analyzer,
+      flushThreshold = Long.MaxValue)
+    si2.addBatch(turnsDf(Seq(("y1", 0, "buffered sigma"))))
+    si2.flush()
+    val cold2 = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(cold2.matchQuery("sigma", Or).count() == 1)
+  }
+
   test("storage-backed flush commits deltas to disk == fresh batch build") {
     import graft.index.BlockParams
     import graft.storage.{ParquetIndexStorage, StorageParams}
