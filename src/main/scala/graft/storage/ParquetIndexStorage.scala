@@ -121,6 +121,14 @@ object ParquetIndexStorage {
         }
     }
 
+  /** How many compactions this manifest has applied. Staged deltas record
+    * it ([[applyStagedDelta]] refuses a mismatch): a compaction REMAPS
+    * ordinals, so staged content from before one refers to documents that
+    * no longer live at those ordinals — applying it would silently
+    * overwrite arbitrary other documents. */
+  private def compactEpoch(mf: IndexManifest): Long =
+    mf.stages.count(_.stage.startsWith("compact_"))
+
   /** Pushable doc-range predicate for a set of span-sized buckets: an OR of
     * BETWEENs (parquet row-group prunable) for few buckets, else a single
     * covering range AND the exact bucket membership. `floor(doc_ord/span)
@@ -628,6 +636,7 @@ object ParquetIndexStorage {
       val m = StageMarker(s"delta_${batchId}_staged", added,
         System.currentTimeMillis() - t0,
         Map("op" -> "add",
+          "compactEpoch" -> compactEpoch(mf).toString,
           "tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "replaced" -> replaced.toString,
           "dGroups" -> dGroups.mkString(","),
@@ -649,6 +658,19 @@ object ParquetIndexStorage {
   private def applyStagedDelta(
       spark: SparkSession, path: String, sp: String,
       staged: StageMarker, batchId: String, mf: IndexManifest): IndexManifest = {
+    // staged content indexed by PRE-compaction ordinals must never reach a
+    // compacted store (the recovery path hits this: delta staged, crash
+    // before apply, compact, delta re-run). Absent field = pre-guard marker
+    // from an older store version — no check possible there.
+    staged.lineage.get("compactEpoch").foreach { e =>
+      if (e.toLong != compactEpoch(mf))
+        throw new IllegalStateException(
+          s"staged delta '$batchId' at $path predates a compaction (staged at " +
+            s"compact epoch $e, store is at ${compactEpoch(mf)}): its ordinals were " +
+            "remapped and applying it would overwrite other documents — discard " +
+            "the staged batch (vacuum cannot; delete _stage/delta_" + batchId +
+            " and its markers) and re-submit it")
+    }
     // dynamic overwrite only replaces partitions PRESENT in the staged
     // data; a touched partition whose post-delta content is EMPTY (e.g.
     // every doc of a range replaced away) must be deleted explicitly
@@ -860,6 +882,7 @@ object ParquetIndexStorage {
       val m = StageMarker(s"delta_${batchId}_staged", removed,
         System.currentTimeMillis() - t0,
         Map("op" -> "remove",
+          "compactEpoch" -> compactEpoch(mf).toString,
           "tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "removed" -> removed.toString,
           "dGroups" -> dGroups.mkString(","),
@@ -1022,12 +1045,23 @@ object ParquetIndexStorage {
       }.getOrElse(0L)
       val m = StageMarker(s"compact_${batchId}_staged", mf.numDocs,
         System.currentTimeMillis() - t0,
-        Map("op" -> "compact", "tokens" -> prevTokens.toString,
+        Map("op" -> "compact", "compactEpoch" -> compactEpoch(mf).toString,
+          "tokens" -> prevTokens.toString,
           "numDocs" -> mf.numDocs.toString))
       ManifestIO.write(stagedM, m)
       m
     }
     if (failAfter.contains("staged")) throw new InjectedFailure("staged")
+    // same recovery hazard as deltas: this compaction's staged remap was
+    // computed against the store as of ITS staging — another compaction
+    // applied in between remapped the ordinals again
+    staged.lineage.get("compactEpoch").foreach { e =>
+      if (e.toLong != compactEpoch(mf))
+        throw new IllegalStateException(
+          s"staged compaction '$batchId' at $path predates another compaction; " +
+            "discard its staging (delete _stage/compact_" + batchId +
+            " and its markers) and re-run with a fresh id")
+    }
 
     def swap(table: String, partCols: Seq[String]): Unit = {
       val staged0 =

@@ -389,6 +389,33 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(ids(sa2.matchQuery("postcompact", And)) == Seq(mfC.numDocs))
   }
 
+  test("a staged delta that predates a compaction is refused at apply") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    ParquetIndexStorage.removeDocuments(spark, path, Seq(5L).toDF("doc_ord"), "rm_pre")
+    // a delta that staged and applied; deleting its applied marker recreates
+    // the crash window (staged content on disk, apply pending)
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    val batch = memIndex.docs.filter($"doc_ord" === 7L)
+      .select(docCols.map(org.apache.spark.sql.functions.col): _*)
+    ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "orphan")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_markers/delta_orphan_applied.json"))
+    // a compaction lands before the delta's apply is retried
+    ParquetIndexStorage.compact(spark, path, "c_between")
+    val e = intercept[IllegalStateException] {
+      ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "orphan")
+    }
+    assert(e.getMessage.contains("predates a compaction"), e.getMessage)
+    // the store is unharmed and a FRESH batch id applies cleanly
+    val n = ParquetIndexStorage.read(spark, path).manifest.numDocs
+    ParquetIndexStorage.addDocuments(spark, path, batch
+      .withColumn("doc_ord", org.apache.spark.sql.functions.lit(n)),
+      analyzer, "fresh_post_c")
+    assert(ParquetIndexStorage.read(spark, path).manifest.numDocs == n + 1)
+  }
+
   test("compact crash between staging and apply recovers by re-running") {
     import spark.implicits._
     val path = tmp()
