@@ -272,6 +272,17 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(docsTable(s, d), threshold = 0.05,
         numHashes = 16, bands = 8, shingleN = 3).orderBy("id_a", "id_b")),
 
+    "dedup_decontaminate" -> ((s, d) => { // training docs surviving near-dup
+      // decontamination against a reference/eval slice (doc_id % 5 == 0);
+      // portable twin end-to-end like dedup_minhash_pairs
+      val docs = docsTable(s, d)
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        threshold = 0.05, numHashes = 16, bands = 8, shingleN = 3,
+        portable = true)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "dedup_simhash_pairs" -> ((s, d) => { // multi-index hashing (wide budget)
       // over the portable 60-bit simhash; banding is recall-LOSSLESS, so
       // the oracle is the brute-force hamming filter — checking the
@@ -804,6 +815,43 @@ object SparkEntry {
          |  JOIN sh sa ON sa.doc_id = c.id_a
          |  JOIN sh sb ON sb.doc_id = c.id_b
          |) WHERE jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_decontaminate" -> { // two-sided replication of the minhash
+      // pipeline: train = doc_id % 5 != 0, ref = % 5 == 0; survivors = train
+      // docs with NO verified cross match at jaccard >= 0.05
+      val coeffs = Dedup.minhashCoeffs(16, 42L)
+      val p = Dedup.PortableMod
+      val hExprs = coeffs.map { case (a, b) =>
+        s"""CASE WHEN len(sh) = 0 THEN ${Long.MaxValue}
+           |    ELSE list_min(list_transform(sh, ms -> ($a * ${polySql("ms", 31)} + $b) % $p)) END""".stripMargin
+      }.mkString("[\n", ",\n", "\n]")
+      s"""WITH sh AS (
+         |$shinglesSql
+         |), sigs AS (
+         |  SELECT doc_id, sh, $hExprs AS sig FROM sh
+         |), banded AS (
+         |  SELECT doc_id,
+         |    unnest(range(0, 8)) AS band,
+         |    unnest(list_transform(range(0, 8),
+         |      bb -> array_to_string(sig[bb*2+1 : bb*2+2], ','))) AS bkey
+         |  FROM sigs
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS ref_id
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+         |), bad AS (
+         |  SELECT DISTINCT c.train_id FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.train_id
+         |  JOIN sh sb ON sb.doc_id = c.ref_id
+         |  WHERE round(CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0 THEN 0.0
+         |    ELSE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+         |         / len(list_distinct(sa.sh || sb.sh)) END, 6) >= 0.05
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 5 <> 0 AND doc_id NOT IN (SELECT train_id FROM bad)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dedup_embedding" -> // portable-plane LSH bucketing replicated: pairs

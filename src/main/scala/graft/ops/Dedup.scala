@@ -208,6 +208,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Decontamination pairs: near-dup matches of `train` documents against a
+    * REFERENCE corpus (eval/benchmark sets) — the matches a training
+    * pipeline must drop before training to avoid benchmark leakage. Same
+    * MinHash+LSH shape as [[minhashLshPairs]] but across two frames, with
+    * the scale asymmetry exploited: at 10^12 train docs × a few thousand
+    * eval docs, the reference band rows and shingle sets are
+    * broadcast-sized, so the candidate join and the verify join ship ONLY
+    * the broadcast ref side — the train side is one banding pass, no
+    * self-join shuffle.
+    *
+    * @param portable polynomial base hash + unhashed band keys (the
+    *                 DuckDB-oracle twin); production default is xxhash64.
+    * @return (train_id, ref_id, jaccard) verified >= threshold
+    */
+  def contaminationPairs(
+      train: DataFrame,
+      ref: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    def shingled(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), shingles(col(textCol), shingleN).as(s"sh_$as"))
+    def banded(withSh: DataFrame, as: String) = {
+      val sig = if (portable) minhashSignaturePortable(col(s"sh_$as"), numHashes, seed)
+                else minhashSignature(col(s"sh_$as"), numHashes, seed)
+      def key(bnd: Column, sliced: Column) =
+        if (portable) concat_ws(",", sliced).cast("string")
+        else xxhash64(lit("band"), bnd, concat_ws(",", sliced)).cast("string")
+      withSh.withColumn("sig", sig)
+        .select(col(as),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            bnd => key(bnd, slice(col("sig"), bnd * rowsPerBand + 1, lit(rowsPerBand)))))
+            .as(Seq("band", "bkey")))
+    }
+    val trainSh = shingled(train, "train_id").persist()
+    val refSh = shingled(ref, "ref_id").persist()
+    val cand = banded(trainSh, "train_id")
+      .join(broadcast(banded(refSh, "ref_id")), Seq("band", "bkey"))
+      .select("train_id", "ref_id")
+      .distinct() // a pair can collide in several bands
+    cand
+      .join(trainSh, "train_id")
+      .join(broadcast(refSh), "ref_id")
+      .select(col("train_id"), col("ref_id"),
+        round(jaccard(col("sh_train_id"), col("sh_ref_id")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The rows of `train` that survive decontamination against `ref` (drop
+    * every train doc with a verified near-dup in the reference corpus). */
+  def decontaminate(
+      train: DataFrame,
+      ref: DataFrame,
+      threshold: Double,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      seed: Long = 42L,
+      portable: Boolean = false
+  ): DataFrame = {
+    val bad = contaminationPairs(train, ref, threshold, numHashes, bands,
+      shingleN, idCol, textCol, seed, portable)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over the token multiset (unit weights): bit i is set
     * when more token-hashes have bit i than not. Fully native columns. */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

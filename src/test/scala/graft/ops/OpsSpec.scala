@@ -436,6 +436,28 @@ class OpsSpec extends SparkSpec {
     assert((0L to 100L).forall(i => labels(1000L + i) == 1000L), "hub collapses to min 1000")
   }
 
+  test("decontamination drops train docs that near-match the reference set") {
+    // ref = doc 1 (exact text of doc 0) and doc 4 (near-dup of 0):
+    // train docs 0 and 2 must be dropped (0 matches both; 2 near-matches
+    // them), the unrelated docs survive
+    val ref = docs.filter(col("doc_id").isin(1L, 4L))
+    val train = docs.filter(!col("doc_id").isin(1L, 4L))
+    for (portable <- Seq(false, true)) {
+      val pairs = Dedup.contaminationPairs(train, ref, threshold = 0.3,
+        numHashes = 32, bands = 16, shingleN = 2, portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 1L)), s"portable=$portable: exact match missed")
+      val survivors = Dedup.decontaminate(train, ref, threshold = 0.3,
+        numHashes = 32, bands = 16, shingleN = 2, portable = portable)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!survivors.contains(0L), s"portable=$portable: contaminated doc kept")
+      assert(Set(3L, 5L, 6L, 7L, 8L).subsetOf(survivors),
+        s"portable=$portable: clean docs dropped ($survivors)")
+      // pairs only cross train x ref — never within one side
+      assert(pairs.forall { case (t, r) => !Set(1L, 4L).contains(t) && Set(1L, 4L).contains(r) })
+    }
+  }
+
   test("hash sampling: deterministic, partition-invariant, monotone in frac") {
     val many = spark.range(2000).toDF("doc_id")
     def sampled(df: org.apache.spark.sql.DataFrame, f: Double) =
