@@ -195,8 +195,8 @@ object Main {
     // applies, and re-running the same key set is a semantic no-op anyway
     // (removing already-gone docs removes nothing).
     val id = opts.getOrElse("batch-id", {
-      var e = 0L
-      while (ParquetIndexStorage.deltaClaimed(index, s"remove_$e")) e += 1
+      val e = ParquetIndexStorage.nextFreeEpoch(0L)(i =>
+        ParquetIndexStorage.deltaClaimed(index, s"remove_$i"))
       s"remove_$e"
     })
     val mf = ParquetIndexStorage.removeDocuments(spark, index, keys, batchId = id)
@@ -214,11 +214,9 @@ object Main {
     // remove: a path-derived id would no-op a LATER compaction of the same
     // index; a fresh epoch always applies, and compacting an already-dense
     // index is cheap and harmless)
-    val id = opts.getOrElse("batch-id", {
-      var e = 0L
-      while (ParquetIndexStorage.compactClaimed(index, s"$e")) e += 1
-      s"$e"
-    })
+    val id = opts.getOrElse("batch-id",
+      ParquetIndexStorage.nextFreeEpoch(0L)(i =>
+        ParquetIndexStorage.compactClaimed(index, s"$i")).toString)
     val mf = ParquetIndexStorage.compact(spark, index, id)
     val after = ParquetIndexStorage.ordinalDensity(spark, index)
     out(s"""{"compacted":"$index","numDocs":${mf.numDocs},""" +

@@ -7,13 +7,17 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Native codegen'd left-to-right dot product over two equal-length
-  * float/double arrays — bit-identical to the Catalyst higher-order chain
+  * numeric arrays — bit-identical to the Catalyst higher-order chain
   * `aggregate(zip_with(cast(a as array<double>), cast(b as array<double>),
   * (x, y) => x * y), 0.0, (acc, v) => acc + v)`: each element widens to
-  * double (exact), products and the accumulation run in double, strictly
-  * left to right. Bit-identity matters because every similarity oracle
-  * (`ann_*`, `sim_cosine_pairs`, `dedup_embedding`) hash-compares scores
-  * against DuckDB computing the same double fold.
+  * double exactly as Cast does (float/int exact; long/decimal round to
+  * nearest, same as Java's (double) conversion / Decimal.toDouble),
+  * products and the accumulation run in double, strictly left to right.
+  * Bit-identity matters because every similarity oracle (`ann_*`,
+  * `sim_cosine_pairs`, `dedup_embedding`) hash-compares scores against
+  * DuckDB computing the same double fold. Integral/decimal element types
+  * are accepted because the HOF chain this replaced accepted any array
+  * castable to array<double> (e.g. integer-quantized embeddings).
   *
   * Why not the HOF chain: higher-order functions have no codegen — they
   * evaluate interpreted, one lambda invocation per element (measured
@@ -33,43 +37,64 @@ case class VecDot(left: Expression, right: Expression)
   // is private[sql] and unreachable from a third-party package)
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(_: NumericType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<float|double> inputs, got " +
+      s"$prettyName needs numeric-array inputs, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  private def isFloat(e: Expression): Boolean =
-    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Element read widened to double — one branch per supported type so the
+    * hot float/double cases stay a direct primitive read. */
+  private def readDouble(arr: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case IntegerType => arr.getInt(i).toDouble
+    case LongType => arr.getLong(i).toDouble
+    case ShortType => arr.getShort(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
-    val lf = isFloat(left)
-    val rf = isFloat(right)
+    val lt = elemType(left)
+    val rt = elemType(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += readDouble(x, i, lt) * readDouble(y, i, rt)
       i += 1
     }
     acc
   }
 
+  /** Java accessor snippet for one element of `v` at index `i`. */
+  private def genRead(v: String, i: String, dt: DataType): String = dt match {
+    case FloatType => s"$v.getFloat($i)"
+    case DoubleType => s"$v.getDouble($i)"
+    case IntegerType => s"$v.getInt($i)"
+    case LongType => s"$v.getLong($i)"
+    case ShortType => s"$v.getShort($i)"
+    case ByteType => s"$v.getByte($i)"
+    case d: DecimalType => s"$v.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (isFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (isFloat(right)) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -84,7 +109,8 @@ case class VecDot(left: Expression, right: Expression)
          |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
-         |    $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |    $acc += (double) ${genRead(a, i, elemType(left))}
+         |        * (double) ${genRead(b, i, elemType(right))};
          |  }
          |  if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}

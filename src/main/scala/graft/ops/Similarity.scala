@@ -90,26 +90,32 @@ object Similarity {
     * `portable = true` swaps the xxhash64-derived plane components for the
     * congruential [[portablePlaneComponent]] (oracle-replicable).
     *
-    * With `dim > 0` each projection is a codegen'd dot against the
-    * precomputed literal [[planeVector]] — same doubles, same left-to-right
-    * fold (pinned in LshNativeSpec) — and rows whose vectors are NOT
-    * exactly `dim` long get a null projection = a 0 sign bit (the dynamic
-    * path projects whatever length it finds; fixed-dim embedding columns
-    * make the cases identical). `dim = -1` keeps the dynamic higher-order
-    * fold: planes adapt to each row's array length, one interpreted lambda
-    * step per element. */
+    * With `dim > 0` a row whose vector is exactly `dim` long projects via a
+    * codegen'd dot against the precomputed literal [[planeVector]] — same
+    * doubles, same left-to-right fold (pinned in LshNativeSpec); any OTHER
+    * row (heterogeneous-length corpora, or a stale caller-supplied dim)
+    * falls back per row to the dynamic fold, so it hashes by its REAL
+    * projections rather than collapsing into bucket 0 of every table.
+    * `dim = -1` keeps the dynamic higher-order fold for all rows: planes
+    * adapt to each row's array length, one interpreted lambda step per
+    * element. */
   def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L,
       portable: Boolean = false): Column = {
+    def dynAt(p: Int): Column = {
+      val idx = sequence(lit(0), size(v) - 1)
+      val comp = (j: Column) =>
+        if (portable) portablePlaneComponent(p, j, seed) else planeComponent(p, j, seed)
+      aggregate(
+        zip_with(v.cast("array<double>"), idx, (x, j) => x * comp(j)),
+        lit(0.0), (acc, x) => acc + x)
+    }
     val projAt: Int => Column =
-      if (dim > 0) { p => dot(v, typedLit(planeVector(p, dim, seed, portable))) }
-      else { p =>
-        val idx = sequence(lit(0), size(v) - 1)
-        val comp = (j: Column) =>
-          if (portable) portablePlaneComponent(p, j, seed) else planeComponent(p, j, seed)
-        aggregate(
-          zip_with(v.cast("array<double>"), idx, (x, j) => x * comp(j)),
-          lit(0.0), (acc, x) => acc + x)
-      }
+      if (dim > 0) { p =>
+        // the when() only EVALUATES the interpreted fallback for mismatched
+        // rows — fixed-dim columns stay fully on the codegen'd fast dot
+        when(size(v) === dim, dot(v, typedLit(planeVector(p, dim, seed, portable))))
+          .otherwise(dynAt(p))
+      } else dynAt
     (0 until planes).map { p =>
       when(projAt(p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -300,12 +306,15 @@ object Similarity {
     // elimination), then cid = 1-based position of the FIRST maximum —
     // array_max skips null sims and first-max == smallest cid on ties,
     // exactly the fold semantics ([[ivfAssignFold]], pinned in
-    // LshNativeSpec). All-null sims (or an empty codebook) give the
-    // fold's never-assigned cid 0.
+    // LshNativeSpec). Degenerate rows whose every sim is null (null
+    // vector, null element, length mismatched to the codebook) land in
+    // list 1 — REACHABLE, ranked last by their null verify cosine — rather
+    // than the never-probed cid 0, which would silently drop them from
+    // every IVF search. Only an empty codebook assigns cid 0.
     val assignExpr = if (centVecs.isEmpty) lit(0) else {
       val sims = array(centVecs.map(cv => cosine(col("v"), typedLit(cv))): _*)
       val best = array_max(sims)
-      when(best.isNull, lit(0)).otherwise(array_position(sims, best).cast("int"))
+      when(best.isNull, lit(1)).otherwise(array_position(sims, best).cast("int"))
     }
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid", assignExpr)
@@ -328,7 +337,10 @@ object Similarity {
         when(s > acc.getField("sim"),
           struct(i.cast("int").as("cid"), s.as("sim"))).otherwise(acc)
       },
-      acc => acc.getField("cid"))
+      // never-assigned (all-null sims) -> list 1, matching ivfAssign;
+      // only an empty codebook keeps the fold's initial cid 0
+      acc => if (centVecs.isEmpty) acc.getField("cid")
+             else greatest(acc.getField("cid"), lit(1)))
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid", assignExpr)
   }
@@ -388,11 +400,16 @@ object Similarity {
     // nprobe — probe them all (the one-shot ivfTopK contract: exact results
     // on tiny corpora), don't reject
     val np = math.min(nprobe, math.max(centVecs.size, 1))
+    // empty codebook (empty corpus): zero rows, but with the SAME schema as
+    // the normal path — q_id/id types follow the inputs' id columns, so
+    // callers can union/join empty and non-empty results uniformly
+    if (centVecs.isEmpty)
+      return queries.select(col(idCol).as("q_id")).limit(0)
+        .crossJoin(index.assigned.select(col("id")).limit(0))
+        .select(col("q_id"), lit(0L).as("rank"), col("id"), lit(0.0).as("cosine"))
+    val assigned = index.assigned
     val spark = index.assigned.sparkSession
     import spark.implicits._
-    if (centVecs.isEmpty)
-      return Seq.empty[(Long, Long, Long, Double)].toDF("q_id", "rank", "id", "cosine")
-    val assigned = index.assigned
 
     // probe side: same centroid order as the argmax (cid = 1-based rank in
     // cent_src order), windowed top-nprobe over the tiny query set

@@ -104,6 +104,17 @@ object ParquetIndexStorage {
     ManifestIO.exists(marker(path, s"delta_${batchId}_applied")) ||
       ManifestIO.exists(marker(path, s"delta_${batchId}_staged"))
 
+  /** Smallest epoch >= `from` whose candidate id(s) are unclaimed — the ONE
+    * probe loop behind every auto-generated batch id (CLI remove/compact,
+    * streaming flush). Generators whose counter restarts with the process
+    * must probe past claimed ids: reusing a claimed id silently swallows
+    * the new batch ([[deltaClaimed]]'s idempotence contract). */
+  def nextFreeEpoch(from: Long)(claimed: Long => Boolean): Long = {
+    var e = from
+    while (claimed(e)) e += 1
+    e
+  }
+
   /** addDocuments and removeDocuments share the delta_<id> marker
     * namespace; an id reused ACROSS kinds would hit the other operation's
     * idempotence marker and silently no-op (a remove that "succeeds"
@@ -143,6 +154,15 @@ object ParquetIndexStorage {
 
   private def kBucketCol(keyCols: Seq[String], keyBuckets: Int): Column =
     pmod(xxhash64(col(keyCols.head)), lit(keyBuckets)).cast("int")
+
+  /** A resumed `_stage/raw` checkpoint from a build that predates the
+    * precomputed hash column lacks `term_h`; derive it (term_h is DEFINED
+    * as xxhash64(term), so this is equivalent, just not prematerialized)
+    * instead of crashing the resumed dict/postings stages on an
+    * unresolved column. */
+  private def rawWithHash(raw: DataFrame): DataFrame =
+    if (raw.columns.contains("term_h")) raw
+    else raw.withColumn("term_h", xxhash64(col("term")))
 
   /** Build (or resume building) a persisted index.
     *
@@ -241,7 +261,7 @@ object ParquetIndexStorage {
 
     // ---- stage: term dictionary -----------------------------------------
     val dictMarker = runStage("dict") {
-      val raw = spark.read.parquet(s"$path/_stage/raw")
+      val raw = rawWithHash(spark.read.parquet(s"$path/_stage/raw"))
       val termStats = raw.groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
           max(col("term_h")).as("term_h"))
@@ -290,7 +310,7 @@ object ParquetIndexStorage {
     def runGroup(g: Int): StageMarker =
       runStage(s"postings_g$g") {
         val buckets = (0 until p.termBuckets).filter(_ % p.writeGroups == g)
-        val raw = spark.read.parquet(s"$path/_stage/raw")
+        val raw = rawWithHash(spark.read.parquet(s"$path/_stage/raw"))
           .filter(col("t_bucket").isin(buckets: _*))
         val dict = spark.read.parquet(s"$path/term_dict")
           .filter(col("t_bucket").isin(buckets: _*))
@@ -728,9 +748,15 @@ object ParquetIndexStorage {
 
     val n2 = staged.lineage("numDocs").toLong
     val tok2 = staged.lineage("tokens").toLong
+    // recovery from a crash between the manifest write and the applied
+    // marker re-runs this apply with `mf` already carrying the staged
+    // stage — don't append it twice (a duplicated compact stage would
+    // double-count compactEpoch)
+    val stages2 = if (mf.stages.exists(_.stage == staged.stage)) mf.stages
+                  else mf.stages :+ staged
     val mf2 = mf.copy(numDocs = n2,
       avgDocLen = if (n2 == 0) 0.0 else tok2.toDouble / n2,
-      stages = mf.stages :+ staged)
+      stages = stages2)
     ManifestIO.write(s"$path/manifest.json", mf2)
     ManifestIO.write(marker(path, s"delta_${batchId}_applied"),
       staged.copy(stage = s"delta_${batchId}_applied"))
@@ -1052,6 +1078,16 @@ object ParquetIndexStorage {
       m
     }
     if (failAfter.contains("staged")) throw new InjectedFailure("staged")
+    // crash window between the manifest write and the applied marker: the
+    // manifest is the LAST write before the marker, so its containing THIS
+    // batch's staged stage proves every swap finished — finish the marker
+    // and return instead of tripping the epoch check below (which would
+    // misread the store's own bumped compact count as a foreign compaction
+    // and tell the operator to discard a fully-applied compaction)
+    if (mf.stages.exists(_.stage == staged.stage)) {
+      ManifestIO.write(appliedM, staged.copy(stage = s"compact_${batchId}_applied"))
+      return mf
+    }
     // same recovery hazard as deltas: this compaction's staged remap was
     // computed against the store as of ITS staging — another compaction
     // applied in between remapped the ordinals again

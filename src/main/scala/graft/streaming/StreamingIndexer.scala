@@ -432,9 +432,9 @@ final class StreamingIndexer(
         // state reset below discards them. Probe past every claimed
         // stream epoch before staging (the removal twin `<id>_rm` too).
         val id = explicitBatchId.getOrElse {
-          while (graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$flushEpoch") ||
-                 graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_${flushEpoch}_rm"))
-            flushEpoch += 1
+          flushEpoch = graft.storage.ParquetIndexStorage.nextFreeEpoch(flushEpoch)(e =>
+            graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_$e") ||
+              graft.storage.ParquetIndexStorage.deltaClaimed(path, s"stream_${e}_rm"))
           val s = s"stream_$flushEpoch"; flushEpoch += 1; s
         }
         // removals first: their ordinals are disjoint from deltaDocs' by

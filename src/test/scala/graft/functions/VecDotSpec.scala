@@ -47,6 +47,33 @@ class VecDotSpec extends SparkSpec {
     assert(bits(got) == bits(want))
   }
 
+  test("integral/decimal element types widen exactly like the HOF cast") {
+    // the HOF chain this replaced accepted ANY array castable to
+    // array<double> (integer-quantized embeddings, decimals); VecDot must
+    // keep that public-API surface, bit-identically, on a codegen'd plan
+    val gen = spark.range(3).select(
+        expr("transform(sequence(0, 4), j -> cast(j + id as int))").as("ai"),
+        expr("transform(sequence(0, 4), j -> cast(j * 3 + id as bigint))").as("al"),
+        expr("transform(sequence(0, 4), j -> cast((j + id) * 1.25 as decimal(12,2)))").as("ad"),
+        expr("transform(sequence(0, 4), j -> cast(j * 0.5 + id as float))").as("af"),
+        expr("transform(sequence(0, 4), j -> cast(j - 2 as smallint))").as("as"),
+        expr("transform(sequence(0, 4), j -> cast(j as tinyint))").as("ab"))
+      .repartition(2)
+    for ((x, y) <- Seq(("ai", "ai"), ("al", "ai"), ("ad", "al"), ("ai", "af"),
+        ("ad", "ad"), ("as", "ab"))) {
+      val got = gen.select(Similarity.dot(col(x), col(y))).collect().map(_.get(0)).toSeq
+      val want = gen.select(Similarity.dotHof(col(x), col(y))).collect().map(_.get(0)).toSeq
+      assert(bits(got) == bits(want), s"$x . $y")
+    }
+    // 2^53+1 exercises the long->double round-to-nearest parity with Cast
+    val big = spark.range(1).select(
+      typedLit(Seq(9007199254740993L)).as("x"), typedLit(Seq(1L)).as("y"))
+    val g2 = big.select(Similarity.dot(col("x"), col("y"))).head().getDouble(0)
+    val w2 = big.select(Similarity.dotHof(col("x"), col("y"))).head().getDouble(0)
+    assert(java.lang.Double.doubleToRawLongBits(g2) ==
+      java.lang.Double.doubleToRawLongBits(w2))
+  }
+
   test("interpreted eval path matches codegen (direct Expression eval)") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -26,6 +26,10 @@ class LshNativeSpec extends SparkSpec {
       rows.add(Row(9001L, Seq.fill(dim)(java.lang.Float.valueOf(0f))))          // zero vector
       rows.add(Row(9002L, null))                                                // null array
       rows.add(Row(9003L, (Seq.fill(dim - 1)(java.lang.Float.valueOf(1f)) :+ null.asInstanceOf[java.lang.Float])))
+      // length-mismatched rows: must hash by their REAL projections (the
+      // per-row dynamic fallback), not collapse into bucket 0
+      rows.add(Row(9004L, Seq.fill(dim + 3)(java.lang.Float.valueOf(1.5f))))
+      rows.add(Row(9005L, Seq.fill(dim - 2)(java.lang.Float.valueOf(-2.5f))))
     }
     spark.createDataFrame(rows, schema)
   }
@@ -65,5 +69,50 @@ class LshNativeSpec extends SparkSpec {
     val got = Similarity.ivfAssign(d, Seq.empty, idCol = "id", vecCol = "v")
       .select("cid").collect().map(_.getInt(0)).toSeq
     assert(got == Seq(0, 0, 0))
+  }
+
+  test("degenerate vectors stay REACHABLE: assigned to list 1, surfaced by probes") {
+    val d = vecs(60, withEdges = true)
+    val cents = Similarity.ivfCentroids(d.where(col("id") < 9000), nlist = 4,
+      idCol = "id", vecCol = "v")
+    val byId = Similarity.ivfAssign(d, cents, idCol = "id", vecCol = "v")
+      .select("id", "cid").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // null array / null element / length-mismatched rows: every sim is null
+    // -> list 1 (never the unprobed cid 0, which silently drops the doc)
+    Seq(9002L, 9003L, 9004L, 9005L).foreach(id => assert(byId(id) == 1, s"id=$id"))
+    assert(!byId.values.exists(_ == 0))
+    // and an all-lists probe actually surfaces a degenerate doc (ranked
+    // last by its null verify cosine, like bruteForceTopK would rank it)
+    val idx = Similarity.IvfIndex(
+      Similarity.ivfAssign(d, cents, idCol = "id", vecCol = "v"), cents)
+    val q = d.where(col("id") === 0L)
+    val got = Similarity.ivfTopKIndexed(idx, q, k = 1000, nprobe = cents.size,
+      idCol = "id", vecCol = "v")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(9002L) && got.contains(9004L))
+  }
+
+  test("ivfTopKIndexed empty-codebook result schema follows the input id types") {
+    import org.apache.spark.sql.types.StringType
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("v", ArrayType(FloatType, containsNull = true))))
+    val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    val queries = {
+      val rows = new java.util.ArrayList[Row]()
+      rows.add(Row("q1", Seq.fill(dim)(java.lang.Float.valueOf(1f))))
+      spark.createDataFrame(rows, schema)
+    }
+    val idx = Similarity.ivfIndex(empty, nlist = 4, idCol = "id", vecCol = "v")
+    val res = Similarity.ivfTopKIndexed(idx, queries, k = 5, idCol = "id", vecCol = "v")
+    assert(res.count() == 0)
+    assert(res.schema("q_id").dataType == StringType)
+    assert(res.schema("id").dataType == StringType)
+    // unions cleanly with a non-empty run over the same id type
+    val corpus = vecs(20, withEdges = false)
+      .select(concat(lit("d"), col("id")).as("id"), col("v"))
+    val nonEmpty = Similarity.ivfTopK(corpus, queries, k = 3, nlist = 4,
+      nprobe = 4, idCol = "id", vecCol = "v")
+    assert(nonEmpty.unionByName(res).count() == nonEmpty.count())
   }
 }

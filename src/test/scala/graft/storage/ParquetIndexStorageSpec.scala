@@ -447,6 +447,49 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(ids(s.matchAll()).size == mf.numDocs.toInt)
   }
 
+  test("compact crash between manifest write and applied marker recovers") {
+    import spark.implicits._
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    ParquetIndexStorage.removeDocuments(spark, path, Seq(2L, 66L).toDF("doc_ord"), "rm0")
+    ParquetIndexStorage.compact(spark, path, "cm")
+    val mfBefore = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    // the narrowest crash window: every swap done, manifest written (its
+    // compact count already includes this batch), applied marker NOT yet —
+    // re-running the SAME id must finish the marker, not misread the bumped
+    // epoch as a foreign compaction and demand the staging be discarded
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_markers/compact_cm_applied.json"))
+    val mf = ParquetIndexStorage.compact(spark, path, "cm")
+    assert(mf.stages.count(_.stage == "compact_cm_staged") == 1)
+    assert(ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get == mfBefore)
+    assert(ManifestIO.exists(s"$path/_markers/compact_cm_applied.json"))
+    // and vacuum can now reclaim the staging it previously couldn't
+    ParquetIndexStorage.vacuum(spark, path)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_stage/compact_cm")))
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(ids(s.matchAll()).size == mf.numDocs.toInt)
+  }
+
+  test("delta crash between manifest write and applied marker recovers") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    val batch = memIndex.docs.filter(col("doc_ord") === 9L)
+      .select(docCols.map(col): _*)
+    ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "dm")
+    val mfBefore = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/_markers/delta_dm_applied.json"))
+    val mf = ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "dm")
+    // the re-run must not append the staged stage a second time
+    assert(mf.stages.count(_.stage == "delta_dm_staged") == 1)
+    assert(ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get == mfBefore)
+    assert(ManifestIO.exists(s"$path/_markers/delta_dm_applied.json"))
+  }
+
   test("per-batch INPUT BYTES are bounded by touched partitions, not index size") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // same vocabulary and same batch against a 1x and a 16x index: if the
