@@ -300,21 +300,24 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    // unrolled: array(cosine(v, c_1) .. cosine(v, c_n)) stays inside
-    // whole-stage codegen (each cosine is VecDot against a literal
-    // centroid; the repeated norm(v) dedupes via subexpression
-    // elimination), then cid = 1-based position of the FIRST maximum —
-    // array_max skips null sims and first-max == smallest cid on ties,
-    // exactly the fold semantics ([[ivfAssignFold]], pinned in
-    // LshNativeSpec). Degenerate rows whose every sim is null (null
-    // vector, null element, length mismatched to the codebook) land in
-    // list 1 — REACHABLE, ranked last by their null verify cosine — rather
-    // than the never-probed cid 0, which would silently drop them from
-    // every IVF search. Only an empty codebook assigns cid 0.
+    // ONE constant-size codegen'd argmax over the reference-object codebook
+    // ([[graft.functions.VecNearestCentroid]]): each row reads its vector
+    // once, computes its norm once, and scans the centroid matrix in a
+    // tight compiled loop — the unrolled array-of-cosines this replaced
+    // degraded to interpreted evaluation at ~1 s PER CENTROID on a 60k
+    // corpus and could never reach the nlist≈4096 a 10^12-vector corpus
+    // needs. Sims and the first-max tie rule are bit-identical to the
+    // struct-fold reference ([[ivfAssignFold]], pinned in LshNativeSpec).
+    // Degenerate rows whose every sim is null (null vector, null element,
+    // length mismatched to the codebook) land in list 1 — REACHABLE,
+    // ranked last by their null verify cosine — rather than the
+    // never-probed cid 0, which would silently drop them from every IVF
+    // search. Only an empty codebook assigns cid 0.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val assignExpr = if (centVecs.isEmpty) lit(0) else {
-      val sims = array(centVecs.map(cv => cosine(col("v"), typedLit(cv))): _*)
-      val best = array_max(sims)
-      when(best.isNull, lit(1)).otherwise(array_position(sims, best).cast("int"))
+      val near = ColumnBridge.column(graft.functions.VecNearestCentroid(
+        ColumnBridge.expression(col("v")), centVecs))
+      when(near.isNull || near === 0, lit(1)).otherwise(near)
     }
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cid", assignExpr)

@@ -5,8 +5,9 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The literal-plane-vector LSH path and the unrolled IVF argmax must be
-  * BIT-identical to the dynamic higher-order formulations they replace —
+/** The literal-plane-vector LSH path and the native IVF argmax
+  * (VecNearestCentroid) must be BIT-identical to the dynamic higher-order
+  * formulations they replace —
   * `ann_lsh_topk` and `dedup_minhash_bands`-style oracles hash-compare
   * bucket-derived outputs, so a single flipped sign bit breaks the gate. */
 class LshNativeSpec extends SparkSpec {
@@ -48,7 +49,7 @@ class LshNativeSpec extends SparkSpec {
     }
   }
 
-  test("unrolled ivfAssign matches the struct-fold reference, ties and edges included") {
+  test("native ivfAssign matches the struct-fold reference, ties and edges included") {
     val d = vecs(150, withEdges = true)
     // codebooks are trained on clean vectors; the null/zero edge rows are
     // exercised on the ASSIGNMENT side below
