@@ -38,6 +38,15 @@ object AnnProbe {
            |   as float))""".stripMargin))
       .cache()
     t("corpus cache")(vecs.count())
+    // does the per-plane VecDot unrolling hit the same interpreted cliff
+    // at wide LSH configs? (planes × tables independent projections in one
+    // projection node)
+    for ((planes, tables) <- Seq((12, 4), (16, 8), (24, 8))) {
+      t(s"lsh build planes=$planes tables=$tables") {
+        val idx = Similarity.lshIndex(vecs, planes, tables)
+        idx.buckets.select(sum(col("bucket"))).head()
+      }
+    }
     for (nlist <- Seq(8, 16, 32)) {
       val cents = t(s"centroids nlist=$nlist")(
         Similarity.ivfCentroids(vecs, nlist))
