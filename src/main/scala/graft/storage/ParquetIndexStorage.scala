@@ -475,7 +475,12 @@ object ParquetIndexStorage {
     * @param newDocs rows with doc_ord + textCol + the passthrough columns
     *                of the persisted docs table (minus d_bucket); ordinals
     *                may collide with existing docs (replacement) or extend
-    *                past them (append)
+    *                past them (append). Each ordinal must appear ONCE —
+    *                fold in-batch replacements before submitting (a
+    *                duplicated ordinal would write duplicate docs rows and
+    *                conflicting postings; refused loudly).
+    * @param failAfter test hook: throw after completing the named phase
+    *                  ("staged") to simulate a crash between the phases
     */
   def addDocuments(
       spark: SparkSession,
@@ -483,7 +488,8 @@ object ParquetIndexStorage {
       newDocs: DataFrame,
       analyzer: Analyzer,
       batchId: String,
-      textCol: String = "text"
+      textCol: String = "text",
+      failAfter: Option[String] = None
   ): IndexManifest = {
     val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
       .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
@@ -523,6 +529,13 @@ object ParquetIndexStorage {
       val t0 = System.currentTimeMillis()
       val batch = newDocs.persist()
       val newOrds = batch.select("doc_ord")
+      val added = batch.count()
+      val distinctOrds = newOrds.distinct().count()
+      require(distinctOrds == added,
+        s"batch '$batchId' carries ${added - distinctOrds} duplicated doc_ord(s) — " +
+          "each ordinal must appear once (fold in-batch replacements before " +
+          "submitting); duplicates would write duplicate docs rows and " +
+          "conflicting postings")
       val dBuckets = batch.select(dBucketOf(col("doc_ord")).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val dGroups = dBuckets.map(b => b * span / gSpan).distinct
@@ -642,7 +655,6 @@ object ParquetIndexStorage {
 
       // ---- exact global stats by integer delta ---------------------------
       val replaced = oldDocs.count()
-      val added = batch.count()
       val remTok = byOld.groupBy(col("doc_ord")).agg(max(col("dl")).as("dl"))
         .agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
       val addTok = newStats
@@ -657,6 +669,7 @@ object ParquetIndexStorage {
         System.currentTimeMillis() - t0,
         Map("op" -> "add",
           "compactEpoch" -> compactEpoch(mf).toString,
+          "stagesAtStaging" -> mf.stages.size.toString,
           "tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "replaced" -> replaced.toString,
           "dGroups" -> dGroups.mkString(","),
@@ -665,6 +678,7 @@ object ParquetIndexStorage {
       ManifestIO.write(stagedM, m)
       m
     }
+    if (failAfter.contains("staged")) throw new InjectedFailure("staged")
 
     applyStagedDelta(spark, path, sp, staged, batchId, mf)
   }
@@ -678,10 +692,39 @@ object ParquetIndexStorage {
   private def applyStagedDelta(
       spark: SparkSession, path: String, sp: String,
       staged: StageMarker, batchId: String, mf: IndexManifest): IndexManifest = {
+    // crash window between the manifest write and the applied marker: the
+    // manifest is the LAST write before the marker, so its containing THIS
+    // batch's staged stage proves every overwrite finished — finish the
+    // marker and return (re-running the overwrites would be deterministic
+    // but wasted, and the staleness guards below would misfire on the
+    // store's own manifest growth)
+    if (mf.stages.exists(_.stage == staged.stage)) {
+      ManifestIO.write(marker(path, s"delta_${batchId}_applied"),
+        staged.copy(stage = s"delta_${batchId}_applied"))
+      return mf
+    }
+    // a staged delta computed against an OLDER committed state must never
+    // apply: its staged partitions are the complete content of the touched
+    // ranges AS OF STAGING, so overwriting from them silently reverts every
+    // later delta's changes to those ranges. Reachable only through crash
+    // recovery (A staged, crash, B staged+applied, A re-run). The manifest
+    // stage count is the write clock — any delta/compaction applied since
+    // staging bumps it. Absent field = pre-guard marker; no check there.
+    staged.lineage.get("stagesAtStaging").foreach { n =>
+      if (n.toInt != mf.stages.size)
+        throw new IllegalStateException(
+          s"staged delta '$batchId' at $path predates ${mf.stages.size - n.toInt} " +
+            "later applied delta(s)/compaction(s): its staged partitions reflect " +
+            "the store as of ITS staging and applying them would revert the later " +
+            "changes — discard the staged batch (vacuum cannot; delete " +
+            s"_stage/delta_$batchId and its markers) and re-submit it under a " +
+            "fresh id")
+    }
     // staged content indexed by PRE-compaction ordinals must never reach a
     // compacted store (the recovery path hits this: delta staged, crash
-    // before apply, compact, delta re-run). Absent field = pre-guard marker
-    // from an older store version — no check possible there.
+    // before apply, compact, delta re-run). Subsumed by the stage-count
+    // guard on current markers; kept for markers that predate it. Absent
+    // field = pre-guard marker from an older store version — no check.
     staged.lineage.get("compactEpoch").foreach { e =>
       if (e.toLong != compactEpoch(mf))
         throw new IllegalStateException(
@@ -748,15 +791,9 @@ object ParquetIndexStorage {
 
     val n2 = staged.lineage("numDocs").toLong
     val tok2 = staged.lineage("tokens").toLong
-    // recovery from a crash between the manifest write and the applied
-    // marker re-runs this apply with `mf` already carrying the staged
-    // stage — don't append it twice (a duplicated compact stage would
-    // double-count compactEpoch)
-    val stages2 = if (mf.stages.exists(_.stage == staged.stage)) mf.stages
-                  else mf.stages :+ staged
     val mf2 = mf.copy(numDocs = n2,
       avgDocLen = if (n2 == 0) 0.0 else tok2.toDouble / n2,
-      stages = stages2)
+      stages = mf.stages :+ staged)
     ManifestIO.write(s"$path/manifest.json", mf2)
     ManifestIO.write(marker(path, s"delta_${batchId}_applied"),
       staged.copy(stage = s"delta_${batchId}_applied"))
@@ -785,7 +822,8 @@ object ParquetIndexStorage {
       spark: SparkSession,
       path: String,
       keys: DataFrame,
-      batchId: String
+      batchId: String,
+      failAfter: Option[String] = None
   ): IndexManifest = {
     val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
       .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
@@ -909,6 +947,7 @@ object ParquetIndexStorage {
         System.currentTimeMillis() - t0,
         Map("op" -> "remove",
           "compactEpoch" -> compactEpoch(mf).toString,
+          "stagesAtStaging" -> mf.stages.size.toString,
           "tokens" -> tok2.toString, "numDocs" -> n2.toString,
           "removed" -> removed.toString,
           "dGroups" -> dGroups.mkString(","),
@@ -917,6 +956,7 @@ object ParquetIndexStorage {
       ManifestIO.write(stagedM, m)
       m
     }
+    if (failAfter.contains("staged")) throw new InjectedFailure("staged")
 
     applyStagedDelta(spark, path, sp, staged, batchId, mf)
   }
@@ -1072,6 +1112,7 @@ object ParquetIndexStorage {
       val m = StageMarker(s"compact_${batchId}_staged", mf.numDocs,
         System.currentTimeMillis() - t0,
         Map("op" -> "compact", "compactEpoch" -> compactEpoch(mf).toString,
+          "stagesAtStaging" -> mf.stages.size.toString,
           "tokens" -> prevTokens.toString,
           "numDocs" -> mf.numDocs.toString))
       ManifestIO.write(stagedM, m)
@@ -1088,9 +1129,20 @@ object ParquetIndexStorage {
       ManifestIO.write(appliedM, staged.copy(stage = s"compact_${batchId}_applied"))
       return mf
     }
-    // same recovery hazard as deltas: this compaction's staged remap was
-    // computed against the store as of ITS staging — another compaction
-    // applied in between remapped the ordinals again
+    // same recovery hazard as deltas: this compaction's staged tables are
+    // the complete store content AS OF STAGING — ANY delta or compaction
+    // applied since (crash-recovery interleaving) would be silently erased
+    // by the swap. The manifest stage count is the write clock.
+    staged.lineage.get("stagesAtStaging").foreach { n =>
+      if (n.toInt != mf.stages.size)
+        throw new IllegalStateException(
+          s"staged compaction '$batchId' at $path predates " +
+            s"${mf.stages.size - n.toInt} later applied delta(s)/compaction(s); " +
+            "applying its staged tables would erase their changes — discard its " +
+            "staging (delete _stage/compact_" + batchId +
+            " and its markers) and re-run with a fresh id")
+    }
+    // pre-stage-count markers: at least refuse an intervening compaction
     staged.lineage.get("compactEpoch").foreach { e =>
       if (e.toLong != compactEpoch(mf))
         throw new IllegalStateException(

@@ -394,26 +394,81 @@ class ParquetIndexStorageSpec extends SparkSpec {
     val path = tmp()
     ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
     ParquetIndexStorage.removeDocuments(spark, path, Seq(5L).toDF("doc_ord"), "rm_pre")
-    // a delta that staged and applied; deleting its applied marker recreates
-    // the crash window (staged content on disk, apply pending)
+    // a delta that STAGED and crashed before apply (the failAfter hook —
+    // staged content + staged marker on disk, nothing applied)
     val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
     val batch = memIndex.docs.filter($"doc_ord" === 7L)
       .select(docCols.map(org.apache.spark.sql.functions.col): _*)
-    ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "orphan")
-    java.nio.file.Files.delete(
-      java.nio.file.Paths.get(s"$path/_markers/delta_orphan_applied.json"))
-    // a compaction lands before the delta's apply is retried
+    intercept[InjectedFailure] {
+      ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "orphan",
+        failAfter = Some("staged"))
+    }
+    // a compaction lands before the delta's apply is retried: its ordinals
+    // were remapped, so applying the stale staging must refuse loudly
     ParquetIndexStorage.compact(spark, path, "c_between")
     val e = intercept[IllegalStateException] {
       ParquetIndexStorage.addDocuments(spark, path, batch, analyzer, "orphan")
     }
-    assert(e.getMessage.contains("predates a compaction"), e.getMessage)
+    assert(e.getMessage.contains("predates"), e.getMessage)
     // the store is unharmed and a FRESH batch id applies cleanly
     val n = ParquetIndexStorage.read(spark, path).manifest.numDocs
     ParquetIndexStorage.addDocuments(spark, path, batch
       .withColumn("doc_ord", org.apache.spark.sql.functions.lit(n)),
       analyzer, "fresh_post_c")
     assert(ParquetIndexStorage.read(spark, path).manifest.numDocs == n + 1)
+  }
+
+  test("a staged delta that predates ANOTHER applied delta is refused at apply") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    // A replaces doc 7, stages, crashes before apply
+    val batchA = memIndex.docs.filter(col("doc_ord") === 7L)
+      .select(docCols.map(col): _*)
+    intercept[InjectedFailure] {
+      ParquetIndexStorage.addDocuments(spark, path, batchA, analyzer, "ia",
+        failAfter = Some("staged"))
+    }
+    // B replaces doc 8 — SAME d_bucket/d_group as doc 7 — and applies
+    val batchB = memIndex.docs.filter(col("doc_ord") === 8L)
+      .withColumn("text", org.apache.spark.sql.functions.lit("interleaved marker8"))
+      .select(docCols.map(col): _*)
+    ParquetIndexStorage.addDocuments(spark, path, batchB, analyzer, "ib")
+    // retrying A must refuse: its staged partitions reflect the store
+    // BEFORE B and would silently revert B's replacement
+    val e = intercept[IllegalStateException] {
+      ParquetIndexStorage.addDocuments(spark, path, batchA, analyzer, "ia")
+    }
+    assert(e.getMessage.contains("later applied"), e.getMessage)
+    // B's content survived
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(ids(s.matchQuery("interleaved marker8", And)) == Seq(8L))
+    // and the same hazard guards a staged COMPACTION against a later delta
+    intercept[InjectedFailure] {
+      ParquetIndexStorage.compact(spark, path, "ic", failAfter = Some("staged"))
+    }
+    ParquetIndexStorage.addDocuments(spark, path, batchA, analyzer, "ia2")
+    val e2 = intercept[IllegalStateException] {
+      ParquetIndexStorage.compact(spark, path, "ic")
+    }
+    assert(e2.getMessage.contains("later applied"), e2.getMessage)
+  }
+
+  test("a batch carrying duplicate doc_ords is refused loudly") {
+    import org.apache.spark.sql.functions.col
+    val path = tmp()
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, params, "src")
+    val docCols = spark.read.parquet(s"$path/docs").drop("d_bucket").columns
+    val one = memIndex.docs.filter(col("doc_ord") === 3L)
+      .select(docCols.map(col): _*)
+    val e = intercept[IllegalArgumentException] {
+      ParquetIndexStorage.addDocuments(spark, path, one.unionAll(one), analyzer, "dup")
+    }
+    assert(e.getMessage.contains("duplicated doc_ord"), e.getMessage)
+    // the refused staging left no marker: the corrected batch reuses the id
+    val mf = ParquetIndexStorage.addDocuments(spark, path, one, analyzer, "dup")
+    assert(mf.numDocs == memIndex.numDocs)
   }
 
   test("compact crash between staging and apply recovers by re-running") {
