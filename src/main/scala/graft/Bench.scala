@@ -239,10 +239,15 @@ object Bench {
         Similarity.lshIndex(vecs, planes = 12, tables = 4).cached())
       val lsh = timedBest("ann_lsh_query", math.min(reps, 2))(
         resultSet(Similarity.lshTopKIndexed(lshIdx, qs, 10)))
+      // realistic codebook size: assignment is a constant-size codegen'd
+      // kernel (VecNearestCentroid), flat in nlist — bigger codebooks cost
+      // nothing at build and shrink the probed corpus fraction per query
+      val nlist = sys.env.getOrElse("SPARK_GRAFT_IVF_NLIST", "128").toInt
+      val nprobe = sys.env.getOrElse("SPARK_GRAFT_IVF_NPROBE", "8").toInt
       val ivfIdx = timedBest("ann_ivf_build", 1)(
-        Similarity.ivfIndex(vecs, nlist = 32).cached())
+        Similarity.ivfIndex(vecs, nlist = nlist).cached())
       val ivf = timedBest("ann_ivf_query", math.min(reps, 2))(
-        resultSet(Similarity.ivfTopKIndexed(ivfIdx, qs, 10, nprobe = 4)))
+        resultSet(Similarity.ivfTopKIndexed(ivfIdx, qs, 10, nprobe = nprobe)))
       lshIdx.buckets.unpersist(); lshIdx.corpus.unpersist()
       ivfIdx.assigned.unpersist()
       def recall(got: Map[Long, Set[Long]]): Double =

@@ -339,6 +339,9 @@ object SparkEntry {
     "text_langid" -> ((s, d) =>
       TextStats.langId(docsTable(s, d)).orderBy("doc_id")),
 
+    "text_repetition" -> ((s, d) => // Gopher-style boilerplate signals
+      TextStats.repetition(docsTable(s, d)).orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, d) =>
       TextStats.fingerprintMd5(docsTable(s, d)).orderBy("doc_id")),
 
@@ -721,6 +724,26 @@ object SparkEntry {
          |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
          |    ELSE 0.0 END, 6) AS alpha_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(toks)),
+         |                              i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |      FROM t),
+         |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+         |tops AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tb FROM c GROUP BY 1),
+         |l AS (SELECT doc_id,
+         |        list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+         |                    x -> x <> '') AS lines
+         |      FROM documents)
+         |SELECT l.doc_id,
+         |  len(lines)::BIGINT AS n_lines,
+         |  round(CASE WHEN len(lines) > 0
+         |    THEN 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+         |    ELSE 0.0 END, 6) AS dup_line_ratio,
+         |  round(coalesce(tb, 0.0), 6) AS top_bigram_ratio
+         |FROM l LEFT JOIN tops USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH c AS (

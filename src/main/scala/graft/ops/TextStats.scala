@@ -71,6 +71,39 @@ object TextStats {
       best.getField("cnt").as("marker_hits"))
   }
 
+  /** Gopher/RefinedWeb-style repetition signals — the boilerplate
+    * detectors a web-scale quality filter runs before training:
+    *  - `dup_line_ratio`: 1 − distinct/total over non-empty trimmed lines
+    *    (menus, footers, and templated pages repeat lines verbatim);
+    *  - `top_bigram_ratio`: occurrences of the most frequent token bigram
+    *    over total bigrams (degenerate generations and keyword stuffing).
+    * The line signals are pure per-row column math; the bigram mode needs
+    * a per-(doc, gram) count, computed by explode + two map-side-combined
+    * aggregations — NOT an O(tokens²) per-row array fold, which would blow
+    * up on long documents. Docs with <2 tokens report 0. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), x => trim(x)), x => x =!= "")
+    val toks = tokensCol(col(textCol))
+    val grams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(typedLit(Seq.empty[String]))
+    val base = docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      round(when(size(lines) > 0,
+        lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+        .otherwise(lit(0.0)), 6).as("dup_line_ratio"),
+      grams.as("grams"))
+    val tops = base.select(col(idCol), explode(col("grams")).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("tb"))
+    base.drop("grams")
+      .join(tops, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_ratio"),
+        round(coalesce(col("tb"), lit(0.0)), 6).as("top_bigram_ratio"))
+  }
+
   /** Content fingerprint over the normalized token stream: md5 of the
     * space-joined tokens (engine-portable, oracle-checked). */
   def fingerprintMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -76,6 +76,26 @@ class OpsSpec extends SparkSpec {
     assert(fr(8L) == 0L)
   }
 
+  test("repetition signals: dup-line and top-bigram ratios, hand-computed") {
+    val d = Seq(
+      (0L, "alpha beta\nalpha beta\ngamma"), // 3 lines, 2 distinct; bigrams:
+                                             // (alpha beta)x2, (beta alpha),
+                                             // (beta gamma) -> top 2/4
+      (1L, "solo"),                          // 1 line; <2 tokens -> 0
+      (2L, ""),                              // empty: 0 lines
+      (3L, "a a a a"),                       // 1 line; bigram (a a)x3 -> 1.0
+      (4L, "  pad  \n\n  pad  ")             // trims + drops blank line: dup 1/2;
+                                             // tokens (pad, pad) -> 1 bigram -> 1.0
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetition(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0) == ((0L, 3L, 0.333333, 0.5)))
+    assert(got(1) == ((1L, 1L, 0.0, 0.0)))
+    assert(got(2) == ((2L, 0L, 0.0, 0.0)))
+    assert(got(3) == ((3L, 1L, 0.0, 1.0)))
+    assert(got(4) == ((4L, 2L, 0.5, 1.0)))
+  }
+
   test("rolling fingerprint == Scala reference on non-ASCII and non-BMP input") {
     // é (BMP), CJK, and 𝐀 (U+1D400, supplementary plane — a surrogate PAIR
     // in UTF-16): Spark folds code points, so the reference must too
