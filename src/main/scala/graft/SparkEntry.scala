@@ -342,6 +342,17 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => // Gopher-style boilerplate signals
       TextStats.repetition(docsTable(s, d)).orderBy("doc_id")),
 
+    "text_redact_pii" -> ((s, d) => // PII is SYNTHESIZED from table columns
+      // so the oracle exercises cross-engine regex parity on every row —
+      // the synthetic corpus itself contains no emails/phones/IPs and an
+      // identity diff would verify nothing
+      TextStats.redactPii(
+        docsTable(s, d).select(col("doc_id"),
+          concat_ws(" ", col("text"), lit("contact"),
+            concat(col("source"), lit("@ex-a.io")),
+            lit("or (555) 123-4567 / +1 212.555.0100 from 10.0.0.1")).as("text")))
+        .orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, d) =>
       TextStats.fingerprintMd5(docsTable(s, d)).orderBy("doc_id")),
 
@@ -744,6 +755,22 @@ object SparkEntry {
          |    ELSE 0.0 END, 6) AS dup_line_ratio,
          |  round(coalesce(tb, 0.0), 6) AS top_bigram_ratio
          |FROM l LEFT JOIN tops USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH synth AS (
+        |  SELECT doc_id,
+        |    concat_ws(' ', text, 'contact', source || '@ex-a.io',
+        |              'or (555) 123-4567 / +1 212.555.0100 from 10.0.0.1') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '(\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+        |    AS redacted
+        |FROM synth ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""WITH c AS (

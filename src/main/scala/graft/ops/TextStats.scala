@@ -104,6 +104,33 @@ object TextStats {
         round(coalesce(col("tb"), lit(0.0)), 6).as("top_bigram_ratio"))
   }
 
+  /** PII redaction patterns, deliberately restricted to the regex subset
+    * Java (Spark) and RE2 (DuckDB, the oracle engine) evaluate identically:
+    * character classes, bounded repetition, groups, `\b` — no lookaround,
+    * no backreferences. Order matters: emails first (they contain dots and
+    * digits an IP/phone pattern could bite into), then IPv4, then phones.
+    * The phone pattern is the pragmatic NANP-ish shape (optional +CC,
+    * optional parens, separators) — a recall-oriented scrub, not a parser.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""" -> "<EMAIL>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>",
+    // no leading \b: a boundary can never hold before the optional '+' or
+    // '(' (both non-word after a space); the required inner separator
+    // before the last 4 digits keeps plain digit runs from matching
+    """(\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]?\d{3}[-. ]\d{4}\b""" -> "<PHONE>"
+  )
+
+  /** Redact emails / IPv4 addresses / phone numbers to typed placeholder
+    * tokens — the scrub every LLM training pipeline runs before text
+    * leaves the ingest zone. Pure per-row codegen'd `regexp_replace`
+    * chain: zero shuffle, scan-speed at any corpus size. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      piiPatterns.foldLeft(col(textCol)) { case (c, (pat, tok)) =>
+        regexp_replace(c, pat, tok)
+      }.as("redacted"))
+
   /** Content fingerprint over the normalized token stream: md5 of the
     * space-joined tokens (engine-portable, oracle-checked). */
   def fingerprintMd5(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

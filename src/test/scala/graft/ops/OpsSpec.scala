@@ -96,6 +96,22 @@ class OpsSpec extends SparkSpec {
     assert(got(4) == ((4L, 2L, 0.5, 1.0)))
   }
 
+  test("PII redaction: emails, IPv4, phones replaced; ordinary text untouched") {
+    val d = Seq(
+      (0L, "mail a.b+c@ex-a.io now"),
+      (1L, "server at 192.168.0.1 port 8080"),
+      (2L, "call (555) 123-4567 or +1 212.555.0100"),
+      (3L, "version 1.2 build 34567 stays"),
+      (4L, "plain text")
+    ).toDF("doc_id", "text")
+    val got = TextStats.redactPii(d).orderBy("doc_id").collect().map(_.getString(1))
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "server at <IP> port 8080")
+    assert(got(2) == "call <PHONE> or <PHONE>")
+    assert(got(3) == "version 1.2 build 34567 stays")
+    assert(got(4) == "plain text")
+  }
+
   test("rolling fingerprint == Scala reference on non-ASCII and non-BMP input") {
     // é (BMP), CJK, and 𝐀 (U+1D400, supplementary plane — a surrogate PAIR
     // in UTF-16): Spark folds code points, so the reference must too
