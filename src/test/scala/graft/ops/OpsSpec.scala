@@ -112,6 +112,23 @@ class OpsSpec extends SparkSpec {
     assert(got(4) == "plain text")
   }
 
+  test("composed training-data pipeline (example run()) is deduped, split, packed") {
+    // doc 5's text plays the held-out eval set: decontamination must drop it
+    val evalSet = docs.where(col("doc_id") === 5L).select("doc_id", "text")
+    val out = graft.examples.TrainingDataPipelineExample.run(docs, evalSet)
+      .orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    assert(ids == ids.distinct, "one row per surviving doc")
+    assert(!ids.contains(1L), "exact dup dropped (0 kept)")
+    assert(!ids.contains(8L), "empty doc fails the quality gate")
+    assert(!ids.contains(5L), "eval-set contamination dropped")
+    assert(ids.contains(3L), "clean unique doc survives")
+    val splits = out.map(_.getString(1)).toSet
+    assert(splits.subsetOf(Set("train", "test", "val")))
+    assert(out.forall(_.getLong(2) == 0L), "tiny corpus packs into chunk 0")
+    assert(out.forall(r => r.getString(4).nonEmpty), "redacted text present")
+  }
+
   test("rolling fingerprint == Scala reference on non-ASCII and non-BMP input") {
     // é (BMP), CJK, and 𝐀 (U+1D400, supplementary plane — a surrogate PAIR
     // in UTF-16): Spark folds code points, so the reference must too
