@@ -3,7 +3,7 @@ package graft
 import graft.analysis.Analyzer
 import graft.index.BlockParams
 import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextStats}
-import graft.query.{And, Or, Searcher}
+import graft.query.{And, BPhrase, BTerm, Or, Percolator, Searcher}
 import graft.storage.{ParquetIndexStorage, StorageParams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,6 +224,55 @@ object SparkEntry {
       searcher(s, d).phraseQuery("batch batch", ranked = true)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
+
+    // ---- dictionary-expansion queries (prefix / wildcard / fuzzy): one
+    // vocab-sized dictionary scan resolves the expansion set, then the same
+    // pruned postings OR-match as any flat query ------------------------------
+    "ft_prefix" -> ((s, d) =>
+      searcher(s, d).prefixQuery("s").select("doc_id").orderBy("doc_id")),
+
+    "ft_wildcard" -> ((s, d) => // '*a*e*' -> {table, value} on this corpus
+      searcher(s, d).wildcardQuery("*a*e*").select("doc_id").orderBy("doc_id")),
+
+    "ft_fuzzy" -> ((s, d) => // levenshtein <= 2 of 'sport' -> {part, sort, spark}
+      searcher(s, d).fuzzyQuery("sport", maxEdits = 2)
+        .select("doc_id").orderBy("doc_id")),
+
+    // ---- boolean query trees: one pruned scan + per-doc leaf bitmask -------
+    "ft_bool" -> ((s, d) =>
+      searcher(s, d).boolQuery(
+        (BTerm("spark") && BTerm("join")) || (BTerm("group") && !BTerm("window")))
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_bool_not" -> ((s, d) => // pure negation: the complement branch
+      searcher(s, d).boolQuery(!BTerm("spark"))
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_bool_phrase" -> ((s, d) => // phrase leaf under AND NOT
+      searcher(s, d).boolQuery(BPhrase("batch batch") && !BTerm("window"))
+        .select("doc_id").orderBy("doc_id")),
+
+    // ---- facets / highlighting / snippets ----------------------------------
+    "ft_facets" -> ((s, d) =>
+      searcher(s, d).facetCounts("spark join", Or, "source")
+        .orderBy("source")),
+
+    "ft_highlight" -> ((s, d) =>
+      searcher(s, d).highlightTerms("spark join vector", Or)
+        .select("doc_id", "hit_terms").orderBy("doc_id")),
+
+    "ft_snippet" -> ((s, d) => // token window (±2) around the first hit,
+      // match position from the INDEX postings, only matched rows re-analyzed
+      searcher(s, d).snippet("vector", window = 2)
+        .select("doc_id", "first_pos", "snippet").orderBy("doc_id")),
+
+    // ---- percolation (reverse search): stored queries vs the doc flow ------
+    "ft_percolate" -> ((s, d) =>
+      Percolator.matches(docsTable(s, d), Seq(
+        Percolator.StoredQuery(0L, "spark join", And),
+        Percolator.StoredQuery(1L, "vector window", Or),
+        Percolator.StoredQuery(2L, "batch stream group", And)), analyzer)
+        .orderBy("doc_id", "q_id")),
 
     "dedup_keep_one" -> ((s, d) => { // end-to-end pipeline: pairs -> keep-one view
       val pairs = Dedup.ngramJaccardPairs(docsTable(s, d), "source", threshold = 0.05, n = 3)
@@ -585,6 +634,82 @@ object SparkEntry {
          |  round((tf.tf::DOUBLE / tc.token_count) * (log2(n.n::DOUBLE / (df.df + 1)) + 1), 6) AS score
          |FROM matched m JOIN tf USING (doc_id) JOIN tc USING (doc_id) CROSS JOIN n CROSS JOIN df
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_prefix" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toksSql, t -> t LIKE 's%')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_wildcard" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toksSql, t -> regexp_matches(t, '^.*a.*e.*$$'))) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_fuzzy" -> // edit distance <= 2 implies |len diff| <= 2, so the
+      // implementation's length-window prefilter cannot change the set
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toksSql, t -> levenshtein(t, 'sport') <= 2)) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_bool" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE (list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join'))
+         |   OR (list_contains($toksSql, 'group') AND NOT list_contains($toksSql, 'window'))
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_bool_not" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE NOT list_contains($toksSql, 'spark')
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_bool_phrase" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), ph AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'batch' AND b.term = 'batch'
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM ph)
+         |  AND NOT list_contains($toksSql, 'window')
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_facets" ->
+      s"""SELECT source, count(*) AS n_docs FROM documents
+         |WHERE list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join')
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "ft_highlight" ->
+      s"""SELECT doc_id,
+         |  array_to_string(list_sort(list_distinct(
+         |    list_filter($toksSql, t -> t IN ('spark','join','vector')))), ' ') AS hit_terms
+         |FROM documents
+         |WHERE len(list_filter($toksSql, t -> t IN ('spark','join','vector'))) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_snippet" -> // window [p-2, p+2], both bounds clamped; DuckDB slices
+      // are 1-based inclusive and clamp the end like Spark's slice
+      s"""WITH m AS (
+         |  SELECT doc_id, arr, list_position(arr, 'vector') AS lp
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT doc_id, (lp - 1)::BIGINT AS first_pos,
+         |  array_to_string(arr[greatest(lp - 2, 1) : lp + 2], ' ') AS snippet
+         |FROM m WHERE lp > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_percolate" ->
+      s"""SELECT doc_id, 0::BIGINT AS q_id FROM documents
+         |WHERE list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join')
+         |UNION ALL
+         |SELECT doc_id, 1::BIGINT FROM documents
+         |WHERE list_contains($toksSql, 'vector') OR list_contains($toksSql, 'window')
+         |UNION ALL
+         |SELECT doc_id, 2::BIGINT FROM documents
+         |WHERE list_contains($toksSql, 'batch') AND list_contains($toksSql, 'stream')
+         |  AND list_contains($toksSql, 'group')
+         |ORDER BY doc_id, q_id""".stripMargin,
 
     "dedup_keep_one" ->
       s"""WITH sh AS (

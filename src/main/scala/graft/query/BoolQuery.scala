@@ -1,0 +1,43 @@
+package graft.query
+
+/** Boolean query tree: arbitrary AND/OR/NOT composition over match and
+  * phrase leaves — the compound-query surface the reference stops short of
+  * (its `MatchQuery`/`PhraseQuery` are single-leaf only, `query.go:13-44`;
+  * AND-of-OR / NOT have no equivalent there).
+  *
+  * Compiled by [[Searcher.boolQuery]] into ONE DataFrame plan: a single
+  * postings scan pruned to the union of every leaf's terms, one
+  * (doc, leaf) aggregation deciding each leaf, one doc-level bitmask
+  * aggregation, and the tree itself evaluated as a codegen'd boolean
+  * expression over the mask — never one scan per leaf.
+  */
+sealed trait BoolQuery {
+  def &&(other: BoolQuery): BoolQuery = BAnd(Seq(this, other))
+  def ||(other: BoolQuery): BoolQuery = BOr(Seq(this, other))
+  def unary_! : BoolQuery = BNot(this)
+}
+
+/** Match leaf: the keyword is analyzed like [[Searcher.matchQuery]];
+  * `logic` is the within-leaf combination of its terms (AND = all terms
+  * present, OR = any). An AND leaf containing a term absent from the index
+  * is statically false (the reference's AND short-circuit,
+  * `searcher.go:66-68`); an OR leaf drops unknown terms. */
+final case class BTerm(keyword: String, logic: Logic = And) extends BoolQuery
+
+/** Phrase leaf: [[Searcher.phraseQuery]] semantics (every slot present,
+  * shifted position sets intersect). Any unknown term makes it statically
+  * false. */
+final case class BPhrase(phrase: String) extends BoolQuery
+
+final case class BAnd(children: Seq[BoolQuery]) extends BoolQuery {
+  require(children.nonEmpty, "BAnd requires at least one child")
+}
+final case class BOr(children: Seq[BoolQuery]) extends BoolQuery {
+  require(children.nonEmpty, "BOr requires at least one child")
+}
+
+/** Negation. A branch that is satisfiable by a document containing NONE of
+  * the tree's terms (e.g. a top-level NOT) makes the compiler add the
+  * complement of the scanned candidate set — an unavoidable docs-table pass,
+  * flagged in the scaladoc of [[Searcher.boolQuery]]. */
+final case class BNot(child: BoolQuery) extends BoolQuery

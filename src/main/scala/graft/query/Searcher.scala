@@ -160,19 +160,156 @@ final class Searcher(
   def matchQueryRanked(keyword: String, logic: Logic): DataFrame =
     matchImpl(keyword, logic, ranked = true)
 
-  private def matchImpl(keyword: String, logic: Logic, ranked: Boolean): DataFrame = {
-    val qTerms = analyzer.terms(keyword).distinct // IN-lookup set semantics
-    if (qTerms.isEmpty) return emptyDocs(ranked)
-    val rts = resolve(qTerms)
-    if (rts.isEmpty) return emptyDocs(ranked)
-    if (logic == And && rts.size != qTerms.size) return emptyDocs(ranked)
+  private def matchImpl(keyword: String, logic: Logic, ranked: Boolean): DataFrame =
+    matchedAgg(keyword, logic, ranked) match {
+      case None          => emptyDocs(ranked)
+      case Some(matched) => fetchDocs(matched, ranked)
+    }
 
+  /** The doc-level aggregation of [[matchQuery]] BEFORE the docs join:
+    * (doc_ord, nterms, score) of every doc satisfying the logic — None when
+    * the query is statically empty (no terms / AND with an unknown term).
+    * Shared by facet counting, highlighting and the boolean-tree compiler,
+    * which all consume the matched ordinal set, not the doc rows. */
+  private[query] def matchedAgg(keyword: String, logic: Logic,
+      ranked: Boolean): Option[DataFrame] = {
+    val qTerms = analyzer.terms(keyword).distinct // IN-lookup set semantics
+    if (qTerms.isEmpty) return None
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return None
+    if (logic == And && rts.size != qTerms.size) return None
     val agg = scoredMatches(rts, if (ranked) tfIdfExpr else lit(0.0))
+    Some(logic match {
+      case And => agg.filter(col("nterms") === lit(rts.size))
+      case Or  => agg
+    })
+  }
+
+  // ------------------------------------ term-dictionary expansion queries
+
+  /** Dictionary expansion: terms satisfying `pred`, deterministically capped
+    * at `maxExpansions` keeping the HIGHEST-df terms (ties: term asc) — the
+    * expansions that change the most results survive truncation, like
+    * Lucene's MultiTermQuery rewrite. The dictionary scan is vocab-sized
+    * (metadata scale, never corpus scale); the result drives the same
+    * pruned postings scan as an ordinary OR query. */
+  private def expand(pred: Column, maxExpansions: Int): Seq[ResolvedTerm] = {
+    val hasBucket = index.termBuckets > 0
+    val cols = if (hasBucket) Seq("term", "term_id", "df", "t_bucket")
+               else Seq("term", "term_id", "df")
+    index.termDict.filter(pred)
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansions)
+      .select(cols.map(col): _*)
+      .collect()
+      .map(r => ResolvedTerm(r.getString(0), r.getLong(1), r.getLong(2),
+        if (hasBucket) r.getInt(3) else -1))
+      .toSeq
+  }
+
+  /** OR-match over a pre-resolved expansion set (unranked doc-order or
+    * TF-IDF ranked like [[matchQueryRanked]]). */
+  private def matchExpanded(rts: Seq[ResolvedTerm], ranked: Boolean): DataFrame =
+    if (rts.isEmpty) emptyDocs(ranked)
+    else fetchDocs(scoredMatches(rts, if (ranked) tfIdfExpr else lit(0.0)), ranked)
+
+  /** PrefixQuery: docs containing any dictionary term starting with `prefix`
+    * (OR over the expansion, Lucene MultiTermQuery semantics). The prefix is
+    * matched verbatim against POST-analysis dictionary terms — pass it in
+    * analyzed form (e.g. lowercase for the standard analyzer). */
+  def prefixQuery(prefix: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (prefix.isEmpty) return emptyDocs(ranked)
+    matchExpanded(expand(col("term").startsWith(prefix), maxExpansions), ranked)
+  }
+
+  /** WildcardQuery: `*` = any run, `?` = any single char, anchored at both
+    * ends; all other characters literal. Compiled to one RLIKE scan of the
+    * vocab-sized dictionary, then an ordinary OR match. */
+  def wildcardQuery(pattern: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (pattern.isEmpty) return emptyDocs(ranked)
+    val rx = "^" + pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c   => java.util.regex.Pattern.quote(c.toString)
+    }.mkString + "$"
+    matchExpanded(expand(col("term").rlike(rx), maxExpansions), ranked)
+  }
+
+  /** FuzzyQuery: docs containing any dictionary term within `maxEdits`
+    * Levenshtein edits of `term` (exact term included at distance 0). The
+    * length window prefilter keeps the edit-distance evaluation off terms
+    * that cannot qualify. */
+  def fuzzyQuery(term: String, maxEdits: Int = 1, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (term.isEmpty) return emptyDocs(ranked)
+    val pred = length(col("term")).between(term.length - maxEdits, term.length + maxEdits) &&
+      levenshtein(col("term"), lit(term)) <= maxEdits
+    matchExpanded(expand(pred, maxExpansions), ranked)
+  }
+
+  // ------------------------------------------- facets / highlight / snippet
+
+  /** Facet counts over a match: number of matched docs per value of
+    * `facetCol` (a docs-table column). One pruned postings scan + the
+    * doc-level match aggregation + one facet-sized aggregation — the
+    * matched ordinal set is semi-joined to docs, never sorted. */
+  def facetCounts(keyword: String, logic: Logic, facetCol: String): DataFrame =
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => index.docs.limit(0).groupBy(col(facetCol))
+        .agg(count(lit(1)).as("n_docs"))
+      case Some(matched) =>
+        index.docs.join(matched.select("doc_ord"), "doc_ord")
+          .groupBy(col(facetCol)).agg(count(lit(1)).as("n_docs"))
+    }
+
+  /** Matched docs with the query terms each one actually contains
+    * (`hit_terms`, space-joined in lexicographic order) — the "which terms
+    * matched" half of result highlighting, computed from the INDEX postings
+    * (no re-analysis of the corpus). */
+  def highlightTerms(keyword: String, logic: Logic): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    val empty = index.docs.limit(0).withColumn("hit_terms", lit(""))
+    if (qTerms.isEmpty || rts.isEmpty) return empty
+    if (logic == And && rts.size != qTerms.size) return empty
+    val names = rts.map(rt => (rt.termId, rt.term)).toDF("term_id", "term")
+    val agg = postingsFor(rts)
+      .join(broadcast(names), "term_id")
+      .groupBy(col("doc_ord"))
+      .agg(count(lit(1)).as("nterms"),
+        array_join(array_sort(collect_set(col("term"))), " ").as("hit_terms"))
     val matched = logic match {
       case And => agg.filter(col("nterms") === lit(rts.size))
       case Or  => agg
     }
-    fetchDocs(matched, ranked)
+    index.docs.join(matched.select("doc_ord", "hit_terms"), "doc_ord")
+  }
+
+  /** Snippet extraction: for every doc matching any query term, the window
+    * of `window` analyzed tokens either side of the FIRST occurrence of the
+    * earliest query term. The match position comes from the index (head of
+    * the stored posting positions — ordinals in the analyzed stream); only
+    * the matched rows' text is re-analyzed, a per-row native projection.
+    * Windows clamp at document edges. */
+  def snippet(keyword: String, window: Int = 2): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    val empty = index.docs.limit(0)
+      .withColumn("first_pos", lit(0L)).withColumn("snippet", lit(""))
+    if (rts.isEmpty) return empty
+    val firstPos = postingsFor(rts)
+      .groupBy(col("doc_ord"))
+      .agg(min(element_at(col("positions"), 1)).cast("long").as("first_pos"))
+    val toks = analyzer.termsColumn(col("text"))
+    // window is [p-w, p+w] with BOTH bounds clamped (slice clamps the end);
+    // positions are 0-based ordinals, slice is 1-based
+    val start0 = greatest(col("first_pos") - window, lit(0L))
+    index.docs.join(firstPos, "doc_ord")
+      .withColumn("snippet",
+        array_join(slice(toks, (start0 + 1).cast("int"),
+          (col("first_pos") + window - start0 + 1).cast("int")), " "))
   }
 
   /** PhraseQuery: all terms must resolve (`searcher.go:230-232`), docs must
@@ -321,5 +458,164 @@ final class Searcher(
     val rts = resolve(qTerms)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
     fetchDocs(scoredMatches(rts, bm25Expr), ranked = true)
+  }
+
+  // ------------------------------------------------- boolean query trees
+
+  /** Per-leaf compilation result: either statically false on the driver
+    * (empty keyword / unknown term under AND-or-phrase semantics) or a live
+    * leaf with its bitmask id, kind ('a'/'o'/'p'), posting slots
+    * (term_id, q_pos) and required slot count. */
+  private sealed trait LeafPlan
+  private case object StaticFalse extends LeafPlan
+  private final case class LiveLeaf(id: Int, kind: String,
+      slots: Seq[(Long, Int)], req: Int, rts: Seq[ResolvedTerm]) extends LeafPlan
+
+  /** The tree with leaves replaced by their plans, so the boolean fold and
+    * the Column fold walk identical structure. */
+  private sealed trait PTree
+  private final case class PLeaf(plan: LeafPlan) extends PTree
+  private final case class PAnd(cs: Seq[PTree]) extends PTree
+  private final case class POr(cs: Seq[PTree]) extends PTree
+  private final case class PNot(c: PTree) extends PTree
+
+  /** Evaluate a [[BoolQuery]] tree in ONE plan (unranked; doc_ord order per
+    * `sortUnranked`):
+    *
+    *   1. every leaf keyword is analyzed on the driver and the UNION of all
+    *      leaf terms resolved in one dictionary lookup;
+    *   2. one postings scan, partition-pruned to those terms (positions are
+    *      read only when a phrase leaf exists);
+    *   3. one (doc_ord, leaf_id) aggregation decides each leaf: distinct
+    *      matched slots for term leaves, slots + shifted-position intersect
+    *      for phrase leaves;
+    *   4. one doc_ord aggregation folds leaf outcomes into a bitmask, and
+    *      the tree — compiled to a codegen'd boolean expression over the
+    *      mask — filters it.
+    *
+    * Statically-false leaves (unknown term under AND/phrase, empty keyword)
+    * are folded on the driver and never scanned. If the tree is satisfiable
+    * by a document containing NONE of its terms (e.g. `BNot(BTerm("x"))`),
+    * the complement is added via one anti-join against the candidate set —
+    * the unavoidable full-corpus branch of a pure negation; prefer anchoring
+    * NOT under a positive AND branch at scale. At most 62 live leaves. */
+  def boolQuery(q: BoolQuery): DataFrame = {
+    // ---- driver-side: analyze leaves, resolve the term union ONCE
+    val leafBuf = scala.collection.mutable.ArrayBuffer.empty[BoolQuery]
+    def collectLeaves(n: BoolQuery): Unit = n match {
+      case BAnd(cs) => cs.foreach(collectLeaves)
+      case BOr(cs)  => cs.foreach(collectLeaves)
+      case BNot(c)  => collectLeaves(c)
+      case leaf     => leafBuf += leaf
+    }
+    collectLeaves(q)
+    val leafTerms: Seq[Seq[String]] = leafBuf.toSeq.map {
+      case BTerm(kw, _) => analyzer.terms(kw).distinct
+      case BPhrase(p)   => analyzer.terms(p) // ordinals matter: not deduped
+      case other => throw new IllegalArgumentException(s"not a leaf: $other")
+    }
+    val byTerm = resolve(leafTerms.flatten.distinct).map(rt => rt.term -> rt).toMap
+
+    var nextId = 0
+    val plans: Seq[LeafPlan] = leafBuf.toSeq.zip(leafTerms).map {
+      case (BTerm(_, logic), ts) =>
+        val known = ts.flatMap(byTerm.get)
+        if (ts.isEmpty || known.isEmpty || (logic == And && known.size != ts.size))
+          StaticFalse
+        else {
+          val id = nextId; nextId += 1
+          LiveLeaf(id, if (logic == And) "a" else "o",
+            known.map(rt => (rt.termId, 0)),
+            req = if (logic == And) known.size else 1, rts = known)
+        }
+      case (BPhrase(_), ts) =>
+        if (ts.isEmpty || !ts.forall(byTerm.contains)) StaticFalse
+        else {
+          val id = nextId; nextId += 1
+          val slots = ts.zipWithIndex.map { case (t, i) => (byTerm(t).termId, i) }
+          LiveLeaf(id, "p", slots, req = slots.size,
+            rts = ts.distinct.map(byTerm))
+        }
+    }
+    val live = plans.collect { case l: LiveLeaf => l }
+    require(live.size <= 62, s"boolQuery supports at most 62 live leaves, got ${live.size}")
+
+    // ---- annotate the tree so both folds walk identical structure
+    def annotate(n: BoolQuery, it: Iterator[LeafPlan]): PTree = n match {
+      case BAnd(cs) => PAnd(cs.map(annotate(_, it)))
+      case BOr(cs)  => POr(cs.map(annotate(_, it)))
+      case BNot(c)  => PNot(annotate(c, it))
+      case _        => PLeaf(it.next())
+    }
+    val ptree = annotate(q, plans.iterator)
+
+    def evalBool(t: PTree, leafVal: LiveLeaf => Boolean): Boolean = t match {
+      case PLeaf(StaticFalse) => false
+      case PLeaf(l: LiveLeaf) => leafVal(l)
+      case PAnd(cs)           => cs.forall(evalBool(_, leafVal))
+      case POr(cs)            => cs.exists(evalBool(_, leafVal))
+      case PNot(c)            => !evalBool(c, leafVal)
+    }
+    // Does a doc containing NONE of the scanned terms satisfy the tree?
+    val matchesAllFalse = evalBool(ptree, _ => false)
+
+    if (live.isEmpty) // constant tree: no cluster work for the scan at all
+      return if (matchesAllFalse) matchAll() else emptyDocs(withScore = false)
+
+    // ---- one pruned scan + (doc, leaf) decision + doc bitmask
+    val hasPhrase = live.exists(_.kind == "p")
+    val slotsDf = live
+      .flatMap(l => l.slots.map { case (tid, qp) => (tid, l.id, qp) })
+      .toDF("term_id", "leaf_id", "q_pos")
+    val metaDf = live.map(l => (l.id, l.kind, l.req.toLong, 1L << l.id))
+      .toDF("leaf_id", "kind", "req", "bit")
+    val allRts = live.flatMap(_.rts).groupBy(_.termId).map(_._2.head).toSeq
+
+    val baseCols =
+      if (hasPhrase) Seq(col("doc_ord"), col("term_id"), col("positions"))
+      else Seq(col("doc_ord"), col("term_id"))
+    val cand = postingsFor(allRts).select(baseCols: _*)
+      .join(broadcast(slotsDf), "term_id")
+
+    val agg1 = {
+      val g = cand.groupBy(col("doc_ord"), col("leaf_id"))
+      if (hasPhrase) {
+        // Positions are shift-intersected for every leaf in the shared
+        // aggregate (meta arrives only after); term leaves ignore common_n.
+        val rel = (x: Column) =>
+          transform(x.getField("positions"), p => p - x.getField("q_pos"))
+        g.agg(count(lit(1)).as("nrows"),
+            collect_list(struct(col("q_pos"), col("positions"))).as("pls"))
+          .withColumn("common_n",
+            size(aggregate(col("pls"), lit(null).cast("array<int>"),
+              (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x))))))
+          .drop("pls")
+      } else g.agg(count(lit(1)).as("nrows")).withColumn("common_n", lit(1))
+    }
+
+    val matchedCol =
+      (col("kind") === "o") ||
+      (col("kind") === "a" && col("nrows") === col("req")) ||
+      (col("kind") === "p" && col("nrows") === col("req") && col("common_n") > 0)
+    val mask = agg1.join(broadcast(metaDf), "leaf_id")
+      .groupBy(col("doc_ord"))
+      .agg(sum(when(matchedCol, col("bit")).otherwise(lit(0L))).as("mask"))
+
+    def evalCol(t: PTree): Column = t match {
+      case PLeaf(StaticFalse) => lit(false)
+      case PLeaf(l: LiveLeaf) => col("mask").bitwiseAND(lit(1L << l.id)) =!= lit(0L)
+      case PAnd(cs)           => cs.map(evalCol).reduce(_ && _)
+      case POr(cs)            => cs.map(evalCol).reduce(_ || _)
+      case PNot(c)            => !evalCol(c)
+    }
+    val matchedOrds = mask.filter(evalCol(ptree)).select("doc_ord")
+    val ords =
+      if (matchesAllFalse) // pure-negation branch: add the complement
+        matchedOrds.union(index.docs.select("doc_ord")
+          .join(mask.select("doc_ord"), Seq("doc_ord"), "left_anti"))
+      else matchedOrds
+
+    val out = index.docs.join(ords, "doc_ord")
+    if (sortUnranked) out.orderBy(asc("doc_ord")) else out
   }
 }
