@@ -87,6 +87,14 @@ object Bench {
     timed("q_bm25_exhaustive")(searcher.bm25TopK("spark join table", 10).collect())
     timed("q_bm25_wand")(searcher.bm25TopKWand("spark join table", 10).collect())
     timed("q_bm25_wand_warm")(searcher.bm25TopKWand("slow merge data", 10).collect())
+    timed("q_bool_tree")(searcher.boolQuery( // 4 live leaves, ONE postings scan
+      (graft.query.BTerm("spark") && graft.query.BTerm("join")) ||
+      (graft.query.BTerm("group") && !graft.query.BTerm("window"))).count())
+    timed("q_fuzzy")(searcher.fuzzyQuery("sport", maxEdits = 2).count())
+    timed("q_percolate")(graft.query.Percolator.matches(docs,
+      (0 until 200).map(i => graft.query.Percolator.StoredQuery(i.toLong,
+        if (i % 2 == 0) "spark join" else "vector window group",
+        if (i % 3 == 0) And else Or)), analyzer).count())
 
     // ---- WAND pruning win on a corpus big enough to prune -----------------
     // The sf documents tables are tiny (5k docs, 31-term vocab) — every

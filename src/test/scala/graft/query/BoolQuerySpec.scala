@@ -123,6 +123,26 @@ class BoolQuerySpec extends SparkSpec {
     }
   }
 
+  test("one postings scan per tree, not one per leaf") {
+    // The postings relation is the only plan leaf exposing `positions`;
+    // count its occurrences in the optimized plan. A per-leaf compiler
+    // would scan it 3x here.
+    val df = searcher.boolQuery(
+      (BTerm("ruby") && BTerm("go")) || (BTerm("php") && !BTerm("js")))
+    val postingLeaves = df.queryExecution.optimizedPlan.collectLeaves()
+      .count(_.output.exists(_.name == "positions"))
+    assert(postingLeaves == 1)
+  }
+
+  test("at most 62 live leaves, enforced loudly") {
+    val wide = BOr(Seq.fill(63)(BTerm("ruby")))
+    val e = intercept[IllegalArgumentException](searcher.boolQuery(wide))
+    assert(e.getMessage.contains("62"))
+    // 62 itself is fine
+    assert(ids(searcher.boolQuery(BOr(Seq.fill(62)(BTerm("ruby"))))) ==
+      ids(searcher.matchQuery("ruby", Or)))
+  }
+
   test("result rows carry the full docs schema in doc order") {
     val df = searcher.boolQuery(BTerm("go") && !BTerm("ruby"))
     assert(df.columns.toSet == Set("doc_ord", "doc_id", "text"))
