@@ -266,6 +266,16 @@ object SparkEntry {
       searcher(s, d).snippet("vector", window = 2)
         .select("doc_id", "first_pos", "snippet").orderBy("doc_id")),
 
+    "ft_querystring" -> ((s, d) => // Lucene-lite syntax -> BoolQuery tree
+      searcher(s, d).queryString("spark AND (join OR merge) AND NOT window")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_bool_ranked" -> ((s, d) => // tree filters, positive clauses score
+      searcher(s, d).boolQueryRanked(
+        BTerm("spark join", Or) && !BTerm("window"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     // ---- percolation (reverse search): stored queries vs the doc flow ------
     "ft_percolate" -> ((s, d) =>
       Percolator.matches(docsTable(s, d), Seq(
@@ -698,6 +708,36 @@ object SparkEntry {
          |SELECT doc_id, (lp - 1)::BIGINT AS first_pos,
          |  array_to_string(arr[greatest(lp - 2, 1) : lp + 2], ' ') AS snippet
          |FROM m WHERE lp > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_querystring" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE list_contains($toksSql, 'spark')
+         |  AND (list_contains($toksSql, 'join') OR list_contains($toksSql, 'merge'))
+         |  AND NOT list_contains($toksSql, 'window')
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_bool_ranked" -> // BM25 over the positive terms {spark, join} with the
+      // tree as the row filter; df/N/avgdl are corpus-global like the index's
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |matched AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE (list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join'))
+         |    AND NOT list_contains($toksSql, 'window'))
+         |SELECT tf.doc_id,
+         |  round(sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |    / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS score
+         |FROM tf JOIN matched USING (doc_id) JOIN tc USING (doc_id)
+         |JOIN df USING (term) CROSS JOIN stats
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_percolate" ->
       s"""SELECT doc_id, 0::BIGINT AS q_id FROM documents

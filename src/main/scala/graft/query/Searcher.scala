@@ -499,45 +499,92 @@ final class Searcher(
     * the complement is added via one anti-join against the candidate set —
     * the unavoidable full-corpus branch of a pure negation; prefer anchoring
     * NOT under a positive AND branch at scale. At most 62 live leaves. */
-  def boolQuery(q: BoolQuery): DataFrame = {
-    // ---- driver-side: analyze leaves, resolve the term union ONCE
-    val leafBuf = scala.collection.mutable.ArrayBuffer.empty[BoolQuery]
-    def collectLeaves(n: BoolQuery): Unit = n match {
-      case BAnd(cs) => cs.foreach(collectLeaves)
-      case BOr(cs)  => cs.foreach(collectLeaves)
-      case BNot(c)  => collectLeaves(c)
-      case leaf     => leafBuf += leaf
+  def boolQuery(q: BoolQuery): DataFrame =
+    compileBool(q) match {
+      case Left(false)     => emptyDocs(withScore = false)
+      case Left(true)      => matchAll()
+      case Right((ords, _)) =>
+        val out = index.docs.join(ords, "doc_ord")
+        if (sortUnranked) out.orderBy(asc("doc_ord")) else out
     }
-    collectLeaves(q)
+
+  /** [[boolQuery]] with BM25 ranking: the tree FILTERS, the score is the
+    * BM25 sum over the distinct terms of its POSITIVE leaves (those under an
+    * even number of NOTs — negated clauses never score, Lucene MUST_NOT
+    * semantics). A matched doc containing no positive term (reachable only
+    * through negation) scores 0. One extra pruned postings aggregation over
+    * the positive terms joined to the matched ordinal set. */
+  def boolQueryRanked(q: BoolQuery): DataFrame =
+    compileBool(q) match {
+      case Left(false) => emptyDocs(withScore = true)
+      case Left(true) =>
+        index.docs.withColumn("score", lit(0.0)).orderBy(asc("doc_ord"))
+      case Right((ords, posRts)) =>
+        val scored =
+          if (posRts.isEmpty) ords.withColumn("score", lit(0.0))
+          else ords.join(
+            scoredMatches(posRts, bm25Expr).select("doc_ord", "score"),
+            Seq("doc_ord"), "left")
+            .select(col("doc_ord"), coalesce(col("score"), lit(0.0)).as("score"))
+        fetchDocs(scored, ranked = true)
+    }
+
+  /** Parse a Lucene-lite query string ([[QueryString]] grammar: AND/OR/NOT,
+    * `-term`, parentheses, `"quoted phrases"`, adjacency = AND) and run it
+    * through [[boolQuery]] / [[boolQueryRanked]]. */
+  def queryString(s: String, ranked: Boolean = false): DataFrame = {
+    val tree = QueryString.parse(s)
+    if (ranked) boolQueryRanked(tree) else boolQuery(tree)
+  }
+
+  /** Shared compiler: Left(constant) when the tree is decided on the driver
+    * (true = every doc, false = none); otherwise the matched-ordinal frame
+    * (single `doc_ord` column) plus the distinct resolved terms of POSITIVE
+    * live leaves (for scoring). */
+  private def compileBool(q: BoolQuery): Either[Boolean, (DataFrame, Seq[ResolvedTerm])] = {
+    // ---- driver-side: analyze leaves, resolve the term union ONCE
+    val leafBuf = scala.collection.mutable.ArrayBuffer.empty[(BoolQuery, Boolean)]
+    def collectLeaves(n: BoolQuery, pos: Boolean): Unit = n match {
+      case BAnd(cs) => cs.foreach(collectLeaves(_, pos))
+      case BOr(cs)  => cs.foreach(collectLeaves(_, pos))
+      case BNot(c)  => collectLeaves(c, !pos)
+      case leaf     => leafBuf += ((leaf, pos))
+    }
+    collectLeaves(q, pos = true)
     val leafTerms: Seq[Seq[String]] = leafBuf.toSeq.map {
-      case BTerm(kw, _) => analyzer.terms(kw).distinct
-      case BPhrase(p)   => analyzer.terms(p) // ordinals matter: not deduped
-      case other => throw new IllegalArgumentException(s"not a leaf: $other")
+      case (BTerm(kw, _), _) => analyzer.terms(kw).distinct
+      case (BPhrase(p), _)   => analyzer.terms(p) // ordinals matter: not deduped
+      case (other, _) => throw new IllegalArgumentException(s"not a leaf: $other")
     }
     val byTerm = resolve(leafTerms.flatten.distinct).map(rt => rt.term -> rt).toMap
 
     var nextId = 0
-    val plans: Seq[LeafPlan] = leafBuf.toSeq.zip(leafTerms).map {
-      case (BTerm(_, logic), ts) =>
+    val plans: Seq[(LeafPlan, Boolean)] = leafBuf.toSeq.zip(leafTerms).map {
+      case ((BTerm(_, logic), pos), ts) =>
         val known = ts.flatMap(byTerm.get)
         if (ts.isEmpty || known.isEmpty || (logic == And && known.size != ts.size))
-          StaticFalse
+          (StaticFalse, pos)
         else {
           val id = nextId; nextId += 1
-          LiveLeaf(id, if (logic == And) "a" else "o",
+          (LiveLeaf(id, if (logic == And) "a" else "o",
             known.map(rt => (rt.termId, 0)),
-            req = if (logic == And) known.size else 1, rts = known)
+            req = if (logic == And) known.size else 1, rts = known), pos)
         }
-      case (BPhrase(_), ts) =>
-        if (ts.isEmpty || !ts.forall(byTerm.contains)) StaticFalse
+      case ((BPhrase(_), pos), ts) =>
+        if (ts.isEmpty || !ts.forall(byTerm.contains)) (StaticFalse, pos)
         else {
           val id = nextId; nextId += 1
           val slots = ts.zipWithIndex.map { case (t, i) => (byTerm(t).termId, i) }
-          LiveLeaf(id, "p", slots, req = slots.size,
-            rts = ts.distinct.map(byTerm))
+          (LiveLeaf(id, "p", slots, req = slots.size,
+            rts = ts.distinct.map(byTerm)), pos)
         }
+      case ((other, _), _) =>
+        throw new IllegalArgumentException(s"not a leaf: $other")
     }
-    val live = plans.collect { case l: LiveLeaf => l }
+    val live = plans.collect { case (l: LiveLeaf, _) => l }
+    val positiveRts = plans
+      .collect { case (l: LiveLeaf, true) => l.rts }.flatten
+      .groupBy(_.termId).map(_._2.head).toSeq
     require(live.size <= 62, s"boolQuery supports at most 62 live leaves, got ${live.size}")
 
     // ---- annotate the tree so both folds walk identical structure
@@ -547,7 +594,7 @@ final class Searcher(
       case BNot(c)  => PNot(annotate(c, it))
       case _        => PLeaf(it.next())
     }
-    val ptree = annotate(q, plans.iterator)
+    val ptree = annotate(q, plans.iterator.map(_._1))
 
     def evalBool(t: PTree, leafVal: LiveLeaf => Boolean): Boolean = t match {
       case PLeaf(StaticFalse) => false
@@ -560,7 +607,7 @@ final class Searcher(
     val matchesAllFalse = evalBool(ptree, _ => false)
 
     if (live.isEmpty) // constant tree: no cluster work for the scan at all
-      return if (matchesAllFalse) matchAll() else emptyDocs(withScore = false)
+      return Left(matchesAllFalse)
 
     // ---- one pruned scan + (doc, leaf) decision + doc bitmask
     val hasPhrase = live.exists(_.kind == "p")
@@ -614,8 +661,6 @@ final class Searcher(
         matchedOrds.union(index.docs.select("doc_ord")
           .join(mask.select("doc_ord"), Seq("doc_ord"), "left_anti"))
       else matchedOrds
-
-    val out = index.docs.join(ords, "doc_ord")
-    if (sortUnranked) out.orderBy(asc("doc_ord")) else out
+    Right((ords, positiveRts))
   }
 }
