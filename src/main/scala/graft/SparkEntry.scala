@@ -266,6 +266,13 @@ object SparkEntry {
       searcher(s, d).snippet("vector", window = 2)
         .select("doc_id", "first_pos", "snippet").orderBy("doc_id")),
 
+    "ft_mlt" -> ((s, d) => // more-like-this: top-5 tf·idf terms of doc 42,
+      // BM25 over them, source excluded; k oversized so the oracle needs no
+      // top-k boundary (all matches returned, rank order checked by hash)
+      searcher(s, d).moreLikeThis(42L, maxQueryTerms = 5, k = 100000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_querystring" -> ((s, d) => // Lucene-lite syntax -> BoolQuery tree
       searcher(s, d).queryString("spark AND (join OR merge) AND NOT window")
         .select("doc_id").orderBy("doc_id")),
@@ -708,6 +715,29 @@ object SparkEntry {
          |SELECT doc_id, (lp - 1)::BIGINT AS first_pos,
          |  array_to_string(arr[greatest(lp - 2, 1) : lp + 2], ' ') AS snippet
          |FROM m WHERE lp > 0 ORDER BY doc_id""".stripMargin,
+
+    "ft_mlt" -> // term selection: doc 42's top-5 terms by tf * tfidf-weight
+      // (ties term asc) over GLOBAL df; then corpus BM25 over those terms,
+      // doc 42 excluded — mirrors Searcher.moreLikeThis exactly
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |dfall AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |src AS (SELECT term, count(*) AS tf FROM toks WHERE doc_id = 42 GROUP BY term),
+         |sel AS (SELECT s.term FROM src s JOIN dfall USING (term) CROSS JOIN stats
+         |        ORDER BY s.tf * (log2(stats.n::DOUBLE / (dfall.df + 1)) + 1) DESC, s.term ASC
+         |        LIMIT 5),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term)
+         |SELECT tf.doc_id,
+         |  round(sum((ln(1 + (stats.n - dfall.df + 0.5) / (dfall.df + 0.5)) * (tf.tf * 2.2))
+         |    / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS score
+         |FROM tf JOIN tc USING (doc_id) JOIN dfall USING (term) CROSS JOIN stats
+         |WHERE tf.doc_id <> 42
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_querystring" ->
       s"""SELECT doc_id FROM documents

@@ -21,7 +21,7 @@ object Searcher {
     new Searcher(p.index, analyzer,
       BlockParams(blockSize = p.manifest.blockSize, bucketSpan = p.manifest.bucketSpan,
         k1 = p.manifest.k1, b = p.manifest.b),
-      Some(p.blocks), sortUnranked)
+      Some(p.blocks), sortUnranked, dGroupSpan = p.manifest.dGroupSpan)
 }
 
 /** Query planning for the inverted index.
@@ -44,7 +44,10 @@ final class Searcher(
     val analyzer: Analyzer,
     val blockParams: BlockParams = BlockParams(),
     preBuiltBlocks: Option[Dataset[PostingBlockRow]] = None,
-    val sortUnranked: Boolean = true
+    val sortUnranked: Boolean = true,
+    dGroupSpan: Long = -1L // persisted postings doc-range partition span;
+                           // lets single-doc lookups (moreLikeThis) prune on
+                           // d_group. -1 = unknown (in-memory index)
 ) {
 
   private val spark = index.docs.sparkSession
@@ -247,6 +250,36 @@ final class Searcher(
     val pred = length(col("term")).between(term.length - maxEdits, term.length + maxEdits) &&
       levenshtein(col("term"), lit(term)) <= maxEdits
     matchExpanded(expand(pred, maxExpansions), ranked)
+  }
+
+  /** MoreLikeThis: docs similar to `docOrd`, BM25-ranked over the source
+    * doc's `maxQueryTerms` most characteristic terms — highest tf·idf
+    * (reference TF-IDF weight formula), ties broken term asc — with the
+    * source doc excluded, Lucene MLT semantics. The term selection reads
+    * ONLY the source doc's posting rows (d_group partition-pruned on the
+    * persisted layout, never a corpus scan) plus a vocab-bounded dictionary
+    * lookup; the search is the ordinary pruned BM25 OR plan. */
+  def moreLikeThis(docOrd: Long, maxQueryTerms: Int = 10, k: Int = 10): DataFrame = {
+    val src0 = index.postings.filter(col("doc_ord") === lit(docOrd))
+    val src = if (dGroupSpan > 0 && index.postings.columns.contains("d_group"))
+      src0.filter(col("d_group") === lit(docOrd / dGroupSpan)) else src0
+    val tfById = src.select(col("term_id"), col("tf").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (tfById.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val hasBucket = index.termBuckets > 0
+    val cols = if (hasBucket) Seq("term", "term_id", "df", "t_bucket")
+               else Seq("term", "term_id", "df")
+    val dict = index.termDict.filter(col("term_id").isin(tfById.keys.toSeq: _*))
+      .select(cols.map(col): _*).collect()
+      .map(r => ResolvedTerm(r.getString(0), r.getLong(1), r.getLong(2),
+        if (hasBucket) r.getInt(3) else -1))
+    val top = dict
+      .map(rt => (rt, tfById(rt.termId) * tfIdfWeight(rt.df)))
+      .sortBy { case (rt, w) => (-w, rt.term) }
+      .take(maxQueryTerms).map(_._1).toSeq
+    val scored = scoredMatches(top, bm25Expr)
+      .filter(col("doc_ord") =!= lit(docOrd))
+    fetchDocs(scored, ranked = true).limit(k)
   }
 
   // ------------------------------------------- facets / highlight / snippet
