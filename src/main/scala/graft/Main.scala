@@ -78,8 +78,11 @@ object Main {
       |         [--analyzer ...] [--stopwords ...] [--text-col text]
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
-      |  search --index <path> --query <q> [--mode and|or|phrase|tfidf|bm25|wand|all]
-      |         [--k 10] [--limit 20]
+      |  search --index <path> --query <q>
+      |         [--mode and|or|phrase|tfidf|bm25|wand|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest]
+      |         [--k 10] [--limit 20] [--max-edits 1]
+      |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases";
+      |          mlt: --query is a doc_ord; suggest: --query is a term prefix)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
@@ -257,6 +260,12 @@ object Main {
     val limit = opts.get("limit").map(_.toInt).getOrElse(20)
     val searcher = Searcher(ParquetIndexStorage.read(spark, index), analyzer)
     val mode = opts.getOrElse("mode", "wand")
+    if (mode == "suggest") { // autocomplete: (term, df), not doc rows
+      out(Seq("term", "df").mkString("\t"))
+      searcher.suggest(query, n = k).collect()
+        .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}"))
+      return
+    }
     val (df, ranked): (DataFrame, Boolean) = mode match {
       case "and"    => (searcher.matchQuery(query, And).limit(limit), false)
       case "or"     => (searcher.matchQuery(query, Or).limit(limit), false)
@@ -265,6 +274,14 @@ object Main {
       case "bm25"   => (searcher.bm25TopK(query, k), true)
       case "wand"   => (searcher.bm25TopKWand(query, k), true)
       case "all"    => (searcher.matchAll().limit(limit), false)
+      // compound surface: Lucene-lite query-string syntax (AND/OR/NOT,
+      // -term, parens, "quoted phrases"), unranked or positive-clause BM25
+      case "qs"        => (searcher.queryString(query).limit(limit), false)
+      case "qs-ranked" => (searcher.queryString(query, ranked = true).limit(k), true)
+      case "prefix" => (searcher.prefixQuery(query).limit(limit), false)
+      case "fuzzy"  => (searcher.fuzzyQuery(query,
+        maxEdits = opts.get("max-edits").map(_.toInt).getOrElse(1)).limit(limit), false)
+      case "mlt"    => (searcher.moreLikeThis(query.trim.toLong, k = k), true)
       case other    => throw new IllegalArgumentException(s"unknown mode '$other'")
     }
     val cols = Seq("doc_ord") ++ (if (ranked) Seq("score") else Nil) ++

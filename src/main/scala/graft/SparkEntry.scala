@@ -273,6 +273,9 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_suggest" -> ((s, d) => // autocomplete: highest-df dict terms by prefix
+      searcher(s, d).suggest("s", n = 10)),
+
     "ft_querystring" -> ((s, d) => // Lucene-lite syntax -> BoolQuery tree
       searcher(s, d).queryString("spark AND (join OR merge) AND NOT window")
         .select("doc_id").orderBy("doc_id")),
@@ -738,6 +741,12 @@ object SparkEntry {
          |FROM tf JOIN tc USING (doc_id) JOIN dfall USING (term) CROSS JOIN stats
          |WHERE tf.doc_id <> 42
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_suggest" ->
+      s"""SELECT term, count(DISTINCT doc_id) AS df
+         |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
+         |WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
 
     "ft_querystring" ->
       s"""SELECT doc_id FROM documents

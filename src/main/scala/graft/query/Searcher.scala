@@ -240,6 +240,15 @@ final class Searcher(
     matchExpanded(expand(col("term").rlike(rx), maxExpansions), ranked)
   }
 
+  /** Autocomplete: the `n` highest-df dictionary terms starting with
+    * `prefix` (ties term asc), with their document frequencies — a
+    * vocab-sized dictionary scan, zero postings work. */
+  def suggest(prefix: String, n: Int = 10): DataFrame =
+    index.termDict.filter(col("term").startsWith(prefix))
+      .select(col("term"), col("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(n)
+
   /** FuzzyQuery: docs containing any dictionary term within `maxEdits`
     * Levenshtein edits of `term` (exact term included at distance 0). The
     * length window prefilter keeps the edit-distance evaluation off terms

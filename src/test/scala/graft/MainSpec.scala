@@ -62,6 +62,33 @@ class MainSpec extends SparkSpec {
     assert(c4 == 0 && allOut.drop(1).length == 4)
   }
 
+  test("compound search modes: qs, qs-ranked, prefix, fuzzy, mlt, suggest") {
+    // query-string: join AND NOT broadcast -> the two "spark ... join table"
+    val (c1, qs) = captured("search", "--index", idx,
+      "--query", "join AND NOT broadcast", "--mode", "qs")
+    assert(c1 == 0 && qs.drop(1).length == 2, qs.mkString("\n"))
+    // -term sugar + ranked path carries a score column
+    val (c2, qsr) = captured("search", "--index", idx,
+      "--query", "join -broadcast", "--mode", "qs-ranked", "--k", "5")
+    assert(c2 == 0 && qsr.head.split("\t").contains("score") && qsr.drop(1).length == 2)
+    // prefix expansion: shuf* -> both shuffle docs
+    val (c3, pf) = captured("search", "--index", idx, "--query", "shuf", "--mode", "prefix")
+    assert(c3 == 0 && pf.drop(1).length == 2)
+    // fuzzy: spork ~1 -> spark docs
+    val (c4, fz) = captured("search", "--index", idx, "--query", "spork",
+      "--mode", "fuzzy", "--max-edits", "1")
+    assert(c4 == 0 && fz.drop(1).length == 2 && fz.drop(1).forall(_.contains("spark")))
+    // more-like-this: doc_ord 0 = "spark join table"; best match shares 3 terms
+    val (c5, mlt) = captured("search", "--index", idx, "--query", "0", "--mode", "mlt", "--k", "3")
+    assert(c5 == 0 && mlt.length >= 2, mlt.mkString("\n"))
+    assert(mlt(1).contains("spark shuffle join table"))
+    assert(!mlt.drop(1).exists(_.endsWith("\tspark join table"))) // source excluded
+    // suggest: s-prefix terms by df desc, term asc -> shuffle before spark
+    val (c6, sg) = captured("search", "--index", idx, "--query", "s", "--mode", "suggest", "--k", "3")
+    assert(c6 == 0 && sg.head == "term\tdf", sg.mkString("\n"))
+    assert(sg(1).startsWith("shuffle\t") && sg(2).startsWith("spark\t"))
+  }
+
   test("search with a mismatched analyzer fails loudly") {
     val (code, out) = captured("search", "--index", idx, "--query", "spark",
       "--analyzer", "ngram:3")
