@@ -294,6 +294,13 @@ object SparkEntry {
         Percolator.StoredQuery(2L, "batch stream group", And)), analyzer)
         .orderBy("doc_id", "q_id")),
 
+    "ft_percolate_bool" -> ((s, d) => // standing TREES percolated per doc
+      Percolator.matchesBool(docsTable(s, d), Seq(
+        0L -> ((BTerm("spark") && BTerm("join")) ||
+               (BTerm("group") && !BTerm("window"))),
+        1L -> (BPhrase("batch batch") && !BTerm("window"))), analyzer)
+        .orderBy("doc_id", "q_id")),
+
     "dedup_keep_one" -> ((s, d) => { // end-to-end pipeline: pairs -> keep-one view
       val pairs = Dedup.ngramJaccardPairs(docsTable(s, d), "source", threshold = 0.05, n = 3)
       Dedup.dropDuplicates(docsTable(s, d), pairs)
@@ -788,6 +795,24 @@ object SparkEntry {
          |SELECT doc_id, 2::BIGINT FROM documents
          |WHERE list_contains($toksSql, 'batch') AND list_contains($toksSql, 'stream')
          |  AND list_contains($toksSql, 'group')
+         |ORDER BY doc_id, q_id""".stripMargin,
+
+    "ft_percolate_bool" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), ph AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'batch' AND b.term = 'batch'
+         |)
+         |SELECT doc_id, 0::BIGINT AS q_id FROM documents
+         |WHERE (list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join'))
+         |   OR (list_contains($toksSql, 'group') AND NOT list_contains($toksSql, 'window'))
+         |UNION ALL
+         |SELECT doc_id, 1::BIGINT FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM ph)
+         |  AND NOT list_contains($toksSql, 'window')
          |ORDER BY doc_id, q_id""".stripMargin,
 
     "dedup_keep_one" ->

@@ -55,6 +55,62 @@ object Percolator {
       .select("doc_id", "q_id")
   }
 
+  /** Tree percolation: standing [[BoolQuery]] trees (the FULL compound
+    * surface — AND/OR/NOT over match and phrase leaves) evaluated against
+    * each arriving doc as a pure column expression over its analyzed token
+    * stream: term leaves via `array_contains`, phrase leaves via a
+    * contiguous-window scan of the positional token array. Zero shuffle,
+    * zero state — streamable in plain append mode like [[matchesStateless]].
+    * Exactly [[Searcher.boolQuery]] semantics per document (parity-tested),
+    * including pure negation, with no index required. Plan size grows with
+    * total leaf count; for thousands of FLAT queries prefer [[matches]].
+    *
+    * Returns (doc_id, q_id), one row per matching pair.
+    */
+  def matchesBool(docs: DataFrame, queries: Seq[(Long, BoolQuery)],
+      analyzer: Analyzer, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = analyzer.termsColumn(col(textCol))
+
+    def phraseCol(ts: Seq[String]): Column =
+      if (ts.isEmpty) lit(false)
+      else if (ts.size == 1) array_contains(toks, ts.head)
+      else {
+        val n = ts.size
+        // element_at is 1-based; sequence(a,b) with a>b counts DOWN, so the
+        // window scan must be guarded against docs shorter than the phrase
+        val windows = sequence(lit(1), size(toks) - lit(n - 1))
+        val hit = exists(windows, i =>
+          ts.zipWithIndex.map { case (t, j) =>
+            element_at(toks, (i + lit(j)).cast("int")) === lit(t)
+          }.reduce(_ && _))
+        when(size(toks) >= lit(n), hit).otherwise(lit(false))
+      }
+
+    def compile(q: BoolQuery): Column = q match {
+      case BTerm(kw, logic) =>
+        val ts = analyzer.terms(kw).distinct
+        if (ts.isEmpty) lit(false)
+        else if (logic == And) ts.map(t => array_contains(toks, t)).reduce(_ && _)
+        else arrays_overlap(toks, array(ts.map(lit): _*))
+      case BPhrase(p)  => phraseCol(analyzer.terms(p))
+      case BAnd(cs)    => cs.map(compile).reduce(_ && _)
+      case BOr(cs)     => cs.map(compile).reduce(_ || _)
+      case BNot(c)     => !compile(c)
+    }
+
+    if (queries.isEmpty)
+      return docs.sparkSession.emptyDataFrame
+        .withColumn("doc_id", lit(0L)).withColumn("q_id", lit(0L)).limit(0)
+    val perQuery = queries.map { case (qId, q) =>
+      struct(lit(qId).as("q_id"), compile(q).as("m"))
+    }
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(filter(array(perQuery: _*), s => s.getField("m"))).as("s"))
+      .select(col("doc_id"), col("s").getField("q_id").as("q_id"))
+  }
+
   /** Column-compiled percolation, for MODERATE query sets: every query
     * becomes a boolean expression over the doc's analyzed token array
     * (array_contains / arrays_overlap — whole-stage codegen, zero shuffle,

@@ -64,6 +64,45 @@ class PercolatorSpec extends SparkSpec {
     assert(pairs(Percolator.matches(empty, queries, analyzer)).isEmpty)
   }
 
+  test("tree percolation == forward boolQuery on the same corpus (parity)") {
+    // Reverse (per-doc column eval) and forward (index scan + bitmask) must
+    // agree on every tree, including phrase leaves and pure negation.
+    import graft.index.IndexBuilder
+    val df = docs.toDF("doc_id", "text")
+    val indexed = docs.zipWithIndex
+      .map { case ((id, t), i) => (i.toLong, id, t) }
+      .toDF("doc_ord", "doc_id", "text")
+    val searcher = new Searcher(IndexBuilder.build(indexed, analyzer).cache(), analyzer)
+    val trees: Seq[BoolQuery] = Seq(
+      BTerm("ruby") && BTerm("go"),
+      (BTerm("ruby") && BTerm("php")) || BTerm("rust"),
+      BTerm("go") && !BTerm("ruby"),
+      !BTerm("php"), // pure negation: complement includes the empty doc
+      BPhrase("ruby go") && !BTerm("js"),
+      BPhrase("go php") || BPhrase("ruby php"),
+      !(BTerm("ruby") && BPhrase("php js")))
+    trees.zipWithIndex.foreach { case (tree, i) =>
+      val reverse = pairs(Percolator.matchesBool(df, Seq((0L, tree)), analyzer))
+        .map(_._1)
+      val forward = searcher.boolQuery(tree)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(reverse == forward, s"tree #$i: $tree")
+    }
+  }
+
+  test("tree percolation: phrase window edges (short docs, repeated terms)") {
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "a"), (4L, ""))
+      .toDF("doc_id", "text")
+    // "a b a" needs a window scan past the first occurrence
+    assert(pairs(Percolator.matchesBool(df, Seq((0L, BPhrase("a b a"))), analyzer))
+      == Set((1L, 0L)))
+    // phrase longer than the doc never matches (sequence guard)
+    assert(pairs(Percolator.matchesBool(df, Seq((0L, BPhrase("b a b a b"))), analyzer))
+      .isEmpty)
+    assert(pairs(Percolator.matchesBool(df, Seq((0L, BPhrase("b a"))), analyzer))
+      == Set((1L, 0L), (2L, 0L)))
+  }
+
   test("stateless shape percolates a stream in append mode == batch") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String)]
