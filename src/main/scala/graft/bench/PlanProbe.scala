@@ -1,0 +1,60 @@
+package graft.bench
+
+import graft.analysis.Analyzer
+import graft.query.{And, BPhrase, BTerm, Or, Searcher}
+import graft.storage.{ParquetIndexStorage, StorageParams}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit of the compound query surface over the PERSISTED
+  * layout: counts parquet scans and exchanges and greps the pruning
+  * evidence (t_bucket partition filters, broadcast joins) that the
+  * DataFrame-level tests assert only structurally. Run on demand:
+  * `sbt "runMain graft.bench.PlanProbe /root/testdata/sf0.001"`. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-planprobe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val analyzer = Analyzer.standard()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("doc_ord", col("doc_id"))
+    val path = graft.LocalTmp.dir("graft_planprobe_") + "/index"
+    ParquetIndexStorage.build(docs, analyzer, path,
+      StorageParams(termBuckets = 16, writeGroups = 4), sourceDesc = sfDir)
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+
+    def audit(name: String, df: DataFrame): Unit = {
+      df.count() // force AQE final plan
+      val plan = df.queryExecution.executedPlan.toString
+      val lines = plan.split("\n")
+      val scans = lines.count(_.contains("Scan parquet"))
+      val postingScans = lines.count(l =>
+        l.contains("Scan parquet") && l.contains("positions"))
+      val exchanges = lines.count(_.contains("Exchange"))
+      val bcasts = lines.count(_.contains("BroadcastHashJoin"))
+      val bucketPruned = lines.exists(l =>
+        l.contains("PartitionFilters") && l.contains("t_bucket") &&
+          !l.contains("PartitionFilters: []"))
+      println(f"PLAN $name%-18s scans=$scans%2d postingScans=$postingScans " +
+        f"exchanges=$exchanges bcastJoins=$bcasts tBucketPruned=$bucketPruned")
+    }
+
+    audit("match_and", s.matchQuery("spark join", And))
+    audit("bool_tree", s.boolQuery(
+      (BTerm("spark") && BTerm("join")) || (BTerm("group") && !BTerm("window"))))
+    audit("bool_phrase", s.boolQuery(BPhrase("batch batch") && !BTerm("window")))
+    audit("bool_ranked", s.boolQueryRanked(BTerm("spark join", Or) && !BTerm("window")))
+    audit("facets", s.facetCounts("spark join", Or, "source"))
+    audit("snippet", s.snippet("vector"))
+    audit("mlt", s.moreLikeThis(42L, maxQueryTerms = 5, k = 100))
+    audit("fuzzy", s.fuzzyQuery("sport", maxEdits = 2))
+    spark.stop()
+  }
+}
