@@ -276,6 +276,15 @@ object SparkEntry {
     "ft_suggest" -> ((s, d) => // autocomplete: highest-df dict terms by prefix
       searcher(s, d).suggest("s", n = 10)),
 
+    "ft_termvectors" -> ((s, d) => // ES _termvectors: one doc's indexed view
+      searcher(s, d).termVectors(42L)),
+
+    "ft_explain" -> ((s, d) => // ES _explain: per-term BM25 breakdown
+      searcher(s, d).explainScore("spark join table", 42L)
+        .select(col("term"), col("tf"), col("df"), round(col("idf"), 6).as("idf"),
+          round(col("tf_factor"), 6).as("tf_factor"),
+          round(col("contribution"), 6).as("contribution"))),
+
     "ft_querystring" -> ((s, d) => // Lucene-lite syntax -> BoolQuery tree
       searcher(s, d).queryString("spark AND (join OR merge) AND NOT window")
         .select("doc_id").orderBy("doc_id")),
@@ -754,6 +763,36 @@ object SparkEntry {
          |FROM (SELECT doc_id, unnest($toksSql) AS term FROM documents)
          |WHERE term LIKE 's%'
          |GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""".stripMargin,
+
+    "ft_termvectors" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(0, len(arr))) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT term, count(*) AS tf,
+         |  array_to_string(list_sort(list(pos)), ',') AS positions
+         |FROM toks WHERE doc_id = 42
+         |GROUP BY term ORDER BY term""".stripMargin,
+
+    "ft_explain" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY term),
+         |tf AS (SELECT term, count(*) AS tf FROM toks
+         |       WHERE doc_id = 42 AND term IN ('spark','join','table') GROUP BY term)
+         |SELECT tf.term, tf.tf, df.df,
+         |  round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+         |  round((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl)), 6) AS tf_factor,
+         |  round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         |    * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS contribution
+         |FROM tf JOIN df USING (term) CROSS JOIN stats
+         |JOIN tc ON tc.doc_id = 42
+         |ORDER BY term""".stripMargin,
 
     "ft_querystring" ->
       s"""SELECT doc_id FROM documents

@@ -291,6 +291,54 @@ final class Searcher(
     fetchDocs(scored, ranked = true).limit(k)
   }
 
+  /** Term vectors of one document (ES `_termvectors` shape): every indexed
+    * term with its tf and 0-based positions in the analyzed stream, term
+    * asc. Reads ONLY the doc's posting rows (d_group-pruned on the
+    * persisted layout) + a vocab-sized dictionary join. Positions are
+    * rendered as a comma-joined string for engine-portable output. */
+  def termVectors(docOrd: Long): DataFrame = {
+    val src0 = index.postings.filter(col("doc_ord") === lit(docOrd))
+    val src = if (dGroupSpan > 0 && index.postings.columns.contains("d_group"))
+      src0.filter(col("d_group") === lit(docOrd / dGroupSpan)) else src0
+    src.join(index.termDict.select("term_id", "term"), "term_id")
+      .select(col("term"), col("tf").cast("long").as("tf"),
+        array_join(col("positions"), ",").as("positions"))
+      .orderBy(asc("term"))
+  }
+
+  /** Score explanation (ES `_explain` shape): the per-term BM25 components
+    * of `keyword` against one document — tf, df, idf, the saturated tf
+    * factor, and each term's contribution, term asc. Sum of `contribution`
+    * over the rows is exactly the doc's [[bm25All]] score. One single-doc
+    * posting lookup; weights come from the driver-resolved dictionary. */
+  def explainScore(keyword: String, docOrd: Long): DataFrame = {
+    val rts = resolve(analyzer.terms(keyword).distinct)
+    val empty = spark.emptyDataFrame
+      .withColumn("term", lit("")).withColumn("tf", lit(0L))
+      .withColumn("df", lit(0L)).withColumn("idf", lit(0.0))
+      .withColumn("tf_factor", lit(0.0)).withColumn("contribution", lit(0.0))
+      .limit(0)
+    if (rts.isEmpty) return empty
+    val src0 = index.postings
+      .filter(col("doc_ord") === lit(docOrd))
+      .filter(col("term_id").isin(rts.map(_.termId): _*))
+    val src = if (dGroupSpan > 0 && index.postings.columns.contains("d_group"))
+      src0.filter(col("d_group") === lit(docOrd / dGroupSpan)) else src0
+    val withDl =
+      if (src.columns.contains("dl")) src.withColumn("token_count", col("dl"))
+      else src.join(index.docStats, "doc_ord")
+    val weights = rts.map(rt => (rt.termId, rt.term, rt.df, bm25Idf(rt.df)))
+      .toDF("term_id", "term", "df", "idf")
+    val tfFactor = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") + lit(k1) * (lit(1 - b) +
+        lit(b) * col("token_count").cast("double") / lit(index.avgDocLen)))
+    withDl.join(broadcast(weights), "term_id")
+      .select(col("term"), col("tf").cast("long").as("tf"), col("df"),
+        col("idf"), tfFactor.as("tf_factor"),
+        (col("idf") * tfFactor).as("contribution"))
+      .orderBy(asc("term"))
+  }
+
   // ------------------------------------------- facets / highlight / snippet
 
   /** Facet counts over a match: number of matched docs per value of
