@@ -1,6 +1,6 @@
 package graft
 
-import graft.analysis.{Analyzer, NgramTokenizer, StandardTokenizer}
+import graft.analysis.{Analyzer, AsciiFoldingFilter, LowercaseFilter, NgramTokenizer, StandardTokenizer, StemmerFilter, StopWordFilter, SynonymFilter, TokenFilter}
 import graft.index.Ids
 import graft.query.{And, Or, Searcher}
 import graft.storage.{ParquetIndexStorage, StorageParams}
@@ -72,6 +72,7 @@ object Main {
     """usage: graft.Main <build|delta|remove|search|batch|vacuum|compact|stats> [options]
       |  build  --input <parquet> --index <path> [--text-col text]
       |         [--analyzer standard|stem|ngram:N] [--stopwords a,b,c]
+      |         [--fold true] [--synonyms term=canonical,term2=canonical2]
       |         [--term-buckets 64] [--write-groups 8] [--block-size 128]
       |         [--bucket-span 65536] [--no-keymap]
       |  delta  --input <parquet> --index <path> [--batch-id <id>]
@@ -137,12 +138,29 @@ object Main {
 
   private[graft] def analyzerOf(opts: Map[String, String]): Analyzer = {
     val stop = opts.get("stopwords").map(_.split(",").toSeq).getOrElse(Nil)
+    // optional normalization stages, inserted right after lowercasing:
+    // --fold true (accent folding), --synonyms k=v,k2=v2 (canonicalization)
+    val post: Seq[TokenFilter] =
+      (if (opts.get("fold").exists(_.toBoolean)) Seq(AsciiFoldingFilter()) else Nil) ++
+      opts.get("synonyms").toSeq.map { s =>
+        SynonymFilter(s.split(",").map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => k -> v
+            case _ => throw new IllegalArgumentException(
+              s"bad --synonyms entry '$kv' (want term=canonical)")
+          }
+        }.toMap)
+      }
+    val stopF = if (stop.nonEmpty) Seq(StopWordFilter(stop)) else Nil
     opts.getOrElse("analyzer", "standard") match {
-      case "standard" => Analyzer.standard(stopWords = stop)
-      case "stem"     => Analyzer.standard(stopWords = stop, stem = true)
+      case "standard" =>
+        Analyzer(Nil, StandardTokenizer(), Seq(LowercaseFilter()) ++ post ++ stopF)
+      case "stem" =>
+        Analyzer(Nil, StandardTokenizer(),
+          Seq(LowercaseFilter()) ++ post ++ stopF ++ Seq(StemmerFilter()))
       case s if s.startsWith("ngram:") =>
         val n = s.stripPrefix("ngram:").toInt
-        Analyzer(Nil, NgramTokenizer(n), Analyzer.standard(stopWords = stop).tokenFilters)
+        Analyzer(Nil, NgramTokenizer(n), Seq(LowercaseFilter()) ++ post ++ stopF)
       case other => throw new IllegalArgumentException(s"unknown analyzer '$other'")
     }
   }

@@ -194,6 +194,30 @@ object SparkEntry {
     }),
 
     // ---- non-default analyzer stages, fingerprint-checked per token -------
+    "ft_synonym" -> ((s, d) => { // canonicalizing synonym filter, per-token fp
+      val a = Analyzer(Nil, graft.analysis.StandardTokenizer(),
+        Seq(graft.analysis.LowercaseFilter(),
+          graft.analysis.SynonymFilter(Map("join" -> "merge", "group" -> "agg"))))
+      val toks = a.termsColumn(col("text"))
+      docsTable(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ft_asciifold" -> ((s, d) => { // accents SYNTHESIZED per row (a->á, e->é;
+      // the corpus is ASCII), then folded — the fingerprint must equal the
+      // plain analyzed stream's, exercising the fold on every row
+      val a = Analyzer(Nil, graft.analysis.StandardTokenizer(),
+        Seq(graft.analysis.LowercaseFilter(), graft.analysis.AsciiFoldingFilter()))
+      val accented = regexp_replace(regexp_replace(col("text"), "a", "á"), "e", "é")
+      val toks = a.termsColumn(accented)
+      docsTable(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "ft_stopword" -> ((s, d) => { // order-preserving stopword drop (§2.1 row 7)
       val a = Analyzer.standard(stopWords = Seq("the", "a"))
       val toks = a.termsColumn(col("text"))
@@ -631,6 +655,21 @@ object SparkEntry {
 
     "ft_ngram3" ->
       "SELECT doc_id FROM documents WHERE contains(lower(text), 'spa') ORDER BY doc_id",
+
+    "ft_synonym" ->
+      s"""SELECT doc_id, len(mapped)::BIGINT AS n_toks,
+         |  md5(array_to_string(mapped, ' ')) AS fp
+         |FROM (SELECT doc_id, list_transform($toksSql,
+         |        t -> CASE WHEN t = 'join' THEN 'merge'
+         |                  WHEN t = 'group' THEN 'agg' ELSE t END) AS mapped
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_asciifold" -> // folding the synthesized accents must restore the
+      // PLAIN analyzed stream, so the oracle is the unmodified tokenization
+      s"""SELECT doc_id, len($toksSql)::BIGINT AS n_toks,
+         |  md5(array_to_string($toksSql, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ft_stopword" ->
       s"""SELECT doc_id,

@@ -94,6 +94,16 @@ object Analyzer {
         // order-preserving filter (array_except would dedupe — wrong,
         // SURVEY.md §2.1 row 7)
         Some(filter(c, t => !t.isin(stop: _*)))
+      case (Some(c), SynonymFilter(mapping)) =>
+        if (mapping.isEmpty) Some(c)
+        else {
+          val m = map(mapping.toSeq.sortBy(_._1)
+            .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+          Some(transform(c, t => coalesce(element_at(m, t), t)))
+        }
+      case (Some(c), AsciiFoldingFilter()) =>
+        Some(transform(c, t =>
+          translate(t, AsciiFoldingFilter.Src, AsciiFoldingFilter.Dst)))
       case _ => None
     }
   }

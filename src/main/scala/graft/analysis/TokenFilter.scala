@@ -30,6 +30,52 @@ final case class StemmerFilter() extends TokenFilter {
     ts.map(t => Token(EnglishStemmer.stem(t.term)))
 }
 
+/** Canonicalizing synonym filter: terms with an entry in `mapping` are
+  * replaced by their canonical form (1:1, order-preserving — the
+  * replacement flavor of Lucene's SynonymFilter; same-position injection
+  * is not representable in a position=ordinal stream). Apply AFTER
+  * lowercasing so keys match the normalized terms. Mapping size is plan
+  * size on the native path — synonym sets are config-scale by contract. */
+final case class SynonymFilter(mapping: Map[String, String]) extends TokenFilter {
+  override def filter(ts: TokenStream): TokenStream =
+    ts.map(t => mapping.get(t.term).fold(t)(m => Token(m)))
+  // Canonical (sorted) rendering: Analyzer.describe goes into the index
+  // manifest for the query/build parity check, and Map toString order is an
+  // implementation detail.
+  override def toString: String = mapping.toSeq.sorted
+    .map { case (k, v) => s"$k=$v" }.mkString("SynonymFilter(", ",", ")")
+}
+
+/** Folds accented Latin-1/Latin-Extended letters to their ASCII base
+  * (Lucene ASCIIFoldingFilter's common subset) — strictly 1:1 foldings so
+  * the native path is a single `translate`; multi-char foldings (ß→ss,
+  * æ→ae) are out of contract. */
+final case class AsciiFoldingFilter() extends TokenFilter {
+  override def filter(ts: TokenStream): TokenStream =
+    ts.map(t => t.copy(term = AsciiFoldingFilter.fold(t.term)))
+}
+
+object AsciiFoldingFilter {
+  // Aligned source/target tables; checked 1:1 at class load.
+  val Src: String =
+    "àáâãäåèéêëìíîïòóôõöùúûüçñýÿøÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝØ"
+  val Dst: String =
+    "aaaaaaeeeeiiiiooooouuuucnyyoAAAAAAEEEEIIIIOOOOOUUUUCNYO"
+  require(Src.length == Dst.length,
+    s"fold tables misaligned: ${Src.length} vs ${Dst.length}")
+
+  def fold(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val idx = Src.indexOf(s.charAt(i).toInt)
+      sb.append(if (idx >= 0) Dst.charAt(idx) else s.charAt(i))
+      i += 1
+    }
+    sb.toString
+  }
+}
+
 /** term := Hepburn romaji of the hiragana reading
   * (`/root/reference/token_filter.go:68-80`). */
 final case class RomajiReadingformFilter() extends TokenFilter {

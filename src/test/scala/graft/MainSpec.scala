@@ -89,6 +89,24 @@ class MainSpec extends SparkSpec {
     assert(sg(1).startsWith("shuffle\t") && sg(2).startsWith("spark\t"))
   }
 
+  test("fold/synonym analyzer options round-trip through the manifest") {
+    val idx2 = s"$root/idx_syn"
+    val (c, out) = captured("build", "--input", s"$root/turns", "--index", idx2,
+      "--term-buckets", "2", "--write-groups", "1",
+      "--fold", "true", "--synonyms", "join=merge")
+    assert(c == 0, out.mkString("\n"))
+    // 'merge' is the canonical form: all three join docs match
+    val (c2, q) = captured("search", "--index", idx2, "--query", "merge",
+      "--mode", "or", "--fold", "true", "--synonyms", "join=merge")
+    assert(c2 == 0 && q.drop(1).length == 3, q.mkString("\n"))
+    // omitting the flags fails the analyzer-parity check loudly
+    val (c3, e) = captured("search", "--index", idx2, "--query", "merge", "--mode", "or")
+    assert(c3 == 2 && e.exists(_.contains("analyzer mismatch")), e.mkString("\n"))
+    // malformed synonym spec is rejected
+    assert(captured("build", "--input", s"$root/turns", "--index", s"$root/idx_bad",
+      "--synonyms", "justaword")._1 == 2)
+  }
+
   test("search with a mismatched analyzer fails loudly") {
     val (code, out) = captured("search", "--index", idx, "--query", "spark",
       "--analyzer", "ngram:3")

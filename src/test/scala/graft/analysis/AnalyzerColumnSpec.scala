@@ -35,7 +35,14 @@ class AnalyzerColumnSpec extends SparkSpec {
       Seq(MappingCharFilter(Map(":(" -> "sad", "-" -> " "))),
       StandardTokenizer(), Seq(LowercaseFilter())),
     "ngram2" -> Analyzer(Nil, NgramTokenizer(2), Seq(LowercaseFilter())),
-    "ngram3+stop" -> Analyzer(Nil, NgramTokenizer(3), Seq(LowercaseFilter(), StopWordFilter(Seq("abc"))))
+    "ngram3+stop" -> Analyzer(Nil, NgramTokenizer(3), Seq(LowercaseFilter(), StopWordFilter(Seq("abc")))),
+    "standard+synonym" -> Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), SynonymFilter(Map("js" -> "javascript", "rb" -> "ruby", "the" -> "the")))),
+    "standard+asciifold" -> Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), AsciiFoldingFilter())),
+    "standard+fold+synonym+stop" -> Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), AsciiFoldingFilter(),
+        SynonymFilter(Map("cafe" -> "coffeehouse")), StopWordFilter(Seq("a"))))
   )
 
   private val sampleInputs: Seq[String] =
@@ -44,7 +51,9 @@ class AnalyzerColumnSpec extends SparkSpec {
         "the the the", "Ruby PHP JS", "x'y's z",
         // \p{N} beyond Nd: Ⅷ is Nl, ½ and ³ are No — Character.isDigit
         // keeps none of them while the column path's \p{N} keeps all
-        "Ⅷ chapter", "½ cup", "x³ y", "٣ arabic")
+        "Ⅷ chapter", "½ cup", "x³ y", "٣ arabic",
+        // accent folding + synonym canonicalization inputs
+        "Café naïve RÉSUMÉ", "señor Ångström ø Ø", "js and rb", "crème brûlée")
 
   analyzers.foreach { case (name, a) =>
     test(s"column path == scala path: $name") {
@@ -56,6 +65,14 @@ class AnalyzerColumnSpec extends SparkSpec {
   test("native path is used (no UDF) for standard+lowercase+stopword") {
     val a = Analyzer.standard(stopWords = Seq("the"))
     val plan = spark.range(1).selectExpr("'x y the z' as text")
+      .select(a.termsColumn(col("text"))).queryExecution.analyzed.toString()
+    assert(!plan.toLowerCase.contains("udf"), s"expected no UDF in: $plan")
+  }
+
+  test("native path is used (no UDF) for synonym + ascii folding") {
+    val a = Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), AsciiFoldingFilter(), SynonymFilter(Map("js" -> "javascript"))))
+    val plan = spark.range(1).selectExpr("'café js' as text")
       .select(a.termsColumn(col("text"))).queryExecution.analyzed.toString()
     assert(!plan.toLowerCase.contains("udf"), s"expected no UDF in: $plan")
   }
