@@ -262,6 +262,14 @@ object SparkEntry {
       searcher(s, d).fuzzyQuery("sport", maxEdits = 2)
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_regexp" -> ((s, d) => // raw-regex expansion over the dictionary
+      searcher(s, d).regexpQuery("s.*k|j.+n")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_termrange" -> ((s, d) => // lexicographic dictionary slice [so, sz]
+      searcher(s, d).termRangeQuery("so", "sz")
+        .select("doc_id").orderBy("doc_id")),
+
     // ---- boolean query trees: one pruned scan + per-doc leaf bitmask -------
     "ft_bool" -> ((s, d) =>
       searcher(s, d).boolQuery(
@@ -724,6 +732,16 @@ object SparkEntry {
       // implementation's length-window prefilter cannot change the set
       s"""SELECT doc_id FROM documents
          |WHERE len(list_filter($toksSql, t -> levenshtein(t, 'sport') <= 2)) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_regexp" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toksSql, t -> regexp_matches(t, '^(?:s.*k|j.+n)$$'))) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_termrange" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toksSql, t -> t >= 'so' AND t <= 'sz')) > 0
          |ORDER BY doc_id""".stripMargin,
 
     "ft_bool" ->

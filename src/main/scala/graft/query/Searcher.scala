@@ -240,6 +240,25 @@ final class Searcher(
     matchExpanded(expand(col("term").rlike(rx), maxExpansions), ranked)
   }
 
+  /** RegexpQuery: docs containing any dictionary term matching `regex`
+    * (anchored at both ends, Java regex syntax — the raw-regex sibling of
+    * [[wildcardQuery]]). */
+  def regexpQuery(regex: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (regex.isEmpty) return emptyDocs(ranked)
+    matchExpanded(expand(col("term").rlike("^(?:" + regex + ")$"), maxExpansions), ranked)
+  }
+
+  /** TermRangeQuery: docs containing any dictionary term lexicographically
+    * in [lo, hi] (inclusive bounds; null/empty bound = open end). */
+  def termRangeQuery(lo: String, hi: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    val loP = Option(lo).filter(_.nonEmpty).map(col("term") >= _)
+    val hiP = Option(hi).filter(_.nonEmpty).map(col("term") <= _)
+    val pred = (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    matchExpanded(expand(pred, maxExpansions), ranked)
+  }
+
   /** Autocomplete: the `n` highest-df dictionary terms starting with
     * `prefix` (ties term asc), with their document frequencies — a
     * vocab-sized dictionary scan, zero postings work. */

@@ -80,6 +80,22 @@ class ExpansionQuerySpec extends SparkSpec {
     assert(ids(searcher.fuzzyQuery("zzzzzz", maxEdits = 1)).isEmpty)
   }
 
+  test("regexpQuery and termRangeQuery expand like their predicate") {
+    // dictionary: go js php ruby rust
+    assert(ids(searcher.regexpQuery("r.+")) ==
+      ids(searcher.matchQuery("ruby rust", Or)))
+    assert(ids(searcher.regexpQuery("p..|go")) ==
+      ids(searcher.matchQuery("php go", Or)))
+    assert(searcher.regexpQuery("zz+").count() == 0)
+    // range [p, r] inclusive: php; [p, ruby]: php ruby; open ends
+    assert(ids(searcher.termRangeQuery("p", "r")) == ids(searcher.matchQuery("php", Or)))
+    assert(ids(searcher.termRangeQuery("p", "ruby")) ==
+      ids(searcher.matchQuery("php ruby", Or)))
+    assert(ids(searcher.termRangeQuery("rust", null)) ==
+      ids(searcher.matchQuery("rust", Or)))
+    assert(ids(searcher.termRangeQuery(null, "go")) == ids(searcher.matchQuery("go", Or)))
+  }
+
   test("facetCounts groups the matched set by a docs column") {
     // go (docs 2,3,4,5,6) by src -> a:1, b:3, c:1
     val f = searcher.facetCounts("go", Or, "src")
