@@ -80,9 +80,12 @@ object Main {
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
       |  search --index <path> --query <q>
-      |         [--mode and|or|phrase|tfidf|bm25|wand|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest]
-      |         [--k 10] [--limit 20] [--max-edits 1]
-      |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases";
+      |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest]
+      |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
+      |         [--min-match 2] [--collapse-field conv_id]
+      |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases", term^boost;
+      |          phrase: --slop widens to a position window; msm: --min-match terms required;
+      |          collapse: best doc per --collapse-field value;
       |          mlt: --query is a doc_ord; suggest: --query is a term prefix)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
@@ -287,10 +290,15 @@ object Main {
     val (df, ranked): (DataFrame, Boolean) = mode match {
       case "and"    => (searcher.matchQuery(query, And).limit(limit), false)
       case "or"     => (searcher.matchQuery(query, Or).limit(limit), false)
-      case "phrase" => (searcher.phraseQuery(query).limit(limit), false)
+      case "phrase" => (searcher.phraseQuery(query,
+        slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
+      case "msm"    => (searcher.matchQueryMsm(query,
+        opts.get("min-match").map(_.toInt).getOrElse(2)).limit(limit), false)
       case "tfidf"  => (searcher.matchQueryRanked(query, Or).limit(k), true)
       case "bm25"   => (searcher.bm25TopK(query, k), true)
       case "wand"   => (searcher.bm25TopKWand(query, k), true)
+      case "collapse" => (searcher.bm25TopKCollapse(query,
+        opts.getOrElse("collapse-field", "conv_id"), k), true)
       case "all"    => (searcher.matchAll().limit(limit), false)
       // compound surface: Lucene-lite query-string syntax (AND/OR/NOT,
       // -term, parens, "quoted phrases"), unranked or positive-clause BM25

@@ -155,6 +155,62 @@ object SparkEntry {
     "ft_phrase3" -> ((s, d) =>
       searcher(s, d).phraseQuery("row column sort").select("doc_id").orderBy("doc_id")),
 
+    "ft_phrase_slop" -> ((s, d) => // 2-term window semantics: |shift| <= slop
+      searcher(s, d).phraseQuery("sort merge", slop = 2)
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_phrase_slop3" -> ((s, d) => // 3-term: some occurrence choice spans <= slop
+      searcher(s, d).phraseQuery("row column sort", slop = 3)
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_msm" -> ((s, d) => // minimum_should_match: >= 2 of the 4 terms
+      searcher(s, d).matchQueryMsm("spark join vector window", 2)
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_collapse" -> ((s, d) => // field collapsing: best doc per source
+      searcher(s, d).bm25TopKCollapse("spark join", "source", 100)
+        .select(col("doc_id"), col("source"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_search_after" -> ((s, d) => { // cursor pagination: page 2 == ranks 21-40
+      val sr = searcher(s, d)
+      val page1 = sr.bm25TopK("spark join table", 20)
+        .select("score", "doc_ord").collect()
+      val cur = page1.last
+      sr.bm25TopKAfter("spark join table", 20, cur.getDouble(0), cur.getLong(1))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    "ft_facet_hist" -> ((s, d) => // histogram facet over the matched set
+      searcher(s, d).facetHistogram("spark join", Or, "n_chars", 200L)
+        .select(col("bucket"), col("n_docs")).orderBy("bucket")),
+
+    "ft_boost" -> ((s, d) => // query-time boosts via the ^ query-string syntax
+      searcher(s, d).queryString("spark^2 OR join", ranked = true)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_dismax" -> ((s, d) => // dis_max: best clause + 0.3 × the others
+      searcher(s, d).disMaxTopK(Seq("spark join", "vector window"), 10000, 0.3)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_filtered" -> ((s, d) => // ES filter context: restricts, never scores
+      searcher(s, d).bm25TopKFiltered("spark join", col("lang") === "en", 10000)
+        .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_facet_stats" -> ((s, d) => // stats facet over the matched set
+      searcher(s, d).facetStats("spark join", Or, "n_chars")
+        .select(col("n_docs"), col("vmin"), col("vmax"),
+          round(col("vsum"), 6).as("vsum"), round(col("vavg"), 6).as("vavg"))),
+
+    "ft_sigterms" -> ((s, d) => // significant terms of the AND-matched set
+      searcher(s, d).significantTerms("spark join", And, topN = 15, minDocCount = 5)
+        .select(col("term"), col("df_in"), col("df"), round(col("lift"), 6).as("lift"))
+        .orderBy(desc("lift"), asc("term"))),
+
     "ft_tfidf" -> ((s, d) =>
       searcher(s, d).matchQueryRanked("spark join", Or)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -214,6 +270,26 @@ object SparkEntry {
       val toks = a.termsColumn(accented)
       docsTable(s, d).select(col("doc_id"),
         size(toks).cast("long").as("n_toks"),
+        md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ft_shingle" -> ((s, d) => { // word-bigram shingles, per-doc stream fp
+      val a = Analyzer(Nil, graft.analysis.StandardTokenizer(),
+        Seq(graft.analysis.LowercaseFilter(), graft.analysis.ShingleFilter(2)))
+      val toks = a.termsColumn(col("text"))
+      docsTable(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        md5(to_binary(concat_ws("|", toks), lit("utf-8"))).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ft_lenfilter" -> ((s, d) => { // token length gate [3, 8] code points
+      val a = Analyzer(Nil, graft.analysis.StandardTokenizer(),
+        Seq(graft.analysis.LowercaseFilter(), graft.analysis.LengthFilter(3, 8)))
+      val toks = a.termsColumn(col("text"))
+      docsTable(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_kept"),
         md5(to_binary(concat_ws(" ", toks), lit("utf-8"))).as("fp"))
         .orderBy("doc_id")
     }),
@@ -561,6 +637,177 @@ object SparkEntry {
          |WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort'
          |ORDER BY 1""".stripMargin,
 
+    "ft_phrase_slop" -> // window semantics: ∃ occurrence pair with shifted
+      // positions (pos − query ordinal) within slop=2 of each other
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND abs((b.pos - 1) - a.pos) <= 2
+         |WHERE a.term = 'sort' AND b.term = 'merge'
+         |ORDER BY 1""".stripMargin,
+
+    "ft_phrase_slop3" -> // 3-term window: some occurrence triple whose shifted
+      // positions span at most slop=3
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_id FROM toks a
+         |JOIN toks b ON a.doc_id = b.doc_id
+         |JOIN toks c ON a.doc_id = c.doc_id
+         |WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort'
+         |  AND greatest(a.pos, b.pos - 1, c.pos - 2) - least(a.pos, b.pos - 1, c.pos - 2) <= 3
+         |ORDER BY 1""".stripMargin,
+
+    "ft_msm" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE (list_contains($toksSql, 'spark')::INT + list_contains($toksSql, 'join')::INT
+         |     + list_contains($toksSql, 'vector')::INT + list_contains($toksSql, 'window')::INT) >= 2
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_collapse" -> // best-scoring doc per source, groups ranked by that score
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT s.doc_id, d.source, round(s.score, 6) AS score
+         |FROM scored s JOIN documents d USING (doc_id)
+         |QUALIFY row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id) = 1
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_search_after" -> // page 2 of the 'spark join table' ranking: ranks 21-40
+      // (rank-20/21 gap ~7e-4, rank-40/41 gap ~4.5e-3 at sf0.01 — orders
+      // above the 1e-6 rounding grain, so the cursor boundary is float-safe)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) BETWEEN 21 AND 40
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_facet_hist" ->
+      s"""SELECT (n_chars // 200) * 200 AS bucket, count(*) AS n_docs
+         |FROM documents
+         |WHERE list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ft_dismax" -> // clauses ('spark join', 'vector window'), tie 0.3:
+      // greatest(clause scores) + 0.3 * (sum - greatest)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |qterms AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'),
+         |                                 (1, 'vector'), (1, 'window')) t(clause_id, term)),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY doc_id, term),
+         |per_clause AS (
+         |  SELECT qt.clause_id, tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS cscore
+         |  FROM tf JOIN qterms qt USING (term) JOIN tc USING (doc_id)
+         |  JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY qt.clause_id, tf.doc_id)
+         |SELECT doc_id,
+         |  round(max(cscore) + 0.3 * (sum(cscore) - max(cscore)), 6) AS score
+         |FROM per_clause GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_filtered" -> // BM25 over the full corpus stats, results gated to lang=en
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT s.doc_id, d.lang, round(s.score, 6) AS score
+         |FROM scored s JOIN documents d USING (doc_id)
+         |WHERE d.lang = 'en'
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_facet_stats" ->
+      s"""SELECT count(*) AS n_docs,
+         |  min(n_chars)::DOUBLE AS vmin, max(n_chars)::DOUBLE AS vmax,
+         |  round(sum(n_chars)::DOUBLE, 6) AS vsum, round(avg(n_chars)::DOUBLE, 6) AS vavg
+         |FROM documents
+         |WHERE list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join')""".stripMargin,
+
+    "ft_sigterms" -> // lift = (df_in/n_matched)/(df/N) over the AND-matched
+      // set; exact integer divisions — engine-reproducible doubles
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents
+         |), m AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join')
+         |), nm AS (SELECT count(*) AS n_matched FROM m),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |gdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |mdf AS (SELECT dt.term, count(*) AS df_in FROM dt JOIN m USING (doc_id) GROUP BY dt.term)
+         |SELECT mdf.term, mdf.df_in, gdf.df,
+         |  round((mdf.df_in::DOUBLE / nm.n_matched) / (gdf.df::DOUBLE / n.n), 6) AS lift
+         |FROM mdf JOIN gdf USING (term) CROSS JOIN nm CROSS JOIN n
+         |WHERE mdf.df_in >= 5
+         |ORDER BY (mdf.df_in::DOUBLE / nm.n_matched) / (gdf.df::DOUBLE / n.n) DESC, term
+         |LIMIT 15""".stripMargin,
+
+    "ft_boost" -> // 'spark^2 OR join': spark's BM25 idf weight doubled
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term)
+         |SELECT tf.doc_id,
+         |  round(sum((CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END)
+         |    * (ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |    / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS score
+         |FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
     "ft_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS term FROM documents
@@ -677,6 +924,24 @@ object SparkEntry {
       // PLAIN analyzed stream, so the oracle is the unmodified tokenization
       s"""SELECT doc_id, len($toksSql)::BIGINT AS n_toks,
          |  md5(array_to_string($toksSql, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ft_shingle" -> // adjacent-pair shingles of the normalized stream
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(arr) < 2 THEN [] ELSE
+         |      list_transform(range(1, len(arr)), i -> array_to_string(arr[i:i+1], ' '))
+         |    END AS sh
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT doc_id, len(sh)::BIGINT AS n_toks,
+         |  md5(array_to_string(sh, '|')) AS fp
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "ft_lenfilter" ->
+      s"""SELECT doc_id,
+         |  len(list_filter($toksSql, t -> len(t) BETWEEN 3 AND 8))::BIGINT AS n_kept,
+         |  md5(array_to_string(list_filter($toksSql, t -> len(t) BETWEEN 3 AND 8), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ft_stopword" ->

@@ -104,6 +104,17 @@ object Analyzer {
       case (Some(c), AsciiFoldingFilter()) =>
         Some(transform(c, t =>
           translate(t, AsciiFoldingFilter.Src, AsciiFoldingFilter.Dst)))
+      case (Some(c), LengthFilter(mn, mx)) =>
+        // char_length counts code points, matching codePointCount
+        Some(filter(c, t => char_length(t) >= mn && char_length(t) <= mx))
+      case (Some(c), ShingleFilter(n)) =>
+        // windows = size − n + 1; guarded like the ngram tokenizer because
+        // sequence(1, cnt) with cnt <= 0 would count DOWN, not be empty
+        val cnt = size(c) - lit(n - 1)
+        Some(
+          when(cnt <= 0, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), cnt),
+              i => array_join(slice(c, i, lit(n)), " "))))
       case _ => None
     }
   }

@@ -76,6 +76,33 @@ object AsciiFoldingFilter {
   }
 }
 
+/** Drops terms whose code-point length is outside [min, max] —
+  * Lucene's LengthFilter, the standard guard against tokenizer debris
+  * (single chars, unbroken blobs) reaching the index. Order-preserving
+  * like the stopword filter; positions are assigned after filtering. */
+final case class LengthFilter(min: Int, max: Int) extends TokenFilter {
+  require(min >= 0 && max >= min, s"need 0 <= min <= max, got [$min, $max]")
+  override def filter(ts: TokenStream): TokenStream =
+    ts.filter { t =>
+      val n = t.term.codePointCount(0, t.term.length)
+      n >= min && n <= max
+    }
+}
+
+/** Word n-gram (shingle) filter: token i of the output is input tokens
+  * [i, i+n) joined with a single space; a stream shorter than `n` yields
+  * nothing. Lucene ShingleFilter's shingles-only flavor
+  * (`outputUnigrams=false`): same-position unigram+shingle emission is not
+  * representable in a position=ordinal stream (same constraint as
+  * [[SynonymFilter]] injection). Kana readings do not compose across words
+  * and are dropped. */
+final case class ShingleFilter(n: Int) extends TokenFilter {
+  require(n >= 2, s"shingle size must be >= 2, got $n")
+  override def filter(ts: TokenStream): TokenStream =
+    if (ts.size < n) Vector.empty
+    else ts.sliding(n).map(w => Token(w.map(_.term).mkString(" "))).toVector
+}
+
 /** term := Hepburn romaji of the hiragana reading
   * (`/root/reference/token_filter.go:68-80`). */
 final case class RomajiReadingformFilter() extends TokenFilter {

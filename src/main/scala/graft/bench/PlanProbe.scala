@@ -55,6 +55,18 @@ object PlanProbe {
     audit("snippet", s.snippet("vector"))
     audit("mlt", s.moreLikeThis(42L, maxQueryTerms = 5, k = 100))
     audit("fuzzy", s.fuzzyQuery("sport", maxEdits = 2))
+    // round-3 session additions: all stay single-pruned-scan; the slop path
+    // must not add a scan or an exchange over the exact phrase plan
+    audit("phrase_slop", s.phraseQuery("sort merge", slop = 2))
+    audit("msm", s.matchQueryMsm("spark join vector", 2))
+    audit("collapse", s.bm25TopKCollapse("spark join", "source", 10))
+    audit("search_after", s.bm25TopKAfter("spark join", 10, 1.0, 0L))
+    audit("dismax", s.disMaxTopK(Seq("spark join", "vector window"), 10, 0.3))
+    audit("filtered", s.bm25TopKFiltered("spark join", col("lang") === "en", 10))
+    audit("facet_hist", s.facetHistogram("spark join", Or, "n_chars", 200L))
+    // sigterms is the documented exception: postings scan NOT term-pruned
+    // (matched-set-proportional by design)
+    audit("sigterms", s.significantTerms("spark join", And, 10, 2))
     spark.stop()
   }
 }

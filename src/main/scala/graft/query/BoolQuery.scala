@@ -21,13 +21,20 @@ sealed trait BoolQuery {
   * `logic` is the within-leaf combination of its terms (AND = all terms
   * present, OR = any). An AND leaf containing a term absent from the index
   * is statically false (the reference's AND short-circuit,
-  * `searcher.go:66-68`); an OR leaf drops unknown terms. */
-final case class BTerm(keyword: String, logic: Logic = And) extends BoolQuery
+  * `searcher.go:66-68`); an OR leaf drops unknown terms. `boost` scales the
+  * leaf's terms' BM25 contributions in [[Searcher.boolQueryRanked]]
+  * (Lucene query-time boost; no effect on the unranked filter). */
+final case class BTerm(keyword: String, logic: Logic = And,
+    boost: Double = 1.0) extends BoolQuery {
+  require(boost > 0, s"boost must be > 0, got $boost")
+}
 
 /** Phrase leaf: [[Searcher.phraseQuery]] semantics (every slot present,
   * shifted position sets intersect). Any unknown term makes it statically
-  * false. */
-final case class BPhrase(phrase: String) extends BoolQuery
+  * false. `boost` scales its terms' scoring contributions like [[BTerm]]. */
+final case class BPhrase(phrase: String, boost: Double = 1.0) extends BoolQuery {
+  require(boost > 0, s"boost must be > 0, got $boost")
+}
 
 final case class BAnd(children: Seq[BoolQuery]) extends BoolQuery {
   require(children.nonEmpty, "BAnd requires at least one child")

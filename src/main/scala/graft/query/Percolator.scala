@@ -88,12 +88,12 @@ object Percolator {
       }
 
     def compile(q: BoolQuery): Column = q match {
-      case BTerm(kw, logic) =>
+      case BTerm(kw, logic, _) => // boost only affects scoring; percolation is boolean
         val ts = analyzer.terms(kw).distinct
         if (ts.isEmpty) lit(false)
         else if (logic == And) ts.map(t => array_contains(toks, t)).reduce(_ && _)
         else arrays_overlap(toks, array(ts.map(lit): _*))
-      case BPhrase(p)  => phraseCol(analyzer.terms(p))
+      case BPhrase(p, _) => phraseCol(analyzer.terms(p))
       case BAnd(cs)    => cs.map(compile).reduce(_ && _)
       case BOr(cs)     => cs.map(compile).reduce(_ || _)
       case BNot(c)     => !compile(c)

@@ -111,10 +111,18 @@ final class Searcher(
     * distinct query terms present + the requested score sum, in ONE pass.
     * Doc length comes from the denormalized `dl` on the posting rows (no
     * doc_stats join per query); legacy indexes without it fall back. */
-  private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame = {
-    val weights = rts.map(rt => (rt.termId, tfIdfWeight(rt.df), bm25Idf(rt.df)))
-      .toDF("term_id", "w_tfidf", "w_bm25")
-    val base = postingsFor(rts)
+  private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame =
+    scoredMatchesWeighted(rts.map(_ -> 1.0), scoreExpr)
+
+  /** [[scoredMatches]] with a per-term query-time boost multiplying the
+    * term's idf weight (both families) — Lucene boost semantics: a pure
+    * scale on that term's contribution. */
+  private def scoredMatchesWeighted(rts: Seq[(ResolvedTerm, Double)],
+      scoreExpr: Column): DataFrame = {
+    val weights = rts.map { case (rt, boost) =>
+      (rt.termId, tfIdfWeight(rt.df) * boost, bm25Idf(rt.df) * boost)
+    }.toDF("term_id", "w_tfidf", "w_bm25")
+    val base = postingsFor(rts.map(_._1))
     val withDl =
       if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
       else base.join(index.docStats, "doc_ord")
@@ -168,6 +176,26 @@ final class Searcher(
       case None          => emptyDocs(ranked)
       case Some(matched) => fetchDocs(matched, ranked)
     }
+
+  /** OR match requiring at least `minShouldMatch` DISTINCT query terms per
+    * doc — Elasticsearch `minimum_should_match` semantics (msm=1 ≡ plain OR,
+    * msm = #distinct terms ≡ AND). Same one pruned postings scan + one
+    * doc-level aggregation as [[matchQuery]]; the quota is a filter on the
+    * distinct-term count that aggregation already computes. Unknown terms
+    * can never match, so when fewer than `minShouldMatch` terms resolve the
+    * query short-circuits to empty on the driver (no cluster work). Ranked
+    * results score BM25 over the matched terms (tie-break doc_ord asc). */
+  def matchQueryMsm(keyword: String, minShouldMatch: Int,
+      ranked: Boolean = false): DataFrame = {
+    require(minShouldMatch >= 1, s"minShouldMatch must be >= 1, got $minShouldMatch")
+    val qTerms = analyzer.terms(keyword).distinct
+    if (qTerms.isEmpty) return emptyDocs(ranked)
+    val rts = resolve(qTerms)
+    if (rts.size < minShouldMatch) return emptyDocs(ranked)
+    val agg = scoredMatches(rts, if (ranked) bm25Expr else lit(0.0))
+      .filter(col("nterms") >= lit(minShouldMatch))
+    fetchDocs(agg, ranked)
+  }
 
   /** The doc-level aggregation of [[matchQuery]] BEFORE the docs join:
     * (doc_ord, nterms, score) of every doc satisfying the logic — None when
@@ -373,6 +401,78 @@ final class Searcher(
           .groupBy(col(facetCol)).agg(count(lit(1)).as("n_docs"))
     }
 
+  /** Histogram facet over the matched set — Elasticsearch's histogram
+    * aggregation: counts of docs per `binWidth`-wide bucket of the numeric
+    * `valueCol` (bucket key = floor(value / binWidth) · binWidth). Same
+    * shape as [[facetCounts]]: one pruned postings scan + matched-ordinal
+    * join + bucket-count aggregation; never sorts the matched set. */
+  def facetHistogram(keyword: String, logic: Logic, valueCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    val bucket = (floor(col(valueCol).cast("double") / binWidth) * binWidth)
+      .cast("long").as("bucket")
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => index.docs.limit(0).groupBy(bucket)
+        .agg(count(lit(1)).as("n_docs"))
+      case Some(matched) =>
+        index.docs.join(matched.select("doc_ord"), "doc_ord")
+          .groupBy(bucket).agg(count(lit(1)).as("n_docs"))
+    }
+  }
+
+  /** Significant-terms facet (Elasticsearch `significant_terms`, lift
+    * flavor): the terms most OVER-represented in the matched set relative to
+    * the corpus — `lift = (df_in / n_matched) / (df / N)` — with at least
+    * `minDocCount` matched occurrences, top `topN` by lift (ties: term asc).
+    * Both ratios are exact integer divisions, so the facet is
+    * engine-reproducible. Shape: the matched ordinals semi-join the postings
+    * store (column-pruned to (term_id, doc_ord)) and aggregate to a
+    * vocab-bounded frame, then join the broadcast dictionary. Unlike the
+    * query paths this scan is NOT term-pruned — work is proportional to the
+    * matched set's total postings; at 10^12 docs run it on a sampled
+    * matched set (`Pipeline.sampleByHash` composes). */
+  def significantTerms(keyword: String, logic: Logic, topN: Int = 10,
+      minDocCount: Long = 3): DataFrame = {
+    val empty = spark.emptyDataFrame
+      .withColumn("term", lit("")).withColumn("df_in", lit(0L))
+      .withColumn("df", lit(0L)).withColumn("lift", lit(0.0)).limit(0)
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => empty
+      case Some(matched) =>
+        val m = matched.select("doc_ord")
+        val nMatched = broadcast(m.agg(count(lit(1)).as("n_matched")))
+        val dfIn = index.postings.select("term_id", "doc_ord")
+          .join(m, Seq("doc_ord"), "left_semi")
+          .groupBy(col("term_id")).agg(count(lit(1)).as("df_in"))
+        dfIn
+          .join(index.termDict.select("term_id", "term", "df"), "term_id")
+          .crossJoin(nMatched)
+          .filter(col("df_in") >= minDocCount)
+          .withColumn("lift",
+            (col("df_in").cast("double") / col("n_matched").cast("double")) /
+              (col("df").cast("double") / lit(index.numDocs.toDouble)))
+          .select("term", "df_in", "df", "lift")
+          .orderBy(desc("lift"), asc("term"))
+          .limit(topN)
+    }
+  }
+
+  /** Stats facet over the matched set — Elasticsearch's stats aggregation:
+    * count / min / max / sum / avg of the numeric `valueCol` across matched
+    * docs, in one facet-sized aggregation after the matched-ordinal join.
+    * Empty matched set yields one all-null row (count 0), like SQL. */
+  def facetStats(keyword: String, logic: Logic, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def aggStats(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), min(v).as("vmin"), max(v).as("vmax"),
+        sum(v).as("vsum"), avg(v).as("vavg"))
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => aggStats(index.docs.limit(0))
+      case Some(matched) =>
+        aggStats(index.docs.join(matched.select("doc_ord"), "doc_ord"))
+    }
+  }
+
   /** Matched docs with the query terms each one actually contains
     * (`hit_terms`, space-joined in lexicographic order) — the "which terms
     * matched" half of result highlighting, computed from the INDEX postings
@@ -427,8 +527,17 @@ final class Searcher(
     * (`searcher.go:277-314`). The shift-and-intersect runs as a native
     * higher-order `aggregate(array_intersect)` inside the doc-level
     * aggregation: no UDF, no driver loop. Single-term phrases degenerate to
-    * match-any (`searcher_test.go:209-218`). */
-  def phraseQuery(phrase: String, ranked: Boolean = false): DataFrame = {
+    * match-any (`searcher_test.go:209-218`).
+    *
+    * `slop > 0` relaxes the phrase to window semantics: a doc matches iff
+    * some choice of one shifted position per query slot spans at most `slop`
+    * (max − min ≤ slop; slop=0 is the exact phrase). Evaluated as a native
+    * `exists/forall` over the shifted sets anchored at each candidate
+    * minimum — same O(k·p²) class as the reference's `hasCommon` scan, still
+    * inside the one doc-level aggregation. Unlike Lucene's sloppy phrase,
+    * repeated-term slots may align to the SAME occurrence when the window
+    * permits (window semantics, pinned in SearcherSpec). */
+  def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0): DataFrame = {
     val qTerms = analyzer.terms(phrase) // NOT deduped: each ordinal matters
     if (qTerms.isEmpty) return emptyDocs(ranked)
     val rtsByTerm = resolve(qTerms.distinct).map(rt => rt.term -> rt).toMap
@@ -450,22 +559,35 @@ final class Searcher(
         collect_list(struct(col("q_pos"), col("positions"))).as("pls")
       )
       .filter(col("nslots") === lit(k))
-      .withColumn(
-        "common",
-        aggregate(
-          col("pls"),
-          lit(null).cast("array<int>"),
-          (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x)))
-        )
-      )
-      .filter(size(col("common")) > 0)
 
-    if (!ranked) fetchDocs(grouped.withColumn("score", lit(0.0)), ranked = false)
+    val matched =
+      if (slop == 0)
+        // exact: O(k·p) intersect of the shifted sets
+        grouped
+          .withColumn(
+            "common",
+            aggregate(
+              col("pls"),
+              lit(null).cast("array<int>"),
+              (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x)))
+            )
+          )
+          .filter(size(col("common")) > 0)
+      else {
+        // sloppy: ∃ anchor a (the chosen minimum, so a member of some shifted
+        // set) with every slot owning a shifted position in [a, a+slop]
+        val rels = transform(col("pls"), x => rel(x))
+        grouped.filter(
+          exists(flatten(rels), a =>
+            forall(rels, rl => exists(rl, r => r >= a && r <= a + slop))))
+      }
+
+    if (!ranked) fetchDocs(matched.withColumn("score", lit(0.0)), ranked = false)
     else {
       // score the phrase-matched docs with TF-IDF over the phrase's terms
       val rts = rtsByTerm.values.toSeq
       val scored = scoredMatches(rts, tfIdfExpr)
-        .join(grouped.select("doc_ord"), "doc_ord", "left_semi")
+        .join(matched.select("doc_ord"), "doc_ord", "left_semi")
       fetchDocs(scored, ranked = true)
     }
   }
@@ -481,6 +603,107 @@ final class Searcher(
     val scored = scoredMatches(rts, bm25Expr)
     index.docs
       .join(scored.select("doc_ord", "score"), "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** Field collapsing (Elasticsearch `collapse`): BM25 top-k with at most
+    * ONE result per distinct value of the docs column `groupCol` — each
+    * group represented by its best-scoring doc (ties: doc_ord asc), groups
+    * ranked by that representative's score. For transcripts this is "top-k
+    * CONVERSATIONS by their best-matching turn". One window over the
+    * MATCHED set only (scored ordinals joined to their group key) — the
+    * corpus is never grouped or sorted. */
+  def bm25TopKCollapse(keyword: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val scored = scoredMatches(rts, bm25Expr).select("doc_ord", "score")
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc("score"), asc("doc_ord"))
+    index.docs.join(scored, "doc_ord")
+      .withColumn("grp_rank", row_number().over(w))
+      .filter(col("grp_rank") === 1).drop("grp_rank")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** Cursor pagination (Elasticsearch `search_after`): the k results
+    * strictly after the cursor `(afterScore, afterOrd)` — the last row of
+    * the previous page — in (score desc, doc_ord asc) order. Page N costs
+    * the same as page one: the cursor predicate filters INSIDE the scored
+    * aggregation's output and the plan stays TakeOrderedAndProject over the
+    * survivors, where an OFFSET plan must materialize, sort, and ship all
+    * N·k preceding rows through the driver merge. The score comparison is
+    * exact (both pages are computed by the same engine from the same
+    * per-term quotients); pages of the same query partition its full
+    * ranking — pinned in SearcherSpec. */
+  def bm25TopKAfter(keyword: String, k: Int,
+      afterScore: Double, afterOrd: Long): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val scored = scoredMatches(rts, bm25Expr)
+      .filter(col("score") < afterScore ||
+        (col("score") === afterScore && col("doc_ord") > afterOrd))
+    index.docs
+      .join(scored.select("doc_ord", "score"), "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** BM25 top-k in filter context (Elasticsearch `bool.filter`): `docFilter`
+    * — any predicate over docs columns (role, ts range, lang …) — restricts
+    * the RESULTS without touching the SCORES: df/avgdl stay corpus-global,
+    * exactly ES filter semantics. The predicate lands on the docs side of
+    * the score join, so at scale it pushes down to the docs column store
+    * and shrinks the join input; the postings scan stays pruned to the
+    * query terms as usual. */
+  def bm25TopKFiltered(keyword: String, docFilter: Column, k: Int): DataFrame = {
+    val qTerms = analyzer.terms(keyword).distinct
+    val rts = resolve(qTerms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val scored = scoredMatches(rts, bm25Expr)
+    index.docs.filter(docFilter)
+      .join(scored.select("doc_ord", "score"), "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** Disjunction-max top-k (Elasticsearch `dis_max`): every clause keyword
+    * is analyzed and BM25-scored independently (OR semantics within the
+    * clause); a doc matching several clauses scores
+    * `best + tieBreaker · (sum of the others)` — tieBreaker 0 is pure max
+    * (the "best matching field/phrasing wins" semantics), 1 degenerates to
+    * the flat OR sum. ONE postings scan for the union of all clause terms,
+    * one (doc, clause) aggregation, one doc-level combine. */
+  def disMaxTopK(clauses: Seq[String], k: Int,
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1], got $tieBreaker")
+    val clauseTerms: Seq[(Int, String)] = clauses.zipWithIndex.flatMap {
+      case (kw, ci) => analyzer.terms(kw).distinct.map(t => (ci, t))
+    }
+    val rts = resolve(clauseTerms.map(_._2).distinct) // ONE dictionary lookup
+    val byTerm = rts.map(rt => rt.term -> rt).toMap
+    val slots = clauseTerms.flatMap { case (ci, t) =>
+      byTerm.get(t).map(rt => (ci, rt.termId, bm25Idf(rt.df)))
+    }
+    if (slots.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val slotsDf = slots.toDF("clause_id", "term_id", "w_bm25")
+    val base = postingsFor(rts) // rts == the resolved union of clause terms
+    val withDl =
+      if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
+      else base.join(index.docStats, "doc_ord")
+    val perClause = withDl
+      .join(broadcast(slotsDf), "term_id")
+      .groupBy(col("doc_ord"), col("clause_id"))
+      .agg(sum(bm25Expr).as("cscore"))
+    val combined = perClause
+      .groupBy(col("doc_ord"))
+      .agg((max(col("cscore")) +
+        lit(tieBreaker) * (sum(col("cscore")) - max(col("cscore")))).as("score"))
+    index.docs.join(combined, "doc_ord")
       .orderBy(desc("score"), asc("doc_ord"))
       .limit(k)
   }
@@ -578,7 +801,8 @@ final class Searcher(
   private sealed trait LeafPlan
   private case object StaticFalse extends LeafPlan
   private final case class LiveLeaf(id: Int, kind: String,
-      slots: Seq[(Long, Int)], req: Int, rts: Seq[ResolvedTerm]) extends LeafPlan
+      slots: Seq[(Long, Int)], req: Int, rts: Seq[ResolvedTerm],
+      boost: Double = 1.0) extends LeafPlan
 
   /** The tree with leaves replaced by their plans, so the boolean fold and
     * the Column fold walk identical structure. */
@@ -621,8 +845,10 @@ final class Searcher(
     * BM25 sum over the distinct terms of its POSITIVE leaves (those under an
     * even number of NOTs — negated clauses never score, Lucene MUST_NOT
     * semantics). A matched doc containing no positive term (reachable only
-    * through negation) scores 0. One extra pruned postings aggregation over
-    * the positive terms joined to the matched ordinal set. */
+    * through negation) scores 0. Leaf `boost`s scale their terms' idf
+    * weights; a term in several positive leaves takes the MAX boost (terms
+    * score once — the distinct-term contract). One extra pruned postings
+    * aggregation over the positive terms joined to the matched ordinal set. */
   def boolQueryRanked(q: BoolQuery): DataFrame =
     compileBool(q) match {
       case Left(false) => emptyDocs(withScore = true)
@@ -632,7 +858,7 @@ final class Searcher(
         val scored =
           if (posRts.isEmpty) ords.withColumn("score", lit(0.0))
           else ords.join(
-            scoredMatches(posRts, bm25Expr).select("doc_ord", "score"),
+            scoredMatchesWeighted(posRts, bm25Expr).select("doc_ord", "score"),
             Seq("doc_ord"), "left")
             .select(col("doc_ord"), coalesce(col("score"), lit(0.0)).as("score"))
         fetchDocs(scored, ranked = true)
@@ -649,8 +875,9 @@ final class Searcher(
   /** Shared compiler: Left(constant) when the tree is decided on the driver
     * (true = every doc, false = none); otherwise the matched-ordinal frame
     * (single `doc_ord` column) plus the distinct resolved terms of POSITIVE
-    * live leaves (for scoring). */
-  private def compileBool(q: BoolQuery): Either[Boolean, (DataFrame, Seq[ResolvedTerm])] = {
+    * live leaves, each with its effective query-time boost (for scoring). */
+  private def compileBool(
+      q: BoolQuery): Either[Boolean, (DataFrame, Seq[(ResolvedTerm, Double)])] = {
     // ---- driver-side: analyze leaves, resolve the term union ONCE
     val leafBuf = scala.collection.mutable.ArrayBuffer.empty[(BoolQuery, Boolean)]
     def collectLeaves(n: BoolQuery, pos: Boolean): Unit = n match {
@@ -661,15 +888,15 @@ final class Searcher(
     }
     collectLeaves(q, pos = true)
     val leafTerms: Seq[Seq[String]] = leafBuf.toSeq.map {
-      case (BTerm(kw, _), _) => analyzer.terms(kw).distinct
-      case (BPhrase(p), _)   => analyzer.terms(p) // ordinals matter: not deduped
+      case (BTerm(kw, _, _), _) => analyzer.terms(kw).distinct
+      case (BPhrase(p, _), _)   => analyzer.terms(p) // ordinals matter: not deduped
       case (other, _) => throw new IllegalArgumentException(s"not a leaf: $other")
     }
     val byTerm = resolve(leafTerms.flatten.distinct).map(rt => rt.term -> rt).toMap
 
     var nextId = 0
     val plans: Seq[(LeafPlan, Boolean)] = leafBuf.toSeq.zip(leafTerms).map {
-      case ((BTerm(_, logic), pos), ts) =>
+      case ((BTerm(_, logic, boost), pos), ts) =>
         val known = ts.flatMap(byTerm.get)
         if (ts.isEmpty || known.isEmpty || (logic == And && known.size != ts.size))
           (StaticFalse, pos)
@@ -677,23 +904,28 @@ final class Searcher(
           val id = nextId; nextId += 1
           (LiveLeaf(id, if (logic == And) "a" else "o",
             known.map(rt => (rt.termId, 0)),
-            req = if (logic == And) known.size else 1, rts = known), pos)
+            req = if (logic == And) known.size else 1, rts = known,
+            boost = boost), pos)
         }
-      case ((BPhrase(_), pos), ts) =>
+      case ((BPhrase(_, boost), pos), ts) =>
         if (ts.isEmpty || !ts.forall(byTerm.contains)) (StaticFalse, pos)
         else {
           val id = nextId; nextId += 1
           val slots = ts.zipWithIndex.map { case (t, i) => (byTerm(t).termId, i) }
           (LiveLeaf(id, "p", slots, req = slots.size,
-            rts = ts.distinct.map(byTerm)), pos)
+            rts = ts.distinct.map(byTerm), boost = boost), pos)
         }
       case ((other, _), _) =>
         throw new IllegalArgumentException(s"not a leaf: $other")
     }
     val live = plans.collect { case (l: LiveLeaf, _) => l }
+    // per distinct positive term: the MAX boost over the positive leaves
+    // containing it (terms stay distinct across leaves — the documented
+    // scoring contract — so boosts combine by max, not sum; all-1.0 boosts
+    // reproduce the unboosted ranking exactly)
     val positiveRts = plans
-      .collect { case (l: LiveLeaf, true) => l.rts }.flatten
-      .groupBy(_.termId).map(_._2.head).toSeq
+      .collect { case (l: LiveLeaf, true) => l.rts.map(_ -> l.boost) }.flatten
+      .groupBy(_._1.termId).map(_._2.maxBy(_._2)).toSeq
     require(live.size <= 62, s"boolQuery supports at most 62 live leaves, got ${live.size}")
 
     // ---- annotate the tree so both folds walk identical structure

@@ -89,6 +89,31 @@ class MainSpec extends SparkSpec {
     assert(sg(1).startsWith("shuffle\t") && sg(2).startsWith("spark\t"))
   }
 
+  test("slop / msm / collapse / boost search modes through the CLI") {
+    // corpus: c1/0 "spark join table", c1/1 "broadcast join wins",
+    //         c2/0 "shuffle partitions tuning", c2/1 "spark shuffle join table"
+    // exact phrase "spark table" matches nothing; slop 1 bridges the gap
+    val (c1, p0) = captured("search", "--index", idx, "--query", "spark table", "--mode", "phrase")
+    assert(c1 == 0 && p0.drop(1).isEmpty)
+    val (c2, p1) = captured("search", "--index", idx, "--query", "spark table",
+      "--mode", "phrase", "--slop", "1")
+    assert(c2 == 0 && p1.drop(1).length == 1 && p1(1).contains("spark join table"))
+    // msm 2 of {spark, join, tuning}: both "spark ... join table" rows
+    val (c3, m2) = captured("search", "--index", idx, "--query", "spark join tuning",
+      "--mode", "msm", "--min-match", "2")
+    assert(c3 == 0 && m2.drop(1).length == 2, m2.mkString("\n"))
+    // collapse on conv_id: one best row per conversation
+    val (c4, cl) = captured("search", "--index", idx, "--query", "spark join",
+      "--mode", "collapse", "--k", "10")
+    assert(c4 == 0 && cl.head.split("\t").contains("score"))
+    val convs = cl.drop(1).map(_.split("\t")(2))
+    assert(convs.length == 2 && convs.distinct.length == 2, cl.mkString("\n"))
+    // boost via query string: tuning^5 dominates a plain join query
+    val (c5, bq) = captured("search", "--index", idx,
+      "--query", "tuning^5 OR join", "--mode", "qs-ranked", "--k", "5")
+    assert(c5 == 0 && bq(1).contains("tuning"), bq.mkString("\n"))
+  }
+
   test("fold/synonym analyzer options round-trip through the manifest") {
     val idx2 = s"$root/idx_syn"
     val (c, out) = captured("build", "--input", s"$root/turns", "--index", idx2,

@@ -42,7 +42,13 @@ class AnalyzerColumnSpec extends SparkSpec {
       Seq(LowercaseFilter(), AsciiFoldingFilter())),
     "standard+fold+synonym+stop" -> Analyzer(Nil, StandardTokenizer(),
       Seq(LowercaseFilter(), AsciiFoldingFilter(),
-        SynonymFilter(Map("cafe" -> "coffeehouse")), StopWordFilter(Seq("a"))))
+        SynonymFilter(Map("cafe" -> "coffeehouse")), StopWordFilter(Seq("a")))),
+    "standard+length" -> Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), LengthFilter(2, 6))),
+    "standard+shingle2" -> Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), ShingleFilter(2))),
+    "standard+stop+shingle3" -> Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), StopWordFilter(Seq("the", "a")), ShingleFilter(3)))
   )
 
   private val sampleInputs: Seq[String] =
@@ -75,5 +81,24 @@ class AnalyzerColumnSpec extends SparkSpec {
     val plan = spark.range(1).selectExpr("'café js' as text")
       .select(a.termsColumn(col("text"))).queryExecution.analyzed.toString()
     assert(!plan.toLowerCase.contains("udf"), s"expected no UDF in: $plan")
+  }
+
+  test("native path is used (no UDF) for length + shingle filters") {
+    val a = Analyzer(Nil, StandardTokenizer(),
+      Seq(LowercaseFilter(), LengthFilter(2, 20), ShingleFilter(2)))
+    val plan = spark.range(1).selectExpr("'x yy zzz' as text")
+      .select(a.termsColumn(col("text"))).queryExecution.analyzed.toString()
+    assert(!plan.toLowerCase.contains("udf"), s"expected no UDF in: $plan")
+  }
+
+  test("shingle/length golden cases: windows, short streams, codepoint lengths") {
+    val sh2 = Analyzer(Nil, StandardTokenizer(), Seq(LowercaseFilter(), ShingleFilter(2)))
+    assert(sh2.terms("Quick brown fox") == Seq("quick brown", "brown fox"))
+    assert(sh2.terms("solo") == Seq.empty)          // shorter than n
+    assert(sh2.terms("") == Seq.empty)
+    val len = Analyzer(Nil, StandardTokenizer(), Seq(LowercaseFilter(), LengthFilter(2, 3)))
+    assert(len.terms("a bb ccc dddd") == Seq("bb", "ccc"))
+    // code-point length: 𝔘 (surrogate pair) counts as ONE code point
+    assert(len.terms("𝔘 xy") == Seq("xy"))
   }
 }

@@ -48,6 +48,51 @@ class QueryStringSpec extends SparkSpec {
       BNot(BAnd(Seq(BTerm("a"), BTerm("b")))))
   }
 
+  test("parse: ^boost on terms and phrases; bad boosts are loud") {
+    assert(QueryString.parse("a^2 b") ==
+      BAnd(Seq(BTerm("a", boost = 2.0), BTerm("b"))))
+    assert(QueryString.parse("\"x y\"^1.5 OR c^0.5") ==
+      BOr(Seq(BPhrase("x y", 1.5), BTerm("c", boost = 0.5))))
+    intercept[QueryString.ParseError](QueryString.parse("a^"))
+    intercept[QueryString.ParseError](QueryString.parse("a^zz"))
+    intercept[QueryString.ParseError](QueryString.parse("a^-1"))
+    intercept[QueryString.ParseError](QueryString.parse("\"x y\"^bad"))
+  }
+
+  test("boosted ranked query: boost scales only that term's contribution") {
+    // score(doc | ruby^2 OR go) = 2*bm25(ruby) + bm25(go)
+    val boosted = searcher.queryString("ruby^2 OR go", ranked = true)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def scores(kw: String): Map[Long, Double] =
+      searcher.bm25All(kw).select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val ruby = scores("ruby"); val go = scores("go")
+    assert(boosted.keySet == (ruby.keySet ++ go.keySet))
+    boosted.foreach { case (id, s) =>
+      val want = 2.0 * ruby.getOrElse(id, 0.0) + go.getOrElse(id, 0.0)
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    // all-1.0 boosts reproduce the unboosted ranking exactly
+    val flat = searcher.queryString("ruby^1 OR go", ranked = true)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val unboosted = searcher.queryString("ruby OR go", ranked = true)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(flat.toSeq == unboosted.toSeq)
+  }
+
+  test("boost in several positive leaves: distinct term takes the MAX boost") {
+    val two = searcher.boolQueryRanked(
+      BOr(Seq(BTerm("ruby", boost = 3.0), BTerm("ruby", boost = 2.0))))
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val base = searcher.bm25All("ruby").select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(two.keySet == base.keySet)
+    two.foreach { case (id, s) =>
+      assert(math.abs(s - 3.0 * base(id)) < 1e-9)
+    }
+  }
+
   test("parse: operator case-insensitive; errors are loud") {
     assert(QueryString.parse("a and b or c") == QueryString.parse("a AND b OR c"))
     intercept[QueryString.ParseError](QueryString.parse(""))

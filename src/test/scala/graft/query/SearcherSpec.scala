@@ -138,6 +138,174 @@ class SearcherSpec extends SparkSpec {
     assert(ids(abc.matchQuery("aa aa bb", And)) == Seq(1L, 3L))
   }
 
+  // --- sloppy phrase (window semantics) ------------------------------------
+  private lazy val sloppy =
+    new Searcher(
+      index(Seq(
+        "aa cc",          // 1: exact adjacency
+        "aa bb cc",       // 2: one gap
+        "aa xx yy cc",    // 3: two gaps
+        "cc aa",          // 4: reversed (spread 2 after ordinal shift)
+        "bb"              // 5: repeated-term window probe
+      ), Analyzer.standard()),
+      Analyzer.standard())
+
+  test("phraseQuery slop: widening windows admit gap, wider gap, then reversal") {
+    assert(ids(sloppy.phraseQuery("aa cc")) == Seq(1L))
+    assert(ids(sloppy.phraseQuery("aa cc", slop = 1)) == Seq(1L, 2L))
+    assert(ids(sloppy.phraseQuery("aa cc", slop = 2)) == Seq(1L, 2L, 3L, 4L))
+  }
+  test("phraseQuery slop=0 ≡ exact phrase path on every golden case") {
+    phraseCases.foreach { case (kw, want) =>
+      assert(ids(abc.phraseQuery(kw, slop = 0)) == want, s"case '$kw'")
+    }
+  }
+  test("phraseQuery slop: repeated-term slots may share an occurrence (documented)") {
+    // window semantics, NOT Lucene's distinct-position sloppy phrase: one
+    // 'bb' satisfies both slots of "bb bb" once the window is non-zero
+    assert(ids(sloppy.phraseQuery("bb bb")) == Seq())
+    assert(ids(sloppy.phraseQuery("bb bb", slop = 1)) == Seq(2L, 5L))
+  }
+  test("phraseQuery slop ranked: scored like the exact ranked path") {
+    val r = sloppy.phraseQuery("aa cc", ranked = true, slop = 1)
+    assert(ids(r) == Seq(1L, 2L)) // shorter doc scores higher (tf/len)
+    val scores = r.select("score").collect().map(_.getDouble(0))
+    assert(scores.forall(_ > 0) && scores(0) > scores(1))
+  }
+
+  // --- minimum_should_match -------------------------------------------------
+  test("matchQueryMsm: quota 1 ≡ OR, quota k ≡ AND, quota between filters") {
+    assert(ids(abc.matchQueryMsm("aa bb dd", 1)) == ids(abc.matchQuery("aa bb dd", Or)))
+    assert(ids(abc.matchQueryMsm("aa bb", 2)) == ids(abc.matchQuery("aa bb", And)))
+    assert(ids(abc.matchQueryMsm("aa bb dd", 2)) == Seq(1L, 3L))
+    assert(ids(abc.matchQueryMsm("aa bb dd", 3)) == Seq())
+  }
+  test("matchQueryMsm: unresolvable quota short-circuits to empty on the driver") {
+    assert(ids(abc.matchQueryMsm("aa zz ww", 2)) == Seq())
+    assert(ids(abc.matchQueryMsm("", 1)) == Seq())
+  }
+  test("matchQueryMsm ranked: BM25 over matched terms, desc") {
+    val r = abc.matchQueryMsm("aa bb dd", 2, ranked = true)
+    val rows = r.select("doc_id", "score").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(rows.forall(_.getDouble(1) > 0))
+  }
+
+  // --- collapse / search_after / histogram facet ----------------------------
+  private lazy val grouped = {
+    val docs = Seq(
+      (0L, 1L, "go ruby", "c1", 10L),
+      (1L, 2L, "go go ruby", "c1", 20L),
+      (2L, 3L, "go php", "c2", 30L),
+      (3L, 4L, "ruby php", "c2", 44L),
+      (4L, 5L, "java", "c3", 50L)
+    ).toDF("doc_ord", "doc_id", "text", "conv", "len")
+    new Searcher(IndexBuilder.build(docs, Analyzer.standard()).cache(),
+      Analyzer.standard())
+  }
+
+  test("bm25TopKCollapse: one best-scoring doc per group, groups ranked by it") {
+    val rows = grouped.bm25TopKCollapse("go ruby", "conv", 10)
+      .select("doc_id", "conv").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(_._2).distinct.length == rows.length) // one per group
+    assert(rows.map(_._2).toSet == Set("c1", "c2"))       // c3 never matches
+    // within c1 the higher-scoring doc represents the group
+    val full = grouped.bm25TopK("go ruby", 10).select("doc_id", "conv")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bestPerGroup = full.groupBy(_._2).map { case (_, rs) => rs.head._1 }.toSet
+    assert(rows.map(_._1).toSet == bestPerGroup)
+    assert(ids(grouped.bm25TopKCollapse("go ruby", "conv", 1)).length == 1)
+  }
+
+  test("bm25TopKAfter: cursor pages partition the full ranking") {
+    val full = grouped.bm25TopK("go ruby php", 10)
+      .select("doc_id", "score", "doc_ord").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(full.length >= 4)
+    val pageSize = 2
+    val page1 = full.take(pageSize)
+    val cursor = page1.last
+    val page2 = grouped.bm25TopKAfter("go ruby php", pageSize, cursor._2, cursor._3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(page2 == full.slice(pageSize, 2 * pageSize).map(_._1).toSeq)
+    // pages are disjoint and ordered
+    assert(page1.map(_._1).toSet.intersect(page2.toSet).isEmpty)
+  }
+
+  test("facetHistogram: matched docs bucketed by binWidth multiples") {
+    val hist = grouped.facetHistogram("go ruby", Or, "len", 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // matched docs: 1(len10),2(20),3(30),4(44) → buckets 0,20,20,40
+    assert(hist == Map(0L -> 1L, 20L -> 2L, 40L -> 1L))
+    val none = grouped.facetHistogram("zz", Or, "len", 20L).collect()
+    assert(none.isEmpty)
+  }
+
+  // --- dis_max / filter context / stats facet --------------------------------
+  test("disMaxTopK: tie 0 is max of clause scores; tie 1 is the flat OR sum") {
+    import org.apache.spark.sql.functions.col
+    def scores(df: DataFrame): Map[Long, Double] =
+      df.select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val go = scores(grouped.bm25All("go"))
+    val ruby = scores(grouped.bm25All("ruby"))
+    val both = go.keySet ++ ruby.keySet
+    val dm0 = scores(grouped.disMaxTopK(Seq("go", "ruby"), 10, tieBreaker = 0.0))
+    assert(dm0.keySet == both)
+    dm0.foreach { case (id, s) =>
+      val want = math.max(go.getOrElse(id, 0.0), ruby.getOrElse(id, 0.0))
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    val dm1 = scores(grouped.disMaxTopK(Seq("go", "ruby"), 10, tieBreaker = 1.0))
+    val flat = scores(grouped.bm25TopK("go ruby", 10))
+    assert(dm1.keySet == flat.keySet)
+    dm1.foreach { case (id, s) => assert(math.abs(s - flat(id)) < 1e-9) }
+    val dm3 = scores(grouped.disMaxTopK(Seq("go", "ruby"), 10, tieBreaker = 0.3))
+    dm3.foreach { case (id, s) =>
+      val a = go.getOrElse(id, 0.0); val b = ruby.getOrElse(id, 0.0)
+      val want = math.max(a, b) + 0.3 * math.min(a, b)
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    assert(grouped.disMaxTopK(Seq("zzz", ""), 10).collect().isEmpty)
+  }
+
+  test("bm25TopKFiltered: filter context restricts results, never scores") {
+    import org.apache.spark.sql.functions.col
+    val all = grouped.bm25TopK("go ruby", 10).select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val c2 = grouped.bm25TopKFiltered("go ruby", col("conv") === "c2", 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(c2.map(_._1).toSet == Set(3L, 4L)) // only c2's matched docs
+    c2.foreach { case (id, s) => assert(math.abs(s - all(id)) < 1e-12) } // df/avgdl corpus-global
+    assert(grouped.bm25TopKFiltered("zzz", col("conv") === "c2", 10).collect().isEmpty)
+  }
+
+  test("facetStats: count/min/max/sum/avg over the matched set") {
+    val r = grouped.facetStats("go ruby", Or, "len").collect().head
+    // matched: docs 1(10), 2(20), 3(30), 4(44)
+    assert(r.getLong(0) == 4L)
+    assert(r.getDouble(1) == 10.0 && r.getDouble(2) == 44.0)
+    assert(math.abs(r.getDouble(3) - 104.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 26.0) < 1e-12)
+    val empty = grouped.facetStats("zzz", Or, "len").collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(1))
+  }
+
+  test("significantTerms: lift ranks over-represented terms in the matched set") {
+    // query 'go' (OR): matched docs 1,2,3 of 5; df_in/df: go 3/3, ruby 2/3, php 1/2
+    val rows = grouped.significantTerms("go", Or, topN = 10, minDocCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq("go", "ruby", "php"))
+    val lifts = rows.map(_._4)
+    assert(math.abs(lifts(0) - (3.0 / 3) / (3.0 / 5)) < 1e-12)
+    assert(math.abs(lifts(1) - (2.0 / 3) / (3.0 / 5)) < 1e-12)
+    assert(math.abs(lifts(2) - (1.0 / 3) / (2.0 / 5)) < 1e-12)
+    // minDocCount gates the tail; unknown query yields the empty frame
+    assert(grouped.significantTerms("go", Or, 10, minDocCount = 2)
+      .collect().map(_.getString(0)).toSeq == Seq("go", "ruby"))
+    assert(grouped.significantTerms("zzz", Or, 10, 1).collect().isEmpty)
+  }
+
   test("Japanese corpus end-to-end: lattice morphology + kana readings") {
     // the reference's Japanese pipeline shape (morphological tokenizer +
     // reading-form filter) over the in-repo lattice analyzer: queries
