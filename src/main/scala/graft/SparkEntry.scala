@@ -535,6 +535,18 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => // Gopher-style boilerplate signals
       TextStats.repetition(docsTable(s, d)).orderBy("doc_id")),
 
+    "text_lm_score" -> ((s, d) => // corpus-unigram LM quality score
+      TextStats.unigramLogProb(docsTable(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    "dedup_spans" -> ((s, d) => // cross-doc duplicated 6-token spans
+      Dedup.duplicateSpans(docsTable(s, d), n = 6, portable = true)
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("dup_ratio"), 6).as("dup_ratio"))
+        .orderBy("doc_id")),
+
     "text_redact_pii" -> ((s, d) => // PII is SYNTHESIZED from table columns
       // so the oracle exercises cross-engine regex parity on every row —
       // the synthetic corpus itself contains no emails/phones/IPs and an
@@ -1325,6 +1337,35 @@ object SparkEntry {
          |    length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE / length(text)
          |    ELSE 0.0 END, 6) AS alpha_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" -> // avg ln(cf/total) per doc; exact-integer ratio logs
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |freq AS (SELECT term, count(*) AS cf FROM tok GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM tok),
+         |pd AS (SELECT tok.doc_id, count(*) AS n_tokens,
+         |         avg(ln(freq.cf::DOUBLE / tot.total)) AS avg_logp
+         |       FROM tok JOIN freq USING (term) CROSS JOIN tot GROUP BY tok.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+         |  round(pd.avg_logp, 6) AS avg_logp
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_spans" -> // portable-60 fingerprints of every 6-token window;
+      // a fingerprint in >1 distinct doc marks the span duplicated
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(arr) < 6 THEN [] ELSE
+         |    list_transform(range(1, len(arr) - 4), i -> array_to_string(arr[i:i+5], ' '))
+         |  END) AS w
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), h AS (SELECT doc_id, ${portable60Sql("w")} AS h FROM w),
+         |dup AS (SELECT h, count(DISTINCT doc_id) AS nd FROM h GROUP BY h),
+         |pd AS (SELECT h.doc_id, count(*)::BIGINT AS n_spans,
+         |         sum(CASE WHEN dup.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans
+         |       FROM h JOIN dup USING (h) GROUP BY h.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(pd.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+         |  round(CASE WHEN coalesce(pd.n_spans, 0) = 0 THEN 0.0
+         |    ELSE pd.n_dup_spans::DOUBLE / pd.n_spans END, 6) AS dup_ratio
+         |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -61,6 +61,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Fine-grained duplicated-span signal — the n-gram-granular flavor of
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every window of `n` consecutive normalized
+    * tokens is fingerprinted, and a window whose fingerprint occurs in MORE
+    * THAN ONE distinct document is a duplicated span. Returns per doc
+    * `(doc_id, n_spans, n_dup_spans, dup_ratio)`; docs shorter than `n`
+    * tokens report 0 / 0 / 0.0. Within-doc repeats alone do NOT mark a span
+    * (cross-doc is the dedup signal; within-doc repetition is
+    * [[TextStats.repetition]]'s job).
+    *
+    * Scale shape: span rows are payload-free `(hash, doc_id)` — window
+    * STRINGS never leave the row they were built in; the cross-doc count
+    * and the back-join both shuffle on the 64-bit hash with map-side
+    * combine, and nothing is broadcast (the span table is corpus-scale by
+    * construction, ~one row per token). `portable = true` swaps xxhash64
+    * for the 60-bit polynomial fold so a SQL oracle reproduces the exact
+    * fingerprints (collisions and all). */
+  def duplicateSpans(docs: DataFrame, n: Int = 6, idCol: String = "doc_id",
+      textCol: String = "text", portable: Boolean = false): DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens, got $n")
+    val toks = TextStats.tokensCol(col(textCol))
+    val cnt = size(toks) - lit(n - 1)
+    val wins = when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val spanRows = docs
+      .select(col(idCol).as("doc_id"), explode(wins).as("w"))
+      .select(col("doc_id"),
+        (if (portable) portableHash60(col("w")) else xxhash64(col("w"))).as("h"))
+    val dupH = spanRows
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("h"), lit(1L).as("is_dup"))
+    val perDoc = spanRows
+      .join(dupH, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup_spans"), lit(0L)).cast("double")
+            / coalesce(col("n_spans"), lit(1L)).cast("double")).as("dup_ratio"))
+  }
+
   /** Modulus every portable hash works in: intermediates stay far inside a
     * signed 64-bit long, so ANY engine with plain integer arithmetic (no
     * overflow wrap semantics needed) computes identical values — which is

@@ -104,6 +104,37 @@ object TextStats {
         round(coalesce(col("tb"), lit(0.0)), 6).as("top_bigram_ratio"))
   }
 
+  /** Corpus-unigram language-model quality score — the classic LM filter
+    * (CCNet-style, with the corpus itself as the model): per doc the mean
+    * log-probability `avg over tokens of ln(cf_t / total_tokens)` where
+    * `cf_t` is the token's corpus collection frequency (MLE, no smoothing
+    * needed — every scored token has cf ≥ 1 by construction). Low scores
+    * flag gibberish / rare-token soup; anomalously high scores flag
+    * boilerplate. Returns `(doc_id, n_tokens, avg_logp)`; empty docs get
+    * n_tokens 0 and a null score.
+    * Shape: one exploded-token aggregation builds the vocab-sized frequency
+    * table, token rows then re-join it keyed on the term (a shuffle join —
+    * no broadcast assumption at web-scale vocabularies) and aggregate per
+    * doc; the total-token count rides along as a broadcast 1-row frame. */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokensCol(col(textCol))).as("term"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val total = freq.agg(sum(col("cf")).as("total"))
+    val perDoc = tok
+      .join(freq, "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("cf").cast("double") / col("total").cast("double"))).as("avg_logp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logp"))
+  }
+
   /** PII redaction patterns, deliberately restricted to the regex subset
     * Java (Spark) and RE2 (DuckDB, the oracle engine) evaluate identically:
     * character classes, bounded repetition, groups, `\b` — no lookaround,

@@ -60,6 +60,46 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("duplicateSpans: cross-doc window fingerprints, hand-computed ratios") {
+    for (portable <- Seq(false, true)) {
+      val out = Dedup.duplicateSpans(docs, n = 4, portable = portable)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      // docs 0/1 identical (9 tokens → 6 windows, all shared)
+      assert(out(0L) == ((6L, 6L, 1.0)), s"portable=$portable: ${out(0L)}")
+      assert(out(1L) == ((6L, 6L, 1.0)))
+      // doc 2 differs in the last token: 5 of 6 windows shared
+      assert(out(2L)._1 == 6L && out(2L)._2 == 5L)
+      // doc 4 appends a token: its 6 leading windows all match doc 0/1
+      assert(out(4L)._1 == 7L && out(4L)._2 == 6L)
+      // no cross-doc window: zero dups; empty doc: zero spans
+      assert(out(3L) == ((4L, 0L, 0.0)))
+      assert(out(8L) == ((0L, 0L, 0.0)))
+    }
+  }
+
+  test("unigramLogProb == driver-computed corpus LM reference") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val all = rows.flatMap(t => toks(t._2))
+    val cf = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.size.toDouble
+    val got = TextStats.unigramLogProb(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    rows.foreach { case (id, text) =>
+      val ts = toks(text)
+      assert(got(id).getLong(1) == ts.size.toLong, s"doc $id n_tokens")
+      if (ts.isEmpty) assert(got(id).isNullAt(2), s"doc $id should be null")
+      else {
+        val want = ts.map(t => math.log(cf(t) / total)).sum / ts.size
+        assert(math.abs(got(id).getDouble(2) - want) < 1e-9, s"doc $id")
+      }
+    }
+    // the common-word doc scores higher than the rare-token one
+    assert(got(0L).getDouble(2) > got(7L).getDouble(2))
+  }
+
   test("quality + token count + langid + fingerprints are deterministic and sane") {
     val q = TextStats.quality(docs).orderBy("doc_id").collect()
     assert(q(8).getLong(1) == 0L) // empty doc: n_chars 0
