@@ -91,6 +91,9 @@ object Bench {
       (graft.query.BTerm("spark") && graft.query.BTerm("join")) ||
       (graft.query.BTerm("group") && !graft.query.BTerm("window"))).count())
     timed("q_fuzzy")(searcher.fuzzyQuery("sport", maxEdits = 2).count())
+    timed("q_phrase_slop")(searcher.phraseQuery("sort merge", slop = 2).count())
+    timed("q_collapse")(searcher.bm25TopKCollapse("spark join", "source", 10).collect())
+    timed("q_dismax")(searcher.disMaxTopK(Seq("spark join", "vector window"), 10, 0.3).collect())
     timed("q_percolate")(graft.query.Percolator.matches(docs,
       (0 until 200).map(i => graft.query.Percolator.StoredQuery(i.toLong,
         if (i % 2 == 0) "spark join" else "vector window group",

@@ -80,7 +80,7 @@ object Main {
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
       |  search --index <path> --query <q>
-      |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest]
+      |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
       |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases", term^boost;
@@ -285,6 +285,14 @@ object Main {
       out(Seq("term", "df").mkString("\t"))
       searcher.suggest(query, n = k).collect()
         .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}"))
+      return
+    }
+    if (mode == "dym") { // did-you-mean: (term, df, distance), not doc rows
+      out(Seq("term", "df", "distance").mkString("\t"))
+      searcher.didYouMean(query,
+        maxEdits = opts.get("max-edits").map(_.toInt).getOrElse(2), n = k)
+        .collect()
+        .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getInt(2)}"))
       return
     }
     val (df, ranked): (DataFrame, Boolean) = mode match {

@@ -346,6 +346,10 @@ object SparkEntry {
       searcher(s, d).termRangeQuery("so", "sz")
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_dym" -> ((s, d) => // did-you-mean: 'sprak' -> corrections by (dist, df)
+      searcher(s, d).didYouMean("sprak", maxEdits = 2, n = 5)
+        .select(col("term"), col("df"), col("distance").cast("long").as("distance"))),
+
     // ---- boolean query trees: one pruned scan + per-doc leaf bitmask -------
     "ft_bool" -> ((s, d) =>
       searcher(s, d).boolQuery(
@@ -783,6 +787,15 @@ object SparkEntry {
          |  round(sum(n_chars)::DOUBLE, 6) AS vsum, round(avg(n_chars)::DOUBLE, 6) AS vavg
          |FROM documents
          |WHERE list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join')""".stripMargin,
+
+    "ft_dym" -> // dictionary spell correction, (distance asc, df desc, term)
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents
+         |), dict AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+         |SELECT term, df, levenshtein(term, 'sprak')::BIGINT AS distance
+         |FROM dict
+         |WHERE term <> 'sprak' AND levenshtein(term, 'sprak') <= 2
+         |ORDER BY distance, df DESC, term LIMIT 5""".stripMargin,
 
     "ft_sigterms" -> // lift = (df_in/n_matched)/(df/N) over the AND-matched
       // set; exact integer divisions — engine-reproducible doubles

@@ -296,6 +296,28 @@ final class Searcher(
       .orderBy(desc("df"), asc("term"))
       .limit(n)
 
+  /** Did-you-mean spell correction: the dictionary terms within `maxEdits`
+    * Levenshtein edits of `term`, ranked most-plausible first — distance
+    * asc, then df desc, then term asc (closer corrections beat popular ones;
+    * popularity breaks distance ties — the standard Lucene DirectSpellChecker
+    * ordering). The exact term itself is excluded (distance 0 means nothing
+    * to correct). A vocab-sized dictionary scan with the same length-window
+    * prefilter as [[fuzzyQuery]]; zero postings work. */
+  def didYouMean(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    if (term.isEmpty)
+      return index.termDict.select(col("term"), col("df"))
+        .withColumn("distance", lit(0)).limit(0)
+    index.termDict
+      .filter(length(col("term"))
+        .between(term.length - maxEdits, term.length + maxEdits) &&
+        col("term") =!= term)
+      .withColumn("distance", levenshtein(col("term"), lit(term)))
+      .filter(col("distance") <= maxEdits)
+      .select(col("term"), col("df"), col("distance"))
+      .orderBy(asc("distance"), desc("df"), asc("term"))
+      .limit(n)
+  }
+
   /** FuzzyQuery: docs containing any dictionary term within `maxEdits`
     * Levenshtein edits of `term` (exact term included at distance 0). The
     * length window prefilter keeps the edit-distance evaluation off terms

@@ -87,6 +87,10 @@ class MainSpec extends SparkSpec {
     val (c6, sg) = captured("search", "--index", idx, "--query", "s", "--mode", "suggest", "--k", "3")
     assert(c6 == 0 && sg.head == "term\tdf", sg.mkString("\n"))
     assert(sg(1).startsWith("shuffle\t") && sg(2).startsWith("spark\t"))
+    // did-you-mean: 'sprak' corrects to spark at distance 2
+    val (c7, dy) = captured("search", "--index", idx, "--query", "sprak", "--mode", "dym")
+    assert(c7 == 0 && dy.head == "term\tdf\tdistance", dy.mkString("\n"))
+    assert(dy(1).startsWith("spark\t"), dy.mkString("\n"))
   }
 
   test("slop / msm / collapse / boost search modes through the CLI") {

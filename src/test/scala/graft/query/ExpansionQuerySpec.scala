@@ -148,4 +148,17 @@ class ExpansionQuerySpec extends SparkSpec {
     val e = s.snippet("zzz")
     assert(e.columns.contains("snippet") && e.count() == 0)
   }
+
+  test("didYouMean: corrections ranked by (distance, df desc, term)") {
+    // vocab: ruby(df 3), php(3), js(2), go(4), rust(1)
+    val dym = searcher.didYouMean("rubi", maxEdits = 2, n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(dym.toSeq == Seq(("ruby", 3L, 1), ("rust", 1L, 2)))
+    // the exact term never suggests itself
+    assert(!searcher.didYouMean("ruby", 2, 5).collect()
+      .map(_.getString(0)).contains("ruby"))
+    // nothing within budget / empty input -> empty
+    assert(searcher.didYouMean("go", maxEdits = 1, n = 5).count() == 0)
+    assert(searcher.didYouMean("", 2, 5).count() == 0)
+  }
 }
