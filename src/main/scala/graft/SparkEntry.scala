@@ -121,6 +121,21 @@ object SparkEntry {
     })
   }
 
+  // Second searchable field for the multi-field queries: an in-memory index
+  // over `source` sharing the documents ordinal space (the text field stays
+  // the persisted index above — per-field stats by construction).
+  private val srcIndexCache = scala.collection.mutable.HashMap.empty[String, Searcher]
+  private def srcSearcher(spark: SparkSession, dir: String): Searcher =
+    srcIndexCache.synchronized {
+      srcIndexCache.getOrElseUpdate(dir, {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("doc_ord", col("doc_id"))
+        new Searcher(
+          graft.index.IndexBuilder.build(docs, analyzer, textCol = "source").cache(),
+          analyzer)
+      })
+    }
+
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embTable(s: SparkSession, dir: String): DataFrame =
@@ -190,6 +205,14 @@ object SparkEntry {
       searcher(s, d).queryString("spark^2 OR join", ranked = true)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_multifield" -> ((s, d) => { // multi_match most_fields: text + 2×source
+      val docs = docsTable(s, d).withColumn("doc_ord", col("doc_id"))
+      graft.query.MultiField.bm25TopK(docs,
+        Seq(searcher(s, d) -> 1.0, srcSearcher(s, d) -> 2.0), "spark src3", 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
 
     "ft_dismax" -> ((s, d) => // dis_max: best clause + 0.3 × the others
       searcher(s, d).disMaxTopK(Seq("spark join", "vector window"), 10000, 0.3)
@@ -733,6 +756,45 @@ object SparkEntry {
          |FROM documents
          |WHERE list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join')
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ft_multifield" -> // per-field BM25 (text stats vs source stats), then
+      // 1.0*text + 2.0*source; query 'spark src3' resolves per field
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','src3') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','src3') GROUP BY doc_id, term),
+         |tscored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |sarr AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(source), '[^a-z0-9]+'), x -> x <> '') AS st
+         |  FROM documents),
+         |stok AS (SELECT doc_id, unnest(st) AS term FROM sarr),
+         |stc AS (SELECT doc_id, len(st) AS token_count FROM sarr),
+         |sstats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM stc),
+         |sdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM stok
+         |        WHERE term IN ('spark','src3') GROUP BY term),
+         |stf AS (SELECT doc_id, term, count(*) AS tf FROM stok
+         |        WHERE term IN ('spark','src3') GROUP BY doc_id, term),
+         |sscored AS (
+         |  SELECT stf.doc_id,
+         |    sum((ln(1 + (sstats.n - sdf.df + 0.5) / (sdf.df + 0.5)) * (stf.tf * 2.2))
+         |      / (stf.tf + 1.2 * (0.25 + (0.75 * stc.token_count) / sstats.avgdl))) AS score
+         |  FROM stf JOIN stc USING (doc_id) JOIN sdf USING (term) CROSS JOIN sstats
+         |  GROUP BY stf.doc_id)
+         |SELECT doc_id,
+         |  round(coalesce(t.score, 0) * 1.0 + coalesce(s.score, 0) * 2.0, 6) AS score
+         |FROM tscored t FULL OUTER JOIN sscored s USING (doc_id)
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_dismax" -> // clauses ('spark join', 'vector window'), tie 0.3:
       // greatest(clause scores) + 0.3 * (sum - greatest)

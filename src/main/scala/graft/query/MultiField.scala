@@ -1,0 +1,71 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-field search — the Elasticsearch `multi_match` (most_fields) /
+  * Lucene BM25F-lite shape the reference's single-field model
+  * (`/root/reference/README.md:8` "Document has only one field") cannot
+  * express. Each field is indexed INDEPENDENTLY (one inverted index per
+  * field — its own dictionary, df, avgdl — built over the SAME document
+  * ordinal space via `IndexBuilder.build(docs, analyzer, textCol = field)`),
+  * and a query scores
+  *
+  *   score(doc) = Σ_field  weight_f · BM25_f(doc, query)
+  *
+  * — per-field statistics, field weights at query time, the most_fields
+  * combination. Dis-max combination across fields (best_fields) composes
+  * from the same per-field frames with max instead of sum.
+  *
+  * Scale shape: one pruned postings scan per field index (each t_bucket
+  * partition-pruned to ITS resolved terms), a union + one doc-level
+  * aggregation to combine, TakeOrderedAndProject for the top-k — fields
+  * never multiply the corpus, and a field whose analyzer drops every query
+  * term contributes an empty frame that Catalyst folds away.
+  */
+object MultiField {
+
+  /** BM25 top-k over weighted fields. `docs` is the shared document table
+    * (must carry `doc_ord`); `fields` maps each field's [[Searcher]] to its
+    * query-time weight. Returns docs + `score`, (score desc, doc_ord asc),
+    * k rows. */
+  def bm25TopK(docs: DataFrame, fields: Seq[(Searcher, Double)],
+      keyword: String, k: Int): DataFrame = {
+    require(fields.nonEmpty, "multi-field search needs at least one field")
+    fields.foreach { case (_, w) =>
+      require(w > 0, s"field weights must be > 0, got $w") }
+    val combined = fields
+      .map { case (s, w) =>
+        s.bm25Scores(keyword)
+          .select(col("doc_ord"), (col("score") * lit(w)).as("score"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_ord"))
+      .agg(sum(col("score")).as("score"))
+    docs.join(combined, "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** Best-fields combination (ES `multi_match` type best_fields with
+    * tie_breaker): the strongest field wins, others contribute
+    * `tieBreaker ×` their weighted score. */
+  def bm25TopKBestFields(docs: DataFrame, fields: Seq[(Searcher, Double)],
+      keyword: String, k: Int, tieBreaker: Double = 0.0): DataFrame = {
+    require(fields.nonEmpty, "multi-field search needs at least one field")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1], got $tieBreaker")
+    val combined = fields
+      .map { case (s, w) =>
+        s.bm25Scores(keyword)
+          .select(col("doc_ord"), (col("score") * lit(w)).as("score"))
+      }
+      .reduce(_ unionByName _)
+      .groupBy(col("doc_ord"))
+      .agg((max(col("score")) +
+        lit(tieBreaker) * (sum(col("score")) - max(col("score")))).as("score"))
+    docs.join(combined, "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+}

@@ -805,6 +805,16 @@ final class Searcher(
     BlockMaxWand.topKBatch(blocks, queries, k, blockParams, index.avgDocLen, metrics)
   }
 
+  /** `(doc_ord, score)` of every doc matching any query term — the BM25
+    * scoring aggregation alone, no docs join. The building block
+    * [[MultiField]] combines across per-field indexes. */
+  def bm25Scores(keyword: String): DataFrame = {
+    val rts = resolve(analyzer.terms(keyword).distinct)
+    if (rts.isEmpty)
+      index.docs.select("doc_ord").limit(0).withColumn("score", lit(0.0))
+    else scoredMatches(rts, bm25Expr).select("doc_ord", "score")
+  }
+
   /** All matched docs with BM25 scores (no top-k) — used by oracles where a
     * stable full set beats a float-boundary-sensitive top-k. */
   def bm25All(keyword: String): DataFrame = {
