@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions._
   * the stages are cheapest:
   *
   *   1. quality + repetition gates (per-row column math — scan-speed, run
-  *      FIRST so later shuffling stages see only survivors)
+  *      FIRST so later shuffling stages see only survivors), plus the
+  *      corpus-LM score gate
   *   2. PII redaction (per-row regexp chain)
   *   3. exact dedup, then MinHash-LSH near-dup clustering with exact
-  *      transitive keep-one (connected components)
+  *      transitive keep-one (connected components), then the
+  *      duplicated-span gate on the kept set (before dedup it would drop
+  *      every copy instead of keeping one)
   *   4. decontamination against a held-out reference/eval set
   *   5. leakage-safe train/test/val split (stable as the corpus grows)
   *   6. token-budget context packing within each split
@@ -28,16 +31,21 @@ object TrainingDataPipelineExample {
     * wherever they like: survivors with (doc_id, split, chunk_id, redacted).
     */
   def run(docs: DataFrame, evalSet: DataFrame): DataFrame = {
-    // 1. scan-speed gates
+    // 1. scan-speed gates, plus the corpus-LM gate (one aggregation pass):
+    // outlier-scored docs are gibberish or boilerplate
     val quality = TextStats.quality(docs)
       .where(col("n_tokens") >= 3 && col("alpha_ratio") >= 0.3)
       .select("doc_id")
     val repetition = TextStats.repetition(docs)
       .where(col("dup_line_ratio") <= 0.5 && col("top_bigram_ratio") <= 0.8)
       .select("doc_id")
+    val lmOk = TextStats.unigramLogProb(docs)
+      .where(col("n_tokens") === 0 || col("avg_logp") >= -12.0)
+      .select("doc_id")
     val gated = docs
       .join(quality, Seq("doc_id"), "left_semi")
       .join(repetition, Seq("doc_id"), "left_semi")
+      .join(lmOk, Seq("doc_id"), "left_semi")
 
     // 2. PII scrub (keep the original text for the hash-based stages so
     // dedup keys are stable whether or not the scrub patterns change)
@@ -50,8 +58,17 @@ object TrainingDataPipelineExample {
     val nearPairs = Dedup.minhashLshPairs(deduped, threshold = 0.7)
     val kept = Dedup.dropDuplicatesCC(deduped, nearPairs)
 
+    // 3b. duplicated-span gate AFTER dedup — run before it, the gate would
+    // drop EVERY copy of duplicated content instead of letting dedup keep
+    // one; after keep-one, a high dup_ratio means residual cross-doc
+    // boilerplate (templated spans dedup could not collapse)
+    val spanOk = Dedup.duplicateSpans(kept, n = 6)
+      .where(col("dup_ratio") <= 0.6)
+      .select("doc_id")
+    val keptClean = kept.join(spanOk, Seq("doc_id"), "left_semi")
+
     // 4. benchmark-leakage removal against the (small, broadcast) eval set
-    val clean = Dedup.decontaminate(kept, evalSet, threshold = 0.5)
+    val clean = Dedup.decontaminate(keptClean, evalSet, threshold = 0.5)
 
     // 5 + 6. stable splits, then pack each split to a token budget
     val split = Pipeline.withSplit(clean, "doc_id", testFrac = 0.05, valFrac = 0.05)

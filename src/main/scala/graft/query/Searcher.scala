@@ -560,6 +560,7 @@ final class Searcher(
     * repeated-term slots may align to the SAME occurrence when the window
     * permits (window semantics, pinned in SearcherSpec). */
   def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     val qTerms = analyzer.terms(phrase) // NOT deduped: each ordinal matters
     if (qTerms.isEmpty) return emptyDocs(ranked)
     val rtsByTerm = resolve(qTerms.distinct).map(rt => rt.term -> rt).toMap
