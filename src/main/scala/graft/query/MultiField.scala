@@ -25,12 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object MultiField {
 
-  /** BM25 top-k over weighted fields. `docs` is the shared document table
-    * (must carry `doc_ord`); `fields` maps each field's [[Searcher]] to its
-    * query-time weight. Returns docs + `score`, (score desc, doc_ord asc),
-    * k rows. */
-  def bm25TopK(docs: DataFrame, fields: Seq[(Searcher, Double)],
-      keyword: String, k: Int): DataFrame = {
+  /** Shared scaffold: per-field weighted score frames, unioned, grouped by
+    * doc_ord under `aggExpr`, joined to docs, (score desc, doc_ord asc)
+    * top-k. */
+  private def combine(docs: DataFrame, fields: Seq[(Searcher, Double)],
+      keyword: String, k: Int)(aggExpr: org.apache.spark.sql.Column): DataFrame = {
     require(fields.nonEmpty, "multi-field search needs at least one field")
     fields.foreach { case (_, w) =>
       require(w > 0, s"field weights must be > 0, got $w") }
@@ -41,31 +40,28 @@ object MultiField {
       }
       .reduce(_ unionByName _)
       .groupBy(col("doc_ord"))
-      .agg(sum(col("score")).as("score"))
+      .agg(aggExpr.as("score"))
     docs.join(combined, "doc_ord")
       .orderBy(desc("score"), asc("doc_ord"))
       .limit(k)
   }
+
+  /** BM25 top-k over weighted fields. `docs` is the shared document table
+    * (must carry `doc_ord`); `fields` maps each field's [[Searcher]] to its
+    * query-time weight. Returns docs + `score`, (score desc, doc_ord asc),
+    * k rows. */
+  def bm25TopK(docs: DataFrame, fields: Seq[(Searcher, Double)],
+      keyword: String, k: Int): DataFrame =
+    combine(docs, fields, keyword, k)(sum(col("score")))
 
   /** Best-fields combination (ES `multi_match` type best_fields with
     * tie_breaker): the strongest field wins, others contribute
     * `tieBreaker ×` their weighted score. */
   def bm25TopKBestFields(docs: DataFrame, fields: Seq[(Searcher, Double)],
       keyword: String, k: Int, tieBreaker: Double = 0.0): DataFrame = {
-    require(fields.nonEmpty, "multi-field search needs at least one field")
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
       s"tieBreaker must be in [0, 1], got $tieBreaker")
-    val combined = fields
-      .map { case (s, w) =>
-        s.bm25Scores(keyword)
-          .select(col("doc_ord"), (col("score") * lit(w)).as("score"))
-      }
-      .reduce(_ unionByName _)
-      .groupBy(col("doc_ord"))
-      .agg((max(col("score")) +
-        lit(tieBreaker) * (sum(col("score")) - max(col("score")))).as("score"))
-    docs.join(combined, "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
+    combine(docs, fields, keyword, k)(
+      Searcher.disMaxCombine(col("score"), tieBreaker))
   }
 }

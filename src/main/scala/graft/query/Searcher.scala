@@ -12,6 +12,20 @@ case object Or extends Logic  //                                  Logic=OR
 final case class ResolvedTerm(term: String, termId: Long, df: Long, bucket: Int = -1)
 
 object Searcher {
+  /** Decimal digits the `search_after` cursor comparison quantizes scores
+    * to (see [[Searcher.bm25TopKAfter]]): coarse enough that reduce-order
+    * float jitter (~1 ULP, ~1e-15 at BM25 magnitudes) never crosses a
+    * bucket except when a true score sits on a rounding edge, fine enough
+    * that genuinely distinct BM25 scores almost never share a bucket. */
+  val PageGrain: Int = 9
+
+  /** The disjunction-max aggregation expression shared by
+    * [[Searcher.disMaxTopK]] and [[MultiField.bm25TopKBestFields]]:
+    * `max + tieBreaker · (sum − max)` over the grouped per-clause /
+    * per-field scores. */
+  private[query] def disMaxCombine(score: Column, tieBreaker: Double): Column =
+    max(score) + lit(tieBreaker) * (sum(score) - max(score))
+
   /** Searcher over a persisted index: reuses its WAND block table and the
     * FULL block parameters — including the k1/b the block maxima were built
     * with (manifest formatVersion 2); scoring a reloaded index with default
@@ -114,6 +128,12 @@ final class Searcher(
   private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame =
     scoredMatchesWeighted(rts.map(_ -> 1.0), scoreExpr)
 
+  /** Doc length for scoring: the denormalized `dl` on the posting rows when
+    * present (no doc_stats join per query); legacy indexes fall back. */
+  private def withTokenCount(base: DataFrame): DataFrame =
+    if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
+    else base.join(index.docStats, "doc_ord")
+
   /** [[scoredMatches]] with a per-term query-time boost multiplying the
     * term's idf weight (both families) — Lucene boost semantics: a pure
     * scale on that term's contribution. */
@@ -122,15 +142,19 @@ final class Searcher(
     val weights = rts.map { case (rt, boost) =>
       (rt.termId, tfIdfWeight(rt.df) * boost, bm25Idf(rt.df) * boost)
     }.toDF("term_id", "w_tfidf", "w_bm25")
-    val base = postingsFor(rts.map(_._1))
-    val withDl =
-      if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
-      else base.join(index.docStats, "doc_ord")
-    withDl
+    withTokenCount(postingsFor(rts.map(_._1)))
       .join(broadcast(weights), "term_id")
       .groupBy(col("doc_ord"))
       .agg(count(lit(1)).as("nterms"), sum(scoreExpr).as("score"))
   }
+
+  /** Ranked tail shared by the top-k variants: docs join on the scored
+    * ordinals, (score desc, doc_ord asc), k rows —
+    * TakeOrderedAndProject, never a global sort. */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
+    index.docs.join(scored.select("doc_ord", "score"), "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
 
   private def tfIdfExpr: Column =
     col("tf").cast("double") / col("token_count").cast("double") * col("w_tfidf")
@@ -393,9 +417,7 @@ final class Searcher(
       .filter(col("term_id").isin(rts.map(_.termId): _*))
     val src = if (dGroupSpan > 0 && index.postings.columns.contains("d_group"))
       src0.filter(col("d_group") === lit(docOrd / dGroupSpan)) else src0
-    val withDl =
-      if (src.columns.contains("dl")) src.withColumn("token_count", col("dl"))
-      else src.join(index.docStats, "doc_ord")
+    val withDl = withTokenCount(src)
     val weights = rts.map(rt => (rt.termId, rt.term, rt.df, bm25Idf(rt.df)))
       .toDF("term_id", "term", "df", "idf")
     val tfFactor = col("tf").cast("double") * lit(k1 + 1) /
@@ -619,16 +641,8 @@ final class Searcher(
     * plan the block-max WAND path must be rank-identical to. Compiles to
     * TakeOrderedAndProject — per-partition heaps + driver merge, no global
     * sort. */
-  def bm25TopK(keyword: String, k: Int): DataFrame = {
-    val qTerms = analyzer.terms(keyword).distinct
-    val rts = resolve(qTerms)
-    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
-    val scored = scoredMatches(rts, bm25Expr)
-    index.docs
-      .join(scored.select("doc_ord", "score"), "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
-  }
+  def bm25TopK(keyword: String, k: Int): DataFrame =
+    bm25TopKFiltered(keyword, lit(true), k) // Catalyst folds the true filter
 
   /** Field collapsing (Elasticsearch `collapse`): BM25 top-k with at most
     * ONE result per distinct value of the docs column `groupCol` — each
@@ -639,8 +653,7 @@ final class Searcher(
     * corpus is never grouped or sorted. */
   def bm25TopKCollapse(keyword: String, groupCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qTerms = analyzer.terms(keyword).distinct
-    val rts = resolve(qTerms)
+    val rts = resolve(analyzer.terms(keyword).distinct)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
     val scored = scoredMatches(rts, bm25Expr).select("doc_ord", "score")
     val w = Window.partitionBy(col(groupCol)).orderBy(desc("score"), asc("doc_ord"))
@@ -657,21 +670,29 @@ final class Searcher(
     * the same as page one: the cursor predicate filters INSIDE the scored
     * aggregation's output and the plan stays TakeOrderedAndProject over the
     * survivors, where an OFFSET plan must materialize, sort, and ship all
-    * N·k preceding rows through the driver merge. The score comparison is
-    * exact (both pages are computed by the same engine from the same
-    * per-term quotients); pages of the same query partition its full
-    * ranking — pinned in SearcherSpec. */
+    * N·k preceding rows through the driver merge.
+    *
+    * The cursor boundary compares scores QUANTIZED to [[PageGrain]] decimal
+    * digits: on a cluster the reduce-side merge of partial float sums is
+    * fetch-order nondeterministic, so the page-2 run can recompute the
+    * cursor doc's score a ULP off — an exact `===` would then silently drop
+    * or duplicate boundary-tied docs. Quantizing makes ULP jitter harmless
+    * unless a true score sits within a ULP of a rounding edge; the page
+    * ordering uses the same quantized key, so pages stay mutually
+    * consistent, and they match the exact [[bm25TopK]] ranking whenever no
+    * two distinct scores share a 1e-9 bucket (pinned in SearcherSpec). */
   def bm25TopKAfter(keyword: String, k: Int,
       afterScore: Double, afterOrd: Long): DataFrame = {
-    val qTerms = analyzer.terms(keyword).distinct
-    val rts = resolve(qTerms)
+    val rts = resolve(analyzer.terms(keyword).distinct)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val cursorQ = BigDecimal(afterScore)
+      .setScale(Searcher.PageGrain, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scoreQ = round(col("score"), Searcher.PageGrain)
     val scored = scoredMatches(rts, bm25Expr)
-      .filter(col("score") < afterScore ||
-        (col("score") === afterScore && col("doc_ord") > afterOrd))
+      .filter(scoreQ < cursorQ || (scoreQ === cursorQ && col("doc_ord") > afterOrd))
     index.docs
       .join(scored.select("doc_ord", "score"), "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
+      .orderBy(round(col("score"), Searcher.PageGrain).desc, col("doc_ord").asc)
       .limit(k)
   }
 
@@ -683,12 +704,10 @@ final class Searcher(
     * and shrinks the join input; the postings scan stays pruned to the
     * query terms as usual. */
   def bm25TopKFiltered(keyword: String, docFilter: Column, k: Int): DataFrame = {
-    val qTerms = analyzer.terms(keyword).distinct
-    val rts = resolve(qTerms)
+    val rts = resolve(analyzer.terms(keyword).distinct)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
-    val scored = scoredMatches(rts, bm25Expr)
     index.docs.filter(docFilter)
-      .join(scored.select("doc_ord", "score"), "doc_ord")
+      .join(scoredMatches(rts, bm25Expr).select("doc_ord", "score"), "doc_ord")
       .orderBy(desc("score"), asc("doc_ord"))
       .limit(k)
   }
@@ -714,21 +733,14 @@ final class Searcher(
     }
     if (slots.isEmpty) return emptyDocs(withScore = true).limit(0)
     val slotsDf = slots.toDF("clause_id", "term_id", "w_bm25")
-    val base = postingsFor(rts) // rts == the resolved union of clause terms
-    val withDl =
-      if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
-      else base.join(index.docStats, "doc_ord")
-    val perClause = withDl
+    val perClause = withTokenCount(postingsFor(rts)) // rts == clause-term union
       .join(broadcast(slotsDf), "term_id")
       .groupBy(col("doc_ord"), col("clause_id"))
       .agg(sum(bm25Expr).as("cscore"))
     val combined = perClause
       .groupBy(col("doc_ord"))
-      .agg((max(col("cscore")) +
-        lit(tieBreaker) * (sum(col("cscore")) - max(col("cscore")))).as("score"))
-    index.docs.join(combined, "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
+      .agg(Searcher.disMaxCombine(col("cscore"), tieBreaker).as("score"))
+    rankedTopK(combined, k)
   }
 
   /** Block-max WAND BM25 top-k — rank-identical to `bm25TopK` (lossless
@@ -769,11 +781,7 @@ final class Searcher(
     if (slots.isEmpty)
       return Seq.empty[(Int, Long, Long, Double)].toDF("q_id", "rank", "doc_ord", "score")
     val slotsDf = slots.toDF("q_id", "term_id", "w_bm25")
-    val base = postingsFor(byTerm.values.toSeq)
-    val withDl =
-      if (base.columns.contains("dl")) base.withColumn("token_count", col("dl"))
-      else base.join(index.docStats, "doc_ord")
-    val scored = withDl
+    val scored = withTokenCount(postingsFor(byTerm.values.toSeq))
       .join(broadcast(slotsDf), "term_id")
       .groupBy(col("q_id"), col("doc_ord"))
       .agg(sum(bm25Expr).as("score"))

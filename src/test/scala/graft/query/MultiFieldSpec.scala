@@ -53,6 +53,13 @@ class MultiFieldSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("non-positive field weights are rejected by BOTH combinations") {
+    intercept[IllegalArgumentException](
+      MultiField.bm25TopK(docs, Seq(title -> 0.0), "spark", 5).collect())
+    intercept[IllegalArgumentException](
+      MultiField.bm25TopKBestFields(docs, Seq(title -> -1.0, body -> 1.0), "spark", 5).collect())
+  }
+
   test("best_fields: max across fields, tieBreaker adds the rest") {
     val t = scores(title.bm25All("spark join"))
     val b = scores(body.bm25All("spark join"))

@@ -232,6 +232,23 @@ class SearcherSpec extends SparkSpec {
     assert(page1.map(_._1).toSet.intersect(page2.toSet).isEmpty)
   }
 
+  test("bm25TopKAfter: a ULP-jittered cursor score yields the identical page") {
+    // the quantized boundary (PageGrain digits) absorbs reduce-order float
+    // jitter — an exact === would drop/duplicate boundary-tied docs when the
+    // page-2 run recomputes the cursor score a ULP off
+    val full = grouped.bm25TopK("go ruby php", 10)
+      .select("doc_id", "score", "doc_ord").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val cursor = full(1)
+    def page(s: Double): Seq[Long] =
+      grouped.bm25TopKAfter("go ruby php", 2, s, cursor._3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val exact = page(cursor._2)
+    assert(exact == full.slice(2, 4).map(_._1).toSeq)
+    assert(page(cursor._2 + 1e-12) == exact)
+    assert(page(cursor._2 - 1e-12) == exact)
+  }
+
   test("facetHistogram: matched docs bucketed by binWidth multiples") {
     val hist = grouped.facetHistogram("go ruby", Or, "len", 20L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
