@@ -214,6 +214,12 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    "ft_funcscore" -> ((s, d) => // function_score: BM25 × ln(1 + n_chars)
+      searcher(s, d).bm25TopKFunctionScore("spark join",
+        log(col("n_chars").cast("double") + 1), 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_dismax" -> ((s, d) => // dis_max: best clause + 0.3 × the others
       searcher(s, d).disMaxTopK(Seq("spark join", "vector window"), 10000, 0.3)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -794,6 +800,27 @@ object SparkEntry {
          |SELECT doc_id,
          |  round(coalesce(t.score, 0) * 1.0 + coalesce(s.score, 0) * 2.0, 6) AS score
          |FROM tscored t FULL OUTER JOIN sscored s USING (doc_id)
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_funcscore" -> // BM25 × field-value factor ln(1 + n_chars)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT s.doc_id, round(s.score * ln(d.n_chars::DOUBLE + 1), 6) AS score
+         |FROM scored s JOIN documents d USING (doc_id)
          |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_dismax" -> // clauses ('spark join', 'vector window'), tie 0.3:

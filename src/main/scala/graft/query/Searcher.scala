@@ -712,6 +712,25 @@ final class Searcher(
       .limit(k)
   }
 
+  /** Function-score top-k (Elasticsearch `function_score` with multiply
+    * boost mode): the BM25 score is multiplied by `factor` — any
+    * deterministic Column over docs columns (field-value factors like
+    * `log1p(n_chars)`, recency decay over a timestamp, static quality
+    * priors). The factor applies to the FULL matched set before the top-k
+    * (a re-ranking function, not a rescore window), evaluated per matched
+    * row inside the same docs join the plain top-k already does — no extra
+    * scan or shuffle. Non-positive factors are allowed (ES semantics: a
+    * zero factor buries the doc). */
+  def bm25TopKFunctionScore(keyword: String, factor: Column, k: Int): DataFrame = {
+    val rts = resolve(analyzer.terms(keyword).distinct)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    index.docs
+      .join(scoredMatches(rts, bm25Expr).select("doc_ord", "score"), "doc_ord")
+      .withColumn("score", col("score") * factor.cast("double"))
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
   /** Disjunction-max top-k (Elasticsearch `dis_max`): every clause keyword
     * is analyzed and BM25-scored independently (OR semantics within the
     * clause); a doc matching several clauses scores

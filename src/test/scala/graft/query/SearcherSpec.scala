@@ -297,6 +297,29 @@ class SearcherSpec extends SparkSpec {
     assert(grouped.bm25TopKFiltered("zzz", col("conv") === "c2", 10).collect().isEmpty)
   }
 
+  test("bm25TopKFunctionScore: factor multiplies and re-ranks; zero buries") {
+    import org.apache.spark.sql.functions.{col, lit, log1p}
+    val base = grouped.bm25TopK("go ruby", 10).select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val lens = Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 44L)
+    val got = grouped.bm25TopKFunctionScore("go ruby", log1p(col("len")), 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSet == base.keySet)
+    got.foreach { case (id, s) =>
+      val want = base(id) * math.log1p(lens(id).toDouble)
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    // returned order follows the MODIFIED score
+    val scores = got.map(_._2)
+    assert(scores.toSeq == scores.sortBy(-_).toSeq)
+    // constant factor 1 reproduces the plain ranking exactly
+    val flat = grouped.bm25TopKFunctionScore("go ruby", lit(1.0), 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val plain = grouped.bm25TopK("go ruby", 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(flat.toSeq == plain.toSeq)
+  }
+
   test("facetStats: count/min/max/sum/avg over the matched set") {
     val r = grouped.facetStats("go ruby", Or, "len").collect().head
     // matched: docs 1(10), 2(20), 3(30), 4(44)
