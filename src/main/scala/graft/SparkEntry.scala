@@ -178,6 +178,14 @@ object SparkEntry {
       searcher(s, d).phraseQuery("row column sort", slop = 3)
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_phrase_slop_ord" -> ((s, d) => // ordered window: query order required
+      searcher(s, d).phraseQuery("sort merge", slop = 2, inOrder = true)
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_phrase_slop3_ord" -> ((s, d) => // 3-term non-decreasing chain <= slop
+      searcher(s, d).phraseQuery("row column sort", slop = 3, inOrder = true)
+        .select("doc_id").orderBy("doc_id")),
+
     "ft_msm" -> ((s, d) => // minimum_should_match: >= 2 of the 4 terms
       searcher(s, d).matchQueryMsm("spark join vector window", 2)
         .select("doc_id").orderBy("doc_id")),
@@ -704,6 +712,29 @@ object SparkEntry {
          |JOIN toks c ON a.doc_id = c.doc_id
          |WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort'
          |  AND greatest(a.pos, b.pos - 1, c.pos - 2) - least(a.pos, b.pos - 1, c.pos - 2) <= 3
+         |ORDER BY 1""".stripMargin,
+
+    "ft_phrase_slop_ord" -> // ordered: shifted gap in [0, slop]
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND (b.pos - 1) - a.pos BETWEEN 0 AND 2
+         |WHERE a.term = 'sort' AND b.term = 'merge'
+         |ORDER BY 1""".stripMargin,
+
+    "ft_phrase_slop3_ord" -> // 3-term non-decreasing shifted chain, span <= 3
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_id FROM toks a
+         |JOIN toks b ON a.doc_id = b.doc_id
+         |JOIN toks c ON a.doc_id = c.doc_id
+         |WHERE a.term = 'row' AND b.term = 'column' AND c.term = 'sort'
+         |  AND a.pos <= b.pos - 1 AND b.pos - 1 <= c.pos - 2
+         |  AND (c.pos - 2) - a.pos <= 3
          |ORDER BY 1""".stripMargin,
 
     "ft_msm" ->

@@ -580,8 +580,19 @@ final class Searcher(
     * minimum — same O(k·p²) class as the reference's `hasCommon` scan, still
     * inside the one doc-level aggregation. Unlike Lucene's sloppy phrase,
     * repeated-term slots may align to the SAME occurrence when the window
-    * permits (window semantics, pinned in SearcherSpec). */
-  def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0): DataFrame = {
+    * permits (window semantics, pinned in SearcherSpec).
+    *
+    * `inOrder = true` (Lucene `span_near(inOrder=true)`) additionally
+    * requires the terms to occur in QUERY ORDER at strictly increasing text
+    * positions with at most `slop` total gap: ∃ a non-decreasing chain of
+    * shifted positions, one per slot, spanning ≤ slop. Decided by a
+    * greedy-min fold over the slot-ordered shifted sets (picking the
+    * smallest feasible continuation never hurts later slots), per anchor —
+    * same complexity class, same single aggregation. Strict position
+    * increase means repeated-term slots need DISTINCT occurrences here,
+    * unlike the unordered window. At slop 0 ordered ≡ unordered ≡ exact. */
+  def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0,
+      inOrder: Boolean = false): DataFrame = {
     require(slop >= 0, s"slop must be >= 0, got $slop")
     val qTerms = analyzer.terms(phrase) // NOT deduped: each ordinal matters
     if (qTerms.isEmpty) return emptyDocs(ranked)
@@ -618,13 +629,28 @@ final class Searcher(
             )
           )
           .filter(size(col("common")) > 0)
-      else {
+      else if (!inOrder) {
         // sloppy: ∃ anchor a (the chosen minimum, so a member of some shifted
         // set) with every slot owning a shifted position in [a, a+slop]
         val rels = transform(col("pls"), x => rel(x))
         grouped.filter(
           exists(flatten(rels), a =>
             forall(rels, rl => exists(rl, r => r >= a && r <= a + slop))))
+      } else {
+        // ordered sloppy: ∃ a ∈ R_1 and a non-decreasing chain r_2..r_k
+        // (r_i ∈ R_i ∩ [prev, a+slop]); greedy-min per step is lossless.
+        // collect_list order is nondeterministic — sort slots by q_pos
+        // (struct ordering: q_pos is the leading field) before folding.
+        val rels = transform(array_sort(col("pls")), x => rel(x))
+        val head = element_at(rels, 1)
+        val tail = slice(rels, 2, k - 1) // empty for single-slot phrases
+        grouped.filter(
+          exists(head, a =>
+            aggregate(tail, a.cast("int"), (prev, rl) =>
+              when(prev.isNull, lit(null).cast("int"))
+                .otherwise(array_min(
+                  filter(rl, r => r >= prev && r <= a + slop)))
+            ).isNotNull))
       }
 
     if (!ranked) fetchDocs(matched.withColumn("score", lit(0.0)), ranked = false)

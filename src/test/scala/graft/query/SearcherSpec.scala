@@ -166,6 +166,42 @@ class SearcherSpec extends SparkSpec {
     assert(ids(sloppy.phraseQuery("bb bb")) == Seq())
     assert(ids(sloppy.phraseQuery("bb bb", slop = 1)) == Seq(2L, 5L))
   }
+  private lazy val orderedC =
+    new Searcher(
+      index(Seq(
+        "aa cc",        // 1: in order, adjacent
+        "cc aa",        // 2: reversed
+        "aa xx cc",     // 3: in order, one gap
+        "bb",           // 4: one bb occurrence
+        "bb dd bb",     // 5: two bb occurrences
+        "aa cc bb cc"   // 6: greedy-fold probe for 3 terms
+      ), Analyzer.standard()),
+      Analyzer.standard())
+
+  test("phraseQuery inOrder: order is required, gaps still allowed") {
+    assert(ids(orderedC.phraseQuery("aa cc", slop = 0, inOrder = true)) == Seq(1L, 6L))
+    assert(ids(orderedC.phraseQuery("aa cc", slop = 1, inOrder = true)) == Seq(1L, 3L, 6L))
+    // the reversed doc matches the unordered window but never the ordered one
+    assert(ids(orderedC.phraseQuery("aa cc", slop = 2)).contains(2L))
+    assert(!ids(orderedC.phraseQuery("aa cc", slop = 2, inOrder = true)).contains(2L))
+  }
+
+  test("phraseQuery inOrder: repeated-term slots need DISTINCT occurrences") {
+    // unordered window lets one 'bb' satisfy both slots (docs 4, 5, 6 all
+    // contain bb); ordered (strictly increasing positions) demands two
+    // occurrences — only doc 5 has them
+    assert(ids(orderedC.phraseQuery("bb bb", slop = 2)) == Seq(4L, 5L, 6L))
+    assert(ids(orderedC.phraseQuery("bb bb", slop = 2, inOrder = true)) == Seq(5L))
+  }
+
+  test("phraseQuery inOrder: greedy chain fold honors the lower bound (3 terms)") {
+    // doc 6 'aa cc bb cc': shifted sets aa={0}, bb={1}, cc={-1, 1}; a naive
+    // global-min pick of cc's -1 would fail — the fold's prev lower bound
+    // must select cc's 1
+    assert(ids(orderedC.phraseQuery("aa bb cc", slop = 1, inOrder = true)) == Seq(6L))
+    assert(ids(orderedC.phraseQuery("aa bb cc", slop = 0, inOrder = true)) == Seq())
+  }
+
   test("phraseQuery slop ranked: scored like the exact ranked path") {
     val r = sloppy.phraseQuery("aa cc", ranked = true, slop = 1)
     assert(ids(r) == Seq(1L, 2L)) // shorter doc scores higher (tf/len)
