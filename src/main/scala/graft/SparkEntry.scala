@@ -186,6 +186,10 @@ object SparkEntry {
       searcher(s, d).phraseQuery("row column sort", slop = 3, inOrder = true)
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_qs_compound" -> ((s, d) => // Lucene-syntax slop + fuzzy inside a tree
+      searcher(s, d).queryString("\"sort merge\"~2 AND sport~2")
+        .select("doc_id").orderBy("doc_id")),
+
     "ft_msm" -> ((s, d) => // minimum_should_match: >= 2 of the 4 terms
       searcher(s, d).matchQueryMsm("spark join vector window", 2)
         .select("doc_id").orderBy("doc_id")),
@@ -736,6 +740,20 @@ object SparkEntry {
          |  AND a.pos <= b.pos - 1 AND b.pos - 1 <= c.pos - 2
          |  AND (c.pos - 2) - a.pos <= 3
          |ORDER BY 1""".stripMargin,
+
+    "ft_qs_compound" -> // sloppy-window pair AND any-token-within-2-edits
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), slop AS (
+         |  SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND abs((b.pos - 1) - a.pos) <= 2
+         |  WHERE a.term = 'sort' AND b.term = 'merge'
+         |), fz AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE len(list_filter($toksSql, t -> levenshtein(t, 'sport') <= 2)) > 0
+         |)
+         |SELECT doc_id FROM slop INTERSECT SELECT doc_id FROM fz ORDER BY doc_id""".stripMargin,
 
     "ft_msm" ->
       s"""SELECT doc_id FROM documents

@@ -31,9 +31,25 @@ final case class BTerm(keyword: String, logic: Logic = And,
 
 /** Phrase leaf: [[Searcher.phraseQuery]] semantics (every slot present,
   * shifted position sets intersect). Any unknown term makes it statically
-  * false. `boost` scales its terms' scoring contributions like [[BTerm]]. */
-final case class BPhrase(phrase: String, boost: Double = 1.0) extends BoolQuery {
+  * false. `boost` scales its terms' scoring contributions like [[BTerm]];
+  * `slop > 0` relaxes to the unordered window semantics of
+  * `phraseQuery(slop)` (`"a b"~2` in the query-string syntax). */
+final case class BPhrase(phrase: String, boost: Double = 1.0,
+    slop: Int = 0) extends BoolQuery {
   require(boost > 0, s"boost must be > 0, got $boost")
+  require(slop >= 0, s"slop must be >= 0, got $slop")
+}
+
+/** Fuzzy leaf (`term~2` in the query-string syntax): matches docs containing
+  * ANY dictionary term within `maxEdits` Levenshtein edits of `term`
+  * (exact term included at distance 0) — [[Searcher.fuzzyQuery]]'s
+  * expansion compiled as an OR leaf inside the tree. An empty expansion is
+  * statically false. */
+final case class BFuzzy(term: String, maxEdits: Int = 1,
+    boost: Double = 1.0) extends BoolQuery {
+  require(boost > 0, s"boost must be > 0, got $boost")
+  require(maxEdits >= 1 && maxEdits <= 2,
+    s"maxEdits must be 1 or 2, got $maxEdits")
 }
 
 final case class BAnd(children: Seq[BoolQuery]) extends BoolQuery {

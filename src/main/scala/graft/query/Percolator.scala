@@ -87,13 +87,37 @@ object Percolator {
         when(size(toks) >= lit(n), hit).otherwise(lit(false))
       }
 
+    // sloppy phrase over the raw token stream: the same window semantics as
+    // Searcher.phraseQuery(slop) — shifted occurrence sets per slot, some
+    // anchor covering one pick per slot within [a, a+slop]
+    def sloppyPhraseCol(ts: Seq[String], slop: Int): Column =
+      if (ts.isEmpty) lit(false)
+      else {
+        val idxs = sequence(lit(0), size(toks) - 1) // guarded below
+        val rels = array(ts.zipWithIndex.map { case (t, i) =>
+          filter(transform(idxs, p =>
+            when(element_at(toks, (p + 1).cast("int")) === lit(t), p - i)
+              .otherwise(lit(null).cast("int"))), x => x.isNotNull)
+        }: _*)
+        val hit = exists(flatten(rels), a =>
+          forall(rels, rl => exists(rl, r => r >= a && r <= a + slop)))
+        when(size(toks) > 0, hit).otherwise(lit(false))
+      }
+
     def compile(q: BoolQuery): Column = q match {
       case BTerm(kw, logic, _) => // boost only affects scoring; percolation is boolean
         val ts = analyzer.terms(kw).distinct
         if (ts.isEmpty) lit(false)
         else if (logic == And) ts.map(t => array_contains(toks, t)).reduce(_ && _)
         else arrays_overlap(toks, array(ts.map(lit): _*))
-      case BPhrase(p, _) => phraseCol(analyzer.terms(p))
+      case BPhrase(p, _, 0)    => phraseCol(analyzer.terms(p))
+      case BPhrase(p, _, slop) => sloppyPhraseCol(analyzer.terms(p), slop)
+      case BFuzzy(t, maxEdits, _) => // against the DOC's own tokens — the
+        // index-free analogue of the dictionary expansion
+        if (t.isEmpty) lit(false)
+        else exists(toks, tok =>
+          length(tok).between(t.length - maxEdits, t.length + maxEdits) &&
+            levenshtein(tok, lit(t)) <= maxEdits)
       case BAnd(cs)    => cs.map(compile).reduce(_ && _)
       case BOr(cs)     => cs.map(compile).reduce(_ || _)
       case BNot(c)     => !compile(c)

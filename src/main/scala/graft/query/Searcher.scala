@@ -346,12 +346,17 @@ final class Searcher(
     * Levenshtein edits of `term` (exact term included at distance 0). The
     * length window prefilter keeps the edit-distance evaluation off terms
     * that cannot qualify. */
+  /** Dictionary predicate for a fuzzy expansion: the length-window
+    * prefilter keeps the edit-distance evaluation off terms that cannot
+    * qualify. Shared by [[fuzzyQuery]] and [[BFuzzy]] leaf compilation. */
+  private def fuzzyPred(term: String, maxEdits: Int): Column =
+    length(col("term")).between(term.length - maxEdits, term.length + maxEdits) &&
+      levenshtein(col("term"), lit(term)) <= maxEdits
+
   def fuzzyQuery(term: String, maxEdits: Int = 1, ranked: Boolean = false,
       maxExpansions: Int = 128): DataFrame = {
     if (term.isEmpty) return emptyDocs(ranked)
-    val pred = length(col("term")).between(term.length - maxEdits, term.length + maxEdits) &&
-      levenshtein(col("term"), lit(term)) <= maxEdits
-    matchExpanded(expand(pred, maxExpansions), ranked)
+    matchExpanded(expand(fuzzyPred(term, maxEdits), maxExpansions), ranked)
   }
 
   /** MoreLikeThis: docs similar to `docOrd`, BM25-ranked over the source
@@ -888,7 +893,7 @@ final class Searcher(
   private case object StaticFalse extends LeafPlan
   private final case class LiveLeaf(id: Int, kind: String,
       slots: Seq[(Long, Int)], req: Int, rts: Seq[ResolvedTerm],
-      boost: Double = 1.0) extends LeafPlan
+      boost: Double = 1.0, slop: Int = 0) extends LeafPlan
 
   /** The tree with leaves replaced by their plans, so the boolean fold and
     * the Column fold walk identical structure. */
@@ -974,8 +979,9 @@ final class Searcher(
     }
     collectLeaves(q, pos = true)
     val leafTerms: Seq[Seq[String]] = leafBuf.toSeq.map {
-      case (BTerm(kw, _, _), _) => analyzer.terms(kw).distinct
-      case (BPhrase(p, _), _)   => analyzer.terms(p) // ordinals matter: not deduped
+      case (BTerm(kw, _, _), _)  => analyzer.terms(kw).distinct
+      case (BPhrase(p, _, _), _) => analyzer.terms(p) // ordinals matter: not deduped
+      case (BFuzzy(_, _, _), _)  => Nil // expanded against the dictionary below
       case (other, _) => throw new IllegalArgumentException(s"not a leaf: $other")
     }
     val byTerm = resolve(leafTerms.flatten.distinct).map(rt => rt.term -> rt).toMap
@@ -993,13 +999,23 @@ final class Searcher(
             req = if (logic == And) known.size else 1, rts = known,
             boost = boost), pos)
         }
-      case ((BPhrase(_, boost), pos), ts) =>
+      case ((BPhrase(_, boost, slop), pos), ts) =>
         if (ts.isEmpty || !ts.forall(byTerm.contains)) (StaticFalse, pos)
         else {
           val id = nextId; nextId += 1
           val slots = ts.zipWithIndex.map { case (t, i) => (byTerm(t).termId, i) }
           (LiveLeaf(id, "p", slots, req = slots.size,
-            rts = ts.distinct.map(byTerm), boost = boost), pos)
+            rts = ts.distinct.map(byTerm), boost = boost, slop = slop), pos)
+        }
+      case ((BFuzzy(term, maxEdits, boost), pos), _) =>
+        // one vocab-sized dictionary scan expands the leaf; empty ⇒ false
+        val known = if (term.isEmpty) Seq.empty[ResolvedTerm]
+                    else expand(fuzzyPred(term, maxEdits), maxExpansions = 128)
+        if (known.isEmpty) (StaticFalse, pos)
+        else {
+          val id = nextId; nextId += 1
+          (LiveLeaf(id, "o", known.map(rt => (rt.termId, 0)),
+            req = 1, rts = known, boost = boost), pos)
         }
       case ((other, _), _) =>
         throw new IllegalArgumentException(s"not a leaf: $other")
@@ -1041,8 +1057,8 @@ final class Searcher(
     val slotsDf = live
       .flatMap(l => l.slots.map { case (tid, qp) => (tid, l.id, qp) })
       .toDF("term_id", "leaf_id", "q_pos")
-    val metaDf = live.map(l => (l.id, l.kind, l.req.toLong, 1L << l.id))
-      .toDF("leaf_id", "kind", "req", "bit")
+    val metaDf = live.map(l => (l.id, l.kind, l.req.toLong, 1L << l.id, l.slop))
+      .toDF("leaf_id", "kind", "req", "bit", "slop")
     val allRts = live.flatMap(_.rts).groupBy(_.termId).map(_._2.head).toSeq
 
     val baseCols =
@@ -1053,24 +1069,32 @@ final class Searcher(
 
     val agg1 = {
       val g = cand.groupBy(col("doc_ord"), col("leaf_id"))
-      if (hasPhrase) {
-        // Positions are shift-intersected for every leaf in the shared
-        // aggregate (meta arrives only after); term leaves ignore common_n.
-        val rel = (x: Column) =>
-          transform(x.getField("positions"), p => p - x.getField("q_pos"))
+      if (hasPhrase)
+        // Shifted position lists ride to the meta join, where each phrase
+        // leaf's own slop decides it; term leaves ignore them.
         g.agg(count(lit(1)).as("nrows"),
-            collect_list(struct(col("q_pos"), col("positions"))).as("pls"))
-          .withColumn("common_n",
-            size(aggregate(col("pls"), lit(null).cast("array<int>"),
-              (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x))))))
-          .drop("pls")
-      } else g.agg(count(lit(1)).as("nrows")).withColumn("common_n", lit(1))
+          collect_list(struct(col("q_pos"), col("positions"))).as("pls"))
+      else g.agg(count(lit(1)).as("nrows"))
     }
 
+    val phraseOk =
+      if (!hasPhrase) lit(true)
+      else {
+        val rel = (x: Column) =>
+          transform(x.getField("positions"), p => p - x.getField("q_pos"))
+        val rels = transform(col("pls"), x => rel(x))
+        // slop=0: O(k·p) intersect; slop>0: the window predicate of
+        // phraseQuery(slop), parameterized by the leaf's slop column
+        when(col("slop") === 0,
+          size(aggregate(col("pls"), lit(null).cast("array<int>"),
+            (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x))))) > 0)
+          .otherwise(exists(flatten(rels), a =>
+            forall(rels, rl => exists(rl, r => r >= a && r <= a + col("slop")))))
+      }
     val matchedCol =
       (col("kind") === "o") ||
       (col("kind") === "a" && col("nrows") === col("req")) ||
-      (col("kind") === "p" && col("nrows") === col("req") && col("common_n") > 0)
+      (col("kind") === "p" && col("nrows") === col("req") && phraseOk)
     val mask = agg1.join(broadcast(metaDf), "leaf_id")
       .groupBy(col("doc_ord"))
       .agg(sum(when(matchedCol, col("bit")).otherwise(lit(0L))).as("mask"))

@@ -80,7 +80,12 @@ class PercolatorSpec extends SparkSpec {
       !BTerm("php"), // pure negation: complement includes the empty doc
       BPhrase("ruby go") && !BTerm("js"),
       BPhrase("go php") || BPhrase("ruby php"),
-      !(BTerm("ruby") && BPhrase("php js")))
+      !(BTerm("ruby") && BPhrase("php js")),
+      // sloppy-phrase and fuzzy leaves (round-3 query-string additions)
+      BPhrase("ruby php", slop = 1),
+      BPhrase("php ruby", slop = 2) && !BTerm("js"),
+      BFuzzy("rubi", 1),
+      BFuzzy("rubi", 1) && !BPhrase("go php", slop = 1))
     trees.zipWithIndex.foreach { case (tree, i) =>
       val reverse = pairs(Percolator.matchesBool(df, Seq((0L, tree)), analyzer))
         .map(_._1)

@@ -93,6 +93,36 @@ class QueryStringSpec extends SparkSpec {
     }
   }
 
+  test("parse: ~slop on phrases, ~edits on terms, stacked with boosts") {
+    assert(QueryString.parse("\"x y\"~2") == BPhrase("x y", 1.0, 2))
+    assert(QueryString.parse("\"x y\"~2^1.5 a~1^2 b") ==
+      BAnd(Seq(BAnd(Seq(BPhrase("x y", 1.5, 2), BFuzzy("a", 1, 2.0))), BTerm("b"))))
+    intercept[QueryString.ParseError](QueryString.parse("a~"))
+    intercept[QueryString.ParseError](QueryString.parse("a~3")) // edits are 1..2
+    intercept[QueryString.ParseError](QueryString.parse("a~x"))
+    intercept[QueryString.ParseError](QueryString.parse("\"x y\"~-1"))
+    intercept[QueryString.ParseError](QueryString.parse("\"x y\"~1.5"))
+  }
+
+  test("query-string slop and fuzzy run end-to-end through the tree compiler") {
+    // "ruby go"~1: doc 3 'ruby go php' only (doc 2 'go ruby' is reversed,
+    // spread 2); ~2 admits the reversal
+    assert(ids(searcher.queryString("\"ruby go\"~1")) == Seq(3L))
+    assert(ids(searcher.queryString("\"ruby go\"~2")) == Seq(2L, 3L))
+    // rubi~1 expands to {ruby} in the dictionary
+    assert(ids(searcher.queryString("rubi~1")) == ids(searcher.matchQuery("ruby", Or)))
+    assert(ids(searcher.queryString("rubi~1 AND NOT js")) == Seq(2L, 3L))
+    // ranked: the fuzzy leaf's expansion scores like the plain term query
+    val fz = searcher.queryString("rubi~1", ranked = true)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ref = searcher.bm25All("ruby")
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(fz.toSeq == ref.toSeq)
+    // sloppy phrase under NOT composes
+    assert(ids(searcher.queryString("go AND NOT \"ruby go\"~2")) ==
+      (ids(searcher.matchQuery("go", Or)).toSet -- Set(2L, 3L)).toSeq.sorted)
+  }
+
   test("parse: operator case-insensitive; errors are loud") {
     assert(QueryString.parse("a and b or c") == QueryString.parse("a AND b OR c"))
     intercept[QueryString.ParseError](QueryString.parse(""))
