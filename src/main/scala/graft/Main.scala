@@ -83,7 +83,8 @@ object Main {
       |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
-      |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases", term^boost;
+      |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases",
+      |          "a b"~slop, term~edits, term^boost;
       |          phrase: --slop widens to a position window; msm: --min-match terms required;
       |          collapse: best doc per --collapse-field value;
       |          mlt: --query is a doc_ord; suggest: --query is a term prefix)

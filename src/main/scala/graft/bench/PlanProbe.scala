@@ -64,6 +64,10 @@ object PlanProbe {
     audit("dismax", s.disMaxTopK(Seq("spark join", "vector window"), 10, 0.3))
     audit("filtered", s.bm25TopKFiltered("spark join", col("lang") === "en", 10))
     audit("facet_hist", s.facetHistogram("spark join", Or, "n_chars", 200L))
+    audit("phrase_slop_ord", s.phraseQuery("sort merge", slop = 2, inOrder = true))
+    audit("qs_slop_fuzzy", s.queryString("\"sort merge\"~2 AND sport~2"))
+    audit("funcscore", s.bm25TopKFunctionScore("spark join",
+      log(col("n_chars").cast("double") + 1), 10))
     // sigterms is the documented exception: postings scan NOT term-pruned
     // (matched-set-proportional by design)
     audit("sigterms", s.significantTerms("spark join", And, 10, 2))
