@@ -201,8 +201,8 @@ object SparkEntry {
 
     "ft_search_after" -> ((s, d) => { // cursor pagination: page 2 == ranks 21-40
       val sr = searcher(s, d)
-      val page1 = sr.bm25TopK("spark join table", 20)
-        .select("score", "doc_ord").collect()
+      val page1 = sr.bm25TopKFirstPage("spark join table", 20)
+        .select("score", "doc_ord").collect() // page 1 in the SAME quantized order
       val cur = page1.last
       sr.bm25TopKAfter("spark join table", 20, cur.getDouble(0), cur.getLong(1))
         .select(col("doc_id"), round(col("score"), 6).as("score"))

@@ -37,19 +37,27 @@ final case class BTerm(keyword: String, logic: Logic = And,
 final case class BPhrase(phrase: String, boost: Double = 1.0,
     slop: Int = 0) extends BoolQuery {
   require(boost > 0, s"boost must be > 0, got $boost")
-  require(slop >= 0, s"slop must be >= 0, got $slop")
+  require(slop >= 0 && slop <= Searcher.MaxSlop,
+    s"slop must be in [0, ${Searcher.MaxSlop}], got $slop")
 }
 
 /** Fuzzy leaf (`term~2` in the query-string syntax): matches docs containing
   * ANY dictionary term within `maxEdits` Levenshtein edits of `term`
   * (exact term included at distance 0) — [[Searcher.fuzzyQuery]]'s
-  * expansion compiled as an OR leaf inside the tree. An empty expansion is
-  * statically false. */
+  * expansion compiled as an OR leaf inside the tree. The term is
+  * analyzer-normalized first (its FIRST analyzed token), like every other
+  * leaf — `Rubi~1` matches under a lowercasing analyzer. An empty
+  * expansion (or a term the analyzer drops entirely) is statically false.
+  * `maxExpansions` truncates the expansion keeping the highest-df terms
+  * (Lucene rewrite); the index-free [[Percolator]] evaluation has no
+  * dictionary and therefore no truncation — a documented divergence that
+  * only shows when a single document's tokens exceed the cap. */
 final case class BFuzzy(term: String, maxEdits: Int = 1,
-    boost: Double = 1.0) extends BoolQuery {
+    boost: Double = 1.0, maxExpansions: Int = 128) extends BoolQuery {
   require(boost > 0, s"boost must be > 0, got $boost")
   require(maxEdits >= 1 && maxEdits <= 2,
     s"maxEdits must be 1 or 2, got $maxEdits")
+  require(maxExpansions > 0, s"maxExpansions must be > 0, got $maxExpansions")
 }
 
 final case class BAnd(children: Seq[BoolQuery]) extends BoolQuery {

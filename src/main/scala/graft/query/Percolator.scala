@@ -87,9 +87,8 @@ object Percolator {
         when(size(toks) >= lit(n), hit).otherwise(lit(false))
       }
 
-    // sloppy phrase over the raw token stream: the same window semantics as
-    // Searcher.phraseQuery(slop) — shifted occurrence sets per slot, some
-    // anchor covering one pick per slot within [a, a+slop]
+    // sloppy phrase over the raw token stream: shifted occurrence sets per
+    // slot, then the SAME shared window predicate as Searcher.phraseQuery
     def sloppyPhraseCol(ts: Seq[String], slop: Int): Column =
       if (ts.isEmpty) lit(false)
       else {
@@ -99,9 +98,8 @@ object Percolator {
             when(element_at(toks, (p + 1).cast("int")) === lit(t), p - i)
               .otherwise(lit(null).cast("int"))), x => x.isNotNull)
         }: _*)
-        val hit = exists(flatten(rels), a =>
-          forall(rels, rl => exists(rl, r => r >= a && r <= a + slop)))
-        when(size(toks) > 0, hit).otherwise(lit(false))
+        when(size(toks) > 0, Searcher.slopWindowHit(rels, lit(slop)))
+          .otherwise(lit(false))
       }
 
     def compile(q: BoolQuery): Column = q match {
@@ -112,12 +110,15 @@ object Percolator {
         else arrays_overlap(toks, array(ts.map(lit): _*))
       case BPhrase(p, _, 0)    => phraseCol(analyzer.terms(p))
       case BPhrase(p, _, slop) => sloppyPhraseCol(analyzer.terms(p), slop)
-      case BFuzzy(t, maxEdits, _) => // against the DOC's own tokens — the
-        // index-free analogue of the dictionary expansion
-        if (t.isEmpty) lit(false)
-        else exists(toks, tok =>
-          length(tok).between(t.length - maxEdits, t.length + maxEdits) &&
-            levenshtein(tok, lit(t)) <= maxEdits)
+      case BFuzzy(t0, maxEdits, _, _) => // against the DOC's own tokens — the
+        // index-free analogue of the dictionary expansion (no truncation,
+        // see BFuzzy scaladoc); term analyzer-normalized like the tree path
+        analyzer.terms(t0).headOption match {
+          case None => lit(false)
+          case Some(t) => exists(toks, tok =>
+            length(tok).between(t.length - maxEdits, t.length + maxEdits) &&
+              levenshtein(tok, lit(t)) <= maxEdits)
+        }
       case BAnd(cs)    => cs.map(compile).reduce(_ && _)
       case BOr(cs)     => cs.map(compile).reduce(_ || _)
       case BNot(c)     => !compile(c)

@@ -66,7 +66,8 @@ object QueryString {
       }
       var slop = 0; var boost = 1.0
       if (i < s.length && s.charAt(i) == '~') {
-        i += 1; val at = i; slop = parseTilde(run(), at, 0, Int.MaxValue, "slop")
+        i += 1; val at = i
+        slop = parseTilde(run(), at, 0, Searcher.MaxSlop, "slop")
       }
       if (i < s.length && s.charAt(i) == '^') {
         i += 1; val at = i; boost = parseBoost(run(), at)

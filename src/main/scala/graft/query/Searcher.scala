@@ -26,6 +26,22 @@ object Searcher {
   private[query] def disMaxCombine(score: Column, tieBreaker: Double): Column =
     max(score) + lit(tieBreaker) * (sum(score) - max(score))
 
+  /** Upper bound on phrase slop (enforced by [[BPhrase]], `phraseQuery`,
+    * and the query-string parser): positions are 32-bit ordinals, so an
+    * unbounded slop would overflow `anchor + slop` and silently match
+    * nothing; 1e6 is far past any real document's length. */
+  val MaxSlop: Int = 1000000
+
+  /** The unordered sloppy-window hit predicate, shared by
+    * `phraseQuery(slop)`, the boolean-tree phrase leaves (slop as a
+    * per-leaf Column), and the index-free Percolator evaluation:
+    * over `rels` (array of per-slot shifted position sets), ∃ an anchor
+    * (the chosen minimum — a member of some set) covering one pick per
+    * slot within [a, a+slop]. */
+  private[query] def slopWindowHit(rels: Column, slop: Column): Column =
+    exists(flatten(rels), a =>
+      forall(rels, rl => exists(rl, r => r >= a && r <= a + slop)))
+
   /** Searcher over a persisted index: reuses its WAND block table and the
     * FULL block parameters — including the k1/b the block maxima were built
     * with (manifest formatVersion 2); scoring a reloaded index with default
@@ -328,14 +344,16 @@ final class Searcher(
     * to correct). A vocab-sized dictionary scan with the same length-window
     * prefilter as [[fuzzyQuery]]; zero postings work. */
   def didYouMean(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
-    if (term.isEmpty)
+    val normed = analyzer.terms(term).headOption // normalized like the dictionary
+    if (normed.isEmpty)
       return index.termDict.select(col("term"), col("df"))
         .withColumn("distance", lit(0)).limit(0)
+    val t = normed.get
     index.termDict
       .filter(length(col("term"))
-        .between(term.length - maxEdits, term.length + maxEdits) &&
-        col("term") =!= term)
-      .withColumn("distance", levenshtein(col("term"), lit(term)))
+        .between(t.length - maxEdits, t.length + maxEdits) &&
+        col("term") =!= t)
+      .withColumn("distance", levenshtein(col("term"), lit(t)))
       .filter(col("distance") <= maxEdits)
       .select(col("term"), col("df"), col("distance"))
       .orderBy(asc("distance"), desc("df"), asc("term"))
@@ -354,10 +372,13 @@ final class Searcher(
       levenshtein(col("term"), lit(term)) <= maxEdits
 
   def fuzzyQuery(term: String, maxEdits: Int = 1, ranked: Boolean = false,
-      maxExpansions: Int = 128): DataFrame = {
-    if (term.isEmpty) return emptyDocs(ranked)
-    matchExpanded(expand(fuzzyPred(term, maxEdits), maxExpansions), ranked)
-  }
+      maxExpansions: Int = 128): DataFrame =
+    // analyzer-normalize (first analyzed token) so the edit distance runs
+    // against the same normalized space the dictionary holds
+    analyzer.terms(term).headOption match {
+      case None    => emptyDocs(ranked)
+      case Some(t) => matchExpanded(expand(fuzzyPred(t, maxEdits), maxExpansions), ranked)
+    }
 
   /** MoreLikeThis: docs similar to `docOrd`, BM25-ranked over the source
     * doc's `maxQueryTerms` most characteristic terms — highest tf·idf
@@ -598,7 +619,8 @@ final class Searcher(
     * unlike the unordered window. At slop 0 ordered ≡ unordered ≡ exact. */
   def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0,
       inOrder: Boolean = false): DataFrame = {
-    require(slop >= 0, s"slop must be >= 0, got $slop")
+    require(slop >= 0 && slop <= Searcher.MaxSlop,
+      s"slop must be in [0, ${Searcher.MaxSlop}], got $slop")
     val qTerms = analyzer.terms(phrase) // NOT deduped: each ordinal matters
     if (qTerms.isEmpty) return emptyDocs(ranked)
     val rtsByTerm = resolve(qTerms.distinct).map(rt => rt.term -> rt).toMap
@@ -635,12 +657,9 @@ final class Searcher(
           )
           .filter(size(col("common")) > 0)
       else if (!inOrder) {
-        // sloppy: ∃ anchor a (the chosen minimum, so a member of some shifted
-        // set) with every slot owning a shifted position in [a, a+slop]
+        // sloppy: the shared unordered-window predicate
         val rels = transform(col("pls"), x => rel(x))
-        grouped.filter(
-          exists(flatten(rels), a =>
-            forall(rels, rl => exists(rl, r => r >= a && r <= a + slop))))
+        grouped.filter(Searcher.slopWindowHit(rels, lit(slop)))
       } else {
         // ordered sloppy: ∃ a ∈ R_1 and a non-decreasing chain r_2..r_k
         // (r_i ∈ R_i ∩ [prev, a+slop]); greedy-min per step is lossless.
@@ -711,16 +730,36 @@ final class Searcher(
     * unless a true score sits within a ULP of a rounding edge; the page
     * ordering uses the same quantized key, so pages stay mutually
     * consistent, and they match the exact [[bm25TopK]] ranking whenever no
-    * two distinct scores share a 1e-9 bucket (pinned in SearcherSpec). */
+    * two distinct scores share a 1e-9 bucket (pinned in SearcherSpec).
+    * Take page ONE from [[bm25TopKFirstPage]] (same quantized ordering) so
+    * the cursor partitions the ranking even inside a shared bucket. */
   def bm25TopKAfter(keyword: String, k: Int,
-      afterScore: Double, afterOrd: Long): DataFrame = {
+      afterScore: Double, afterOrd: Long): DataFrame =
+    pageImpl(keyword, k, Some((afterScore, afterOrd)))
+
+  /** Page ONE of the cursor-paginated ranking — the same quantized
+    * (score, doc_ord) ordering [[bm25TopKAfter]] pages by, so a cursor
+    * taken from its last row partitions the ranking exactly. Taking page
+    * one from the exact-ordered [[bm25TopK]] instead can mis-partition
+    * when two distinct scores share a quantization bucket (the exact order
+    * and the quantized order disagree inside the bucket). */
+  def bm25TopKFirstPage(keyword: String, k: Int): DataFrame =
+    pageImpl(keyword, k, None)
+
+  private def pageImpl(keyword: String, k: Int,
+      cursor: Option[(Double, Long)]): DataFrame = {
     val rts = resolve(analyzer.terms(keyword).distinct)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
-    val cursorQ = BigDecimal(afterScore)
-      .setScale(Searcher.PageGrain, BigDecimal.RoundingMode.HALF_UP).toDouble
     val scoreQ = round(col("score"), Searcher.PageGrain)
-    val scored = scoredMatches(rts, bm25Expr)
-      .filter(scoreQ < cursorQ || (scoreQ === cursorQ && col("doc_ord") > afterOrd))
+    val scored0 = scoredMatches(rts, bm25Expr)
+    val scored = cursor match {
+      case None => scored0
+      case Some((afterScore, afterOrd)) =>
+        val cursorQ = BigDecimal(afterScore)
+          .setScale(Searcher.PageGrain, BigDecimal.RoundingMode.HALF_UP).toDouble
+        scored0.filter(scoreQ < cursorQ ||
+          (scoreQ === cursorQ && col("doc_ord") > afterOrd))
+    }
     index.docs
       .join(scored.select("doc_ord", "score"), "doc_ord")
       .orderBy(round(col("score"), Searcher.PageGrain).desc, col("doc_ord").asc)
@@ -981,7 +1020,7 @@ final class Searcher(
     val leafTerms: Seq[Seq[String]] = leafBuf.toSeq.map {
       case (BTerm(kw, _, _), _)  => analyzer.terms(kw).distinct
       case (BPhrase(p, _, _), _) => analyzer.terms(p) // ordinals matter: not deduped
-      case (BFuzzy(_, _, _), _)  => Nil // expanded against the dictionary below
+      case (_: BFuzzy, _)        => Nil // expanded against the dictionary below
       case (other, _) => throw new IllegalArgumentException(s"not a leaf: $other")
     }
     val byTerm = resolve(leafTerms.flatten.distinct).map(rt => rt.term -> rt).toMap
@@ -1007,10 +1046,13 @@ final class Searcher(
           (LiveLeaf(id, "p", slots, req = slots.size,
             rts = ts.distinct.map(byTerm), boost = boost, slop = slop), pos)
         }
-      case ((BFuzzy(term, maxEdits, boost), pos), _) =>
-        // one vocab-sized dictionary scan expands the leaf; empty ⇒ false
-        val known = if (term.isEmpty) Seq.empty[ResolvedTerm]
-                    else expand(fuzzyPred(term, maxEdits), maxExpansions = 128)
+      case ((BFuzzy(term, maxEdits, boost, maxExp), pos), _) =>
+        // analyzer-normalize like every other leaf (first analyzed token),
+        // then one vocab-sized dictionary scan expands it; empty ⇒ false
+        val known = analyzer.terms(term).headOption match {
+          case None    => Seq.empty[ResolvedTerm]
+          case Some(t) => expand(fuzzyPred(t, maxEdits), maxExpansions = maxExp)
+        }
         if (known.isEmpty) (StaticFalse, pos)
         else {
           val id = nextId; nextId += 1
@@ -1083,13 +1125,12 @@ final class Searcher(
         val rel = (x: Column) =>
           transform(x.getField("positions"), p => p - x.getField("q_pos"))
         val rels = transform(col("pls"), x => rel(x))
-        // slop=0: O(k·p) intersect; slop>0: the window predicate of
-        // phraseQuery(slop), parameterized by the leaf's slop column
+        // slop=0: O(k·p) intersect; slop>0: the shared window predicate,
+        // parameterized by the leaf's slop column
         when(col("slop") === 0,
           size(aggregate(col("pls"), lit(null).cast("array<int>"),
             (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x))))) > 0)
-          .otherwise(exists(flatten(rels), a =>
-            forall(rels, rl => exists(rl, r => r >= a && r <= a + col("slop")))))
+          .otherwise(Searcher.slopWindowHit(rels, col("slop")))
       }
     val matchedCol =
       (col("kind") === "o") ||

@@ -102,6 +102,15 @@ class QueryStringSpec extends SparkSpec {
     intercept[QueryString.ParseError](QueryString.parse("a~x"))
     intercept[QueryString.ParseError](QueryString.parse("\"x y\"~-1"))
     intercept[QueryString.ParseError](QueryString.parse("\"x y\"~1.5"))
+    // slop capped (int overflow of anchor + slop would silently match nothing)
+    intercept[QueryString.ParseError](QueryString.parse("\"x y\"~2147483647"))
+  }
+
+  test("fuzzy terms are analyzer-normalized like every other leaf") {
+    // 'Rubi~1' must lowercase BEFORE the edit distance, or the case burns
+    // the edit budget and the leaf silently goes empty
+    assert(ids(searcher.queryString("Rubi~1")) == ids(searcher.queryString("rubi~1")))
+    assert(ids(searcher.queryString("Rubi~1")).nonEmpty)
   }
 
   test("query-string slop and fuzzy run end-to-end through the tree compiler") {

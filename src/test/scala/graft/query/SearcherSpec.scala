@@ -259,7 +259,12 @@ class SearcherSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     assert(full.length >= 4)
     val pageSize = 2
-    val page1 = full.take(pageSize)
+    // page 1 MUST come from the quantized-order variant (see scaladoc)
+    val page1 = grouped.bm25TopKFirstPage("go ruby php", pageSize)
+      .select("doc_id", "score", "doc_ord").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // no shared 1e-9 buckets on this corpus: quantized page 1 == exact head
+    assert(page1.map(_._1).toSeq == full.take(pageSize).map(_._1).toSeq)
     val cursor = page1.last
     val page2 = grouped.bm25TopKAfter("go ruby php", pageSize, cursor._2, cursor._3)
       .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -272,7 +277,7 @@ class SearcherSpec extends SparkSpec {
     // the quantized boundary (PageGrain digits) absorbs reduce-order float
     // jitter — an exact === would drop/duplicate boundary-tied docs when the
     // page-2 run recomputes the cursor score a ULP off
-    val full = grouped.bm25TopK("go ruby php", 10)
+    val full = grouped.bm25TopKFirstPage("go ruby php", 10)
       .select("doc_id", "score", "doc_ord").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
     val cursor = full(1)
