@@ -80,9 +80,10 @@ object Main {
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
       |  search --index <path> --query <q>
-      |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym]
+      |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
+      |         [--facet-field role] [--min-doc-count 3]
       |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases",
       |          "a b"~slop, term~edits, term^boost;
       |          phrase: --slop widens to a position window; msm: --min-match terms required;
@@ -294,6 +295,22 @@ object Main {
         maxEdits = opts.get("max-edits").map(_.toInt).getOrElse(2), n = k)
         .collect()
         .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getInt(2)}"))
+      return
+    }
+    if (mode == "facets") { // matched-set facet counts over a docs column
+      val field = opts.getOrElse("facet-field", "role")
+      out(Seq(field, "n_docs").mkString("\t"))
+      searcher.facetCounts(query, Or, field)
+        .orderBy(col("n_docs").desc, col(field)).collect()
+        .foreach(r => out(s"${r.get(0)}\t${r.getLong(1)}"))
+      return
+    }
+    if (mode == "sigterms") { // significant terms of the matched set
+      out(Seq("term", "df_in", "df", "lift").mkString("\t"))
+      searcher.significantTerms(query, Or, topN = k,
+        minDocCount = opts.get("min-doc-count").map(_.toLong).getOrElse(3L))
+        .collect()
+        .foreach(r => out(f"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getDouble(3)}%.4f"))
       return
     }
     val (df, ranked): (DataFrame, Boolean) = mode match {

@@ -91,6 +91,16 @@ class MainSpec extends SparkSpec {
     val (c7, dy) = captured("search", "--index", idx, "--query", "sprak", "--mode", "dym")
     assert(c7 == 0 && dy.head == "term\tdf\tdistance", dy.mkString("\n"))
     assert(dy(1).startsWith("spark\t"), dy.mkString("\n"))
+    // facets: matched docs counted per role
+    val (c8, fc) = captured("search", "--index", idx, "--query", "spark join",
+      "--mode", "facets", "--facet-field", "role")
+    assert(c8 == 0 && fc.head == "role\tn_docs", fc.mkString("\n"))
+    assert(fc.drop(1).nonEmpty && fc.drop(1).forall(_.split("\t").length == 2))
+    // sigterms: over-represented terms of the matched set
+    val (c9, st) = captured("search", "--index", idx, "--query", "spark",
+      "--mode", "sigterms", "--min-doc-count", "1", "--k", "5")
+    assert(c9 == 0 && st.head == "term\tdf_in\tdf\tlift", st.mkString("\n"))
+    assert(st.drop(1).exists(_.startsWith("spark\t")), st.mkString("\n"))
   }
 
   test("slop / msm / collapse / boost search modes through the CLI") {
