@@ -190,6 +190,14 @@ object SparkEntry {
       searcher(s, d).queryString("\"sort merge\"~2 AND sport~2")
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_count" -> ((s, d) => { // _count API: total hits, no doc fetch
+      import s.implicits._
+      Seq((searcher(s, d).countMatches("spark join", And),
+        searcher(s, d).countMatches("vector window", Or),
+        searcher(s, d).countMatches("zzzunknown", Or)))
+        .toDF("n_and", "n_or", "n_unknown")
+    }),
+
     "ft_msm" -> ((s, d) => // minimum_should_match: >= 2 of the 4 terms
       searcher(s, d).matchQueryMsm("spark join vector window", 2)
         .select("doc_id").orderBy("doc_id")),
@@ -754,6 +762,14 @@ object SparkEntry {
          |  WHERE len(list_filter($toksSql, t -> levenshtein(t, 'sport') <= 2)) > 0
          |)
          |SELECT doc_id FROM slop INTERSECT SELECT doc_id FROM fz ORDER BY doc_id""".stripMargin,
+
+    "ft_count" ->
+      s"""SELECT
+         |  (SELECT count(*) FROM documents
+         |   WHERE list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join')) AS n_and,
+         |  (SELECT count(*) FROM documents
+         |   WHERE list_contains($toksSql, 'vector') OR list_contains($toksSql, 'window')) AS n_or,
+         |  0::BIGINT AS n_unknown""".stripMargin,
 
     "ft_msm" ->
       s"""SELECT doc_id FROM documents

@@ -217,6 +217,17 @@ final class Searcher(
       case Some(matched) => fetchDocs(matched, ranked)
     }
 
+  /** Total-hits count (the ES `_count` API / `track_total_hits`): how many
+    * docs match, WITHOUT fetching, joining, or sorting them — the matched
+    * ordinal aggregation collapses straight into one count. The cheap
+    * cardinality probe a caller runs before deciding to paginate, sample,
+    * or facet a huge matched set. */
+  def countMatches(keyword: String, logic: Logic): Long =
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None          => 0L
+      case Some(matched) => matched.count()
+    }
+
   /** OR match requiring at least `minShouldMatch` DISTINCT query terms per
     * doc — Elasticsearch `minimum_should_match` semantics (msm=1 ≡ plain OR,
     * msm = #distinct terms ≡ AND). Same one pruned postings scan + one

@@ -210,6 +210,14 @@ class SearcherSpec extends SparkSpec {
   }
 
   // --- minimum_should_match -------------------------------------------------
+  test("countMatches == matchQuery cardinality, zero cluster work when static") {
+    assert(abc.countMatches("aa bb", And) == ids(abc.matchQuery("aa bb", And)).size)
+    assert(abc.countMatches("cc dd", Or) == ids(abc.matchQuery("cc dd", Or)).size)
+    assert(abc.countMatches("", And) == 0L)
+    assert(abc.countMatches("zz", Or) == 0L)
+    assert(abc.countMatches("aa zz", And) == 0L) // unknown term short-circuit
+  }
+
   test("matchQueryMsm: quota 1 ≡ OR, quota k ≡ AND, quota between filters") {
     assert(ids(abc.matchQueryMsm("aa bb dd", 1)) == ids(abc.matchQuery("aa bb dd", Or)))
     assert(ids(abc.matchQueryMsm("aa bb", 2)) == ids(abc.matchQuery("aa bb", And)))
