@@ -260,6 +260,34 @@ object SparkEntry {
         .select(col("term"), col("df_in"), col("df"), round(col("lift"), 6).as("lift"))
         .orderBy(desc("lift"), asc("term"))),
 
+    "ft_grouped" -> ((s, d) => // has_child sum mode: conversations by total evidence
+      searcher(s, d).bm25TopKGrouped("spark join", "source", 10000, "sum")
+        .select(col("source"), round(col("score"), 6).as("score"), col("n_hits"))
+        .orderBy(desc("score"), asc("source"))),
+
+    "ft_sortby" -> ((s, d) => // ES sort-by-field: shortest matching docs first
+      searcher(s, d).matchTopKSortBy("spark join", And, "n_chars", 50)
+        .select("doc_id", "n_chars").orderBy("n_chars", "doc_id")),
+
+    "ft_cardinality" -> ((s, d) => // cardinality facet: distinct sources matched
+      searcher(s, d).facetCardinality("spark join", Or, "source")),
+
+    "ft_facet_date" -> ((s, d) => // date_histogram: monthly buckets of a
+      // doc_id-derived timestamp (docs carry no ts col; synthesizing it from
+      // a table column exercises the calendar math on every row)
+      searcher(s, d).facetDateHistogram("spark join", Or,
+        date_add(to_date(lit("2025-01-01")), (col("doc_id") % 400).cast("int"))
+          .cast("timestamp"), "month")
+        .select(col("bucket"), col("n_docs")).orderBy("bucket")),
+
+    "ft_rescore" -> ((s, d) => // rescore API: BM25 retrieve + phrase re-rank
+      // windowSize covers the whole matched set here so the oracle has no
+      // float-sensitive window boundary; SearcherSpec pins the windowing
+      searcher(s, d).bm25TopKRescore("spark join", "join table",
+        windowSize = 10000, k = 10000, queryWeight = 1.0, rescoreWeight = 0.7)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_tfidf" -> ((s, d) =>
       searcher(s, d).matchQueryRanked("spark join", Or)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
@@ -968,6 +996,96 @@ object SparkEntry {
          |WHERE mdf.df_in >= 5
          |ORDER BY (mdf.df_in::DOUBLE / nm.n_matched) / (gdf.df::DOUBLE / n.n) DESC, term
          |LIMIT 15""".stripMargin,
+
+    "ft_grouped" -> // has_child sum mode: per-source sum of member BM25 scores
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT d.source, round(sum(s.score), 6) AS score, count(*) AS n_hits
+         |FROM scored s JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY score DESC, source""".stripMargin,
+
+    "ft_sortby" -> // first 50 AND-matched docs by (n_chars, doc_id)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), m AS (
+         |  SELECT doc_id FROM toks WHERE term IN ('spark','join')
+         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+         |)
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+         |ORDER BY n_chars, doc_id LIMIT 50""".stripMargin,
+
+    "ft_cardinality" -> // distinct sources across the OR-matched set
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark','join')
+         |)
+         |SELECT count(DISTINCT d.source) AS n_distinct
+         |FROM documents d JOIN m USING (doc_id)""".stripMargin,
+
+    "ft_facet_date" -> // monthly date_histogram of a doc_id-derived timestamp
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark','join')
+         |)
+         |SELECT date_trunc('month',
+         |    (DATE '2025-01-01' + (d.doc_id % 400)::INT)::TIMESTAMP
+         |  )::TIMESTAMP AS bucket, -- DuckDB yields DATE at month grain; Spark yields TIMESTAMP
+         |  count(*) AS n_docs
+         |FROM documents d JOIN m USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ft_rescore" -> // retrieve by BM25('spark join'), re-rank the window with
+      // 0.7 × BM25('join','table') for docs containing the exact phrase
+      // "join table"; window covers the whole matched set (no float boundary)
+      s"""WITH tp AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM tp GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tp
+         |       WHERE term IN ('spark','join','table') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tp
+         |       WHERE term IN ('spark','join','table') GROUP BY doc_id, term),
+         |base AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('spark','join') GROUP BY tf.doc_id),
+         |ph AS (
+         |  SELECT DISTINCT a.doc_id FROM tp a JOIN tp b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'join' AND b.term = 'table'),
+         |resc AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS rscore
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  WHERE tf.term IN ('join','table')
+         |    AND tf.doc_id IN (SELECT doc_id FROM ph)
+         |    AND tf.doc_id IN (SELECT doc_id FROM base)
+         |  GROUP BY tf.doc_id)
+         |SELECT b.doc_id, round(b.score + 0.7 * coalesce(r.rscore, 0), 6) AS score
+         |FROM base b LEFT JOIN resc r USING (doc_id)
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_boost" -> // 'spark^2 OR join': spark's BM25 idf weight doubled
       s"""WITH toks AS (

@@ -141,8 +141,9 @@ final class Searcher(
     * distinct query terms present + the requested score sum, in ONE pass.
     * Doc length comes from the denormalized `dl` on the posting rows (no
     * doc_stats join per query); legacy indexes without it fall back. */
-  private def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column): DataFrame =
-    scoredMatchesWeighted(rts.map(_ -> 1.0), scoreExpr)
+  private[query] def scoredMatches(rts: Seq[ResolvedTerm], scoreExpr: Column,
+      among: Option[DataFrame] = None): DataFrame =
+    scoredMatchesWeighted(rts.map(_ -> 1.0), scoreExpr, among)
 
   /** Doc length for scoring: the denormalized `dl` on the posting rows when
     * present (no doc_stats join per query); legacy indexes fall back. */
@@ -152,13 +153,21 @@ final class Searcher(
 
   /** [[scoredMatches]] with a per-term query-time boost multiplying the
     * term's idf weight (both families) — Lucene boost semantics: a pure
-    * scale on that term's contribution. */
+    * scale on that term's contribution. `among` restricts the aggregation
+    * to a (broadcast-sized) ordinal set with a semi-join BEFORE the
+    * doc-level aggregation (the rescore-window contract). */
   private def scoredMatchesWeighted(rts: Seq[(ResolvedTerm, Double)],
-      scoreExpr: Column): DataFrame = {
+      scoreExpr: Column, among: Option[DataFrame] = None): DataFrame = {
     val weights = rts.map { case (rt, boost) =>
       (rt.termId, tfIdfWeight(rt.df) * boost, bm25Idf(rt.df) * boost)
     }.toDF("term_id", "w_tfidf", "w_bm25")
-    withTokenCount(postingsFor(rts.map(_._1)))
+    val base = withTokenCount(postingsFor(rts.map(_._1)))
+    val restricted = among match {
+      case Some(ords) => base.join(broadcast(ords.select("doc_ord")),
+        Seq("doc_ord"), "left_semi")
+      case None => base
+    }
+    restricted
       .join(broadcast(weights), "term_id")
       .groupBy(col("doc_ord"))
       .agg(count(lit(1)).as("nterms"), sum(scoreExpr).as("score"))
@@ -172,10 +181,10 @@ final class Searcher(
       .orderBy(desc("score"), asc("doc_ord"))
       .limit(k)
 
-  private def tfIdfExpr: Column =
+  private[query] def tfIdfExpr: Column =
     col("tf").cast("double") / col("token_count").cast("double") * col("w_tfidf")
 
-  private def bm25Expr: Column = {
+  private[query] def bm25Expr: Column = {
     val norm = lit(k1) * (lit(1 - b) + lit(b) * col("token_count").cast("double") / lit(index.avgDocLen))
     col("w_bm25") * (col("tf").cast("double") * lit(k1 + 1)) / (col("tf").cast("double") + norm)
   }
@@ -554,6 +563,84 @@ final class Searcher(
     }
   }
 
+  /** Cardinality facet (Elasticsearch `cardinality` aggregation, exact
+    * flavor): the number of DISTINCT values of `facetCol` across the matched
+    * set, one row `(n_distinct)`. Shape: matched-ordinal join projected to
+    * the single facet column, then one distinct-count aggregation — the
+    * partial aggregation dedupes map-side, so the shuffle carries at most
+    * one row per distinct value per partition, never the matched set. For
+    * sketch-sized memory at extreme cardinalities use
+    * [[facetCardinalityApprox]]. */
+  def facetCardinality(keyword: String, logic: Logic, facetCol: String): DataFrame = {
+    def cardAgg(df: DataFrame): DataFrame =
+      df.agg(count_distinct(col(facetCol)).as("n_distinct"))
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => cardAgg(index.docs.limit(0))
+      case Some(matched) =>
+        cardAgg(index.docs.join(matched.select("doc_ord"), "doc_ord"))
+    }
+  }
+
+  /** [[facetCardinality]] with a HyperLogLog++ sketch (Elasticsearch's
+    * actual `cardinality` implementation): constant memory per partition and
+    * a sketch-sized shuffle regardless of cardinality — the right call when
+    * the distinct count itself is web-scale (e.g. distinct conv_ids matched
+    * across 10^12 turns, where exact distinct-count state is the bottleneck).
+    * `rsd` is the target relative standard deviation (Spark default 0.05);
+    * accuracy vs the exact count is pinned in SearcherSpec. */
+  def facetCardinalityApprox(keyword: String, logic: Logic, facetCol: String,
+      rsd: Double = 0.05): DataFrame = {
+    def cardAgg(df: DataFrame): DataFrame =
+      df.agg(approx_count_distinct(col(facetCol), rsd).as("n_distinct"))
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => cardAgg(index.docs.limit(0))
+      case Some(matched) =>
+        cardAgg(index.docs.join(matched.select("doc_ord"), "doc_ord"))
+    }
+  }
+
+  /** Date-histogram facet (Elasticsearch `date_histogram` with a calendar
+    * interval): doc counts per `date_trunc(interval)` bucket of the
+    * timestamp expression `ts` (any Column over docs columns) across the
+    * matched set — matches-over-time, the standard dashboard aggregation.
+    * Same shape as [[facetCounts]]: one
+    * pruned postings scan + matched-ordinal join + bucket-sized aggregation;
+    * the corpus is never sorted. Calendar semantics (month/quarter/year
+    * bucket edges) come from `date_trunc`, identical across engines for UTC
+    * timestamps. */
+  def facetDateHistogram(keyword: String, logic: Logic, ts: Column,
+      interval: String): DataFrame = {
+    val allowed = Set("hour", "day", "week", "month", "quarter", "year")
+    require(allowed.contains(interval),
+      s"interval must be one of ${allowed.toSeq.sorted.mkString(", ")}, got $interval")
+    val bucket = date_trunc(interval, ts).as("bucket")
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => index.docs.limit(0).groupBy(bucket)
+        .agg(count(lit(1)).as("n_docs"))
+      case Some(matched) =>
+        index.docs.join(matched.select("doc_ord"), "doc_ord")
+          .groupBy(bucket).agg(count(lit(1)).as("n_docs"))
+    }
+  }
+
+  /** Sort-by-field top-k (Elasticsearch `sort` on a doc field instead of
+    * `_score`): the first `k` matched docs ordered by the docs column
+    * `sortCol` (ties: doc_ord asc) — "newest matching turns", "shortest
+    * matching docs". The matched ordinals join the docs table and the plan
+    * compiles to TakeOrderedAndProject (per-partition heaps + driver merge
+    * of k rows), never a global sort of the matched set. */
+  def matchTopKSortBy(keyword: String, logic: Logic, sortCol: String, k: Int,
+      ascending: Boolean = true): DataFrame = {
+    val key = if (ascending) asc(sortCol) else desc(sortCol)
+    matchedAgg(keyword, logic, ranked = false) match {
+      case None => index.docs.limit(0)
+      case Some(matched) =>
+        index.docs.join(matched.select("doc_ord"), "doc_ord")
+          .orderBy(key, asc("doc_ord"))
+          .limit(k)
+    }
+  }
+
   /** Matched docs with the query terms each one actually contains
     * (`hit_terms`, space-joined in lexicographic order) — the "which terms
     * matched" half of result highlighting, computed from the INDEX postings
@@ -629,18 +716,46 @@ final class Searcher(
     * increase means repeated-term slots need DISTINCT occurrences here,
     * unlike the unordered window. At slop 0 ordered ≡ unordered ≡ exact. */
   def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0,
-      inOrder: Boolean = false): DataFrame = {
+      inOrder: Boolean = false): DataFrame =
+    phraseMatch(phrase, slop, inOrder, among = None) match {
+      case None => emptyDocs(ranked)
+      case Some((matched, rts)) =>
+        if (!ranked) fetchDocs(matched.withColumn("score", lit(0.0)), ranked = false)
+        else {
+          // score the phrase-matched docs with TF-IDF over the phrase's terms
+          val scored = scoredMatches(rts, tfIdfExpr)
+            .join(matched.select("doc_ord"), "doc_ord", "left_semi")
+          fetchDocs(scored, ranked = true)
+        }
+    }
+
+  /** The phrase-match core shared by [[phraseQuery]] and the rescore window
+    * ([[bm25TopKRescore]]): matched ordinals (one column, `doc_ord`) plus
+    * the resolved distinct terms, or None when the phrase is empty or any
+    * term is unknown (phrase can't match — `searcher.go:230-232`). `among`
+    * restricts evaluation to the given (broadcast-sized) ordinal set with a
+    * semi-join BEFORE the doc-level aggregation, so the work is proportional
+    * to the restriction — the rescore contract — not the phrase terms'
+    * corpus-wide postings. */
+  private[query] def phraseMatch(phrase: String, slop: Int, inOrder: Boolean,
+      among: Option[DataFrame]): Option[(DataFrame, Seq[ResolvedTerm])] = {
     require(slop >= 0 && slop <= Searcher.MaxSlop,
       s"slop must be in [0, ${Searcher.MaxSlop}], got $slop")
     val qTerms = analyzer.terms(phrase) // NOT deduped: each ordinal matters
-    if (qTerms.isEmpty) return emptyDocs(ranked)
+    if (qTerms.isEmpty) return None
     val rtsByTerm = resolve(qTerms.distinct).map(rt => rt.term -> rt).toMap
-    if (rtsByTerm.size != qTerms.distinct.size) return emptyDocs(ranked) // some term unknown
+    if (rtsByTerm.size != qTerms.distinct.size) return None // some term unknown
     val slots = qTerms.zipWithIndex.map { case (t, i) => (rtsByTerm(t).termId, i) }
     val slotsDf = slots.toDF("term_id", "q_pos")
     val k = slots.size
 
-    val cand = postingsFor(rtsByTerm.values.toSeq)
+    val base = postingsFor(rtsByTerm.values.toSeq)
+    val restricted = among match {
+      case Some(ords) => base.join(broadcast(ords.select("doc_ord")),
+        Seq("doc_ord"), "left_semi")
+      case None => base
+    }
+    val cand = restricted
       .join(broadcast(slotsDf), "term_id")
       .select(col("doc_ord"), col("q_pos"), col("positions"), col("tf"), col("term_id"))
 
@@ -688,14 +803,7 @@ final class Searcher(
             ).isNotNull))
       }
 
-    if (!ranked) fetchDocs(matched.withColumn("score", lit(0.0)), ranked = false)
-    else {
-      // score the phrase-matched docs with TF-IDF over the phrase's terms
-      val rts = rtsByTerm.values.toSeq
-      val scored = scoredMatches(rts, tfIdfExpr)
-        .join(matched.select("doc_ord"), "doc_ord", "left_semi")
-      fetchDocs(scored, ranked = true)
-    }
+    Some((matched.select("doc_ord"), rtsByTerm.values.toSeq))
   }
 
   /** Exhaustive BM25 top-k (OR semantics over the query terms): the oracle
@@ -721,6 +829,100 @@ final class Searcher(
     index.docs.join(scored, "doc_ord")
       .withColumn("grp_rank", row_number().over(w))
       .filter(col("grp_rank") === 1).drop("grp_rank")
+      .orderBy(desc("score"), asc("doc_ord"))
+      .limit(k)
+  }
+
+  /** Grouped relevance (Elasticsearch `has_child` score modes, over a
+    * parent key column): top-k GROUPS ranked by an aggregate of their
+    * members' BM25 scores — for transcripts, "top conversations by the
+    * relevance of their turns". `scoreMode` is the ES has_child vocabulary:
+    * `max` (best turn — the group-level analogue of [[bm25TopKCollapse]],
+    * but returning the GROUP row, not the representative doc), `sum` (total
+    * evidence — rewards conversations with many relevant turns), `avg`, and
+    * `min`. Returns `(groupCol, score, n_hits)` where `n_hits` counts the
+    * group's matched docs.
+    *
+    * Shape: the scored ordinals (one pruned postings scan + one doc-level
+    * aggregation) join the docs table projected to the group key only, then
+    * ONE group-sized hash aggregation and a TakeOrderedAndProject — the
+    * corpus is never sorted, and the shuffle carries (group, partial-agg)
+    * rows with map-side combine, so hot conversations don't skew. */
+  def bm25TopKGrouped(keyword: String, groupCol: String, k: Int,
+      scoreMode: String = "max"): DataFrame = {
+    val modeAgg: Column => Column = scoreMode match {
+      case "max" => max(_)
+      case "sum" => sum(_)
+      case "avg" => avg(_)
+      case "min" => min(_)
+      case other => throw new IllegalArgumentException(
+        s"scoreMode must be one of max, sum, avg, min; got $other")
+    }
+    val rts = resolve(analyzer.terms(keyword).distinct)
+    if (rts.isEmpty)
+      return index.docs.limit(0).select(col(groupCol))
+        .withColumn("score", lit(0.0)).withColumn("n_hits", lit(0L))
+    val scored = scoredMatches(rts, bm25Expr).select("doc_ord", "score")
+    index.docs.select(col("doc_ord"), col(groupCol))
+      .join(scored, "doc_ord")
+      .groupBy(col(groupCol))
+      .agg(modeAgg(col("score")).as("score"), count(lit(1)).as("n_hits"))
+      .orderBy(desc("score"), asc(groupCol))
+      .limit(k)
+  }
+
+  /** Rescore window (the Elasticsearch `rescore` API): retrieve the top
+    * `windowSize` docs by cheap BM25 over `keyword`, then re-rank ONLY that
+    * window with a more expensive phrase query — final score
+    * `queryWeight · bm25 + rescoreWeight · phraseBm25` for window docs
+    * matching `rescorePhrase` (with optional `slop`/`inOrder` proximity),
+    * `queryWeight · bm25` for the rest — and return the window's new top k.
+    * The two-phase retrieve-then-rerank shape every large engine uses:
+    * positional evaluation is too expensive for 10^12 candidate docs, so it
+    * runs on a window-sized set.
+    *
+    * Scale shape: the window is ONE TakeOrderedAndProject over the scored
+    * aggregation (k-row driver merge, no global sort); its ordinals are
+    * broadcast and semi-join the phrase candidates and the rescore scoring
+    * BEFORE their doc-level aggregations, so phase two's work is
+    * window-proportional (plus the term-pruned postings scan), never
+    * corpus-proportional. The window boundary uses the same quantized
+    * (score, doc_ord) ordering as [[bm25TopKAfter]] — cluster reduce-order
+    * float jitter can't flip which docs make the window; the final ranking
+    * uses the exact combined score. */
+  def bm25TopKRescore(keyword: String, rescorePhrase: String,
+      windowSize: Int, k: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0, slop: Int = 0,
+      inOrder: Boolean = false): DataFrame = {
+    require(windowSize >= k,
+      s"windowSize ($windowSize) must be >= k ($k): results come from the window")
+    val rts = resolve(analyzer.terms(keyword).distinct)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    // Materialize the window ONCE (windowSize rows — driver-sized by the
+    // same contract as a top-k result set) into a LocalRelation: the phrase
+    // and rescore semi-joins broadcast it without recomputing the scored
+    // aggregation per consumer.
+    val winRows = scoredMatches(rts, bm25Expr).select(col("doc_ord"), col("score"))
+      .orderBy(round(col("score"), Searcher.PageGrain).desc, col("doc_ord").asc)
+      .limit(windowSize)
+      .collect()
+    if (winRows.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val win = winRows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      .toDF("doc_ord", "score")
+    val winOrds = win.select("doc_ord")
+    val combined = phraseMatch(rescorePhrase, slop, inOrder, among = Some(winOrds)) match {
+      case None => // unknown/empty rescore phrase: nothing in the window matches it
+        win.withColumn("score", col("score") * queryWeight)
+      case Some((matched, prts)) =>
+        val rescored = scoredMatches(prts, bm25Expr, among = Some(winOrds))
+          .join(matched, Seq("doc_ord"), "left_semi")
+          .select(col("doc_ord"), col("score").as("rescore"))
+        win.join(rescored, Seq("doc_ord"), "left")
+          .withColumn("score", col("score") * queryWeight +
+            coalesce(col("rescore"), lit(0.0)) * rescoreWeight)
+          .drop("rescore")
+    }
+    index.docs.join(combined.select("doc_ord", "score"), "doc_ord")
       .orderBy(desc("score"), asc("doc_ord"))
       .limit(k)
   }
@@ -880,11 +1082,7 @@ final class Searcher(
     }
     if (slots.isEmpty)
       return Seq.empty[(Int, Long, Long, Double)].toDF("q_id", "rank", "doc_ord", "score")
-    val slotsDf = slots.toDF("q_id", "term_id", "w_bm25")
-    val scored = withTokenCount(postingsFor(byTerm.values.toSeq))
-      .join(broadcast(slotsDf), "term_id")
-      .groupBy(col("q_id"), col("doc_ord"))
-      .agg(sum(bm25Expr).as("score"))
+    val scored = batchScores(slots, byTerm.values.toSeq)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("score"), asc("doc_ord"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -912,6 +1110,20 @@ final class Searcher(
       .groupBy(_._1)
       .map { case (qi, rows) => qi -> rows.map(r => r._2 -> r._3).toMap }
     BlockMaxWand.topKBatch(blocks, queries, k, blockParams, index.avgDocLen, metrics)
+  }
+
+  /** The batch scoring aggregation shared by [[bm25TopKBatch]] and the
+    * federated batch path ([[Federation.bm25TopKBatch]], which injects
+    * GLOBAL idf weights into the slots): one pruned postings scan for the
+    * union of the slot terms, one (q_id, doc) aggregation. Returns
+    * `(q_id, doc_ord, score)`. */
+  private[query] def batchScores(slots: Seq[(Int, Long, Double)],
+      rts: Seq[ResolvedTerm]): DataFrame = {
+    val slotsDf = slots.toDF("q_id", "term_id", "w_bm25")
+    withTokenCount(postingsFor(rts))
+      .join(broadcast(slotsDf), "term_id")
+      .groupBy(col("q_id"), col("doc_ord"))
+      .agg(sum(bm25Expr).as("score"))
   }
 
   /** `(doc_ord, score)` of every doc matching any query term — the BM25

@@ -395,6 +395,118 @@ class SearcherSpec extends SparkSpec {
     assert(grouped.significantTerms("zzz", Or, 10, 1).collect().isEmpty)
   }
 
+  test("bm25TopKGrouped: has_child score modes aggregate member scores per group") {
+    val base = grouped.bm25All("go ruby").select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap // docs 1,2 (c1), 3,4 (c2)
+    val convOf = Map(1L -> "c1", 2L -> "c1", 3L -> "c2", 4L -> "c2")
+    val byConv = base.groupBy { case (id, _) => convOf(id) }
+      .map { case (c, m) => c -> m.values.toSeq }
+    def got(mode: String): Map[String, (Double, Long)] =
+      grouped.bm25TopKGrouped("go ruby", "conv", 10, mode).collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val want: Map[String, Seq[Double] => Double] = Map(
+      "sum" -> (_.sum), "max" -> (_.max), "min" -> (_.min),
+      "avg" -> (s => s.sum / s.size))
+    want.foreach { case (mode, f) =>
+      val g = got(mode)
+      assert(g.keySet == Set("c1", "c2"), s"mode $mode")
+      g.foreach { case (c, (score, nHits)) =>
+        assert(nHits == byConv(c).size)
+        assert(math.abs(score - f(byConv(c))) < 1e-9, s"mode $mode group $c")
+      }
+    }
+    // groups ranked by aggregated score; k cuts groups
+    val order = grouped.bm25TopKGrouped("go ruby", "conv", 10, "sum")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(order == order.sortBy(-_))
+    assert(grouped.bm25TopKGrouped("go ruby", "conv", 1, "sum").count() == 1)
+    // max mode's group score == the collapse representative's score
+    val collapse = grouped.bm25TopKCollapse("go ruby", "conv", 10)
+      .select("conv", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    got("max").foreach { case (c, (s, _)) => assert(math.abs(s - collapse(c)) < 1e-9) }
+    assert(grouped.bm25TopKGrouped("zzz", "conv", 10).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      grouped.bm25TopKGrouped("go", "conv", 10, "median")
+    }
+  }
+
+  test("matchTopKSortBy: matched docs ordered by a doc field, k-cut") {
+    // OR-matched: docs 1(10), 2(20), 3(30), 4(44)
+    def got(k: Int, ascending: Boolean): Seq[Long] =
+      grouped.matchTopKSortBy("go ruby", Or, "len", k, ascending)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got(2, ascending = true) == Seq(1L, 2L))
+    assert(got(2, ascending = false) == Seq(4L, 3L))
+    assert(got(10, ascending = true) == Seq(1L, 2L, 3L, 4L))
+    // AND semantics and unknown terms behave like matchQuery
+    assert(grouped.matchTopKSortBy("go ruby", And, "len", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(grouped.matchTopKSortBy("zzz", Or, "len", 10).collect().isEmpty)
+  }
+
+  test("facetCardinality: distinct facet values over the matched set; approx agrees") {
+    assert(grouped.facetCardinality("go ruby", Or, "conv")
+      .collect().head.getLong(0) == 2L) // c1, c2 — c3 never matches
+    assert(grouped.facetCardinality("java", Or, "conv")
+      .collect().head.getLong(0) == 1L)
+    assert(grouped.facetCardinality("zzz", Or, "conv")
+      .collect().head.getLong(0) == 0L)
+    // HLL++ is exact at tiny cardinalities; at scale rsd bounds the error
+    assert(grouped.facetCardinalityApprox("go ruby", Or, "conv")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("facetDateHistogram: calendar buckets of a timestamp expression") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    // matched docs 1(10), 2(20), 3(30), 4(44): 2025-01-01 + len days →
+    // Jan 11 / Jan 21 / Jan 31 / Feb 14 → month buckets Jan:3, Feb:1
+    val ts = date_add(to_date(lit("2025-01-01")), col("len").cast("int"))
+      .cast("timestamp")
+    val got = grouped.facetDateHistogram("go ruby", Or, ts, "month")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(got == Map("2025-01-01 00:00:00.0" -> 3L, "2025-02-01 00:00:00.0" -> 1L))
+    val byYear = grouped.facetDateHistogram("go ruby", Or, ts, "year").collect()
+    assert(byYear.length == 1 && byYear.head.getLong(1) == 4L)
+    assert(grouped.facetDateHistogram("zzz", Or, ts, "month").collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      grouped.facetDateHistogram("go", Or, ts, "fortnight")
+    }
+  }
+
+  test("bm25TopKRescore: phrase re-rank decomposes; window restricts; rw=0 ≡ plain") {
+    def scores(df: DataFrame): Map[Long, Double] =
+      df.select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val base = scores(grouped.bm25All("go ruby")) // docs 1,2,3,4
+    // phrase "go ruby": adjacent in docs 1 ("go ruby") and 2 ("go go ruby");
+    // rescore terms == (go, ruby), so the rescore score IS the base score
+    val phraseDocs = Set(1L, 2L)
+    val got = scores(grouped.bm25TopKRescore("go ruby", "go ruby",
+      windowSize = 10, k = 10, queryWeight = 1.0, rescoreWeight = 0.5))
+    assert(got.keySet == base.keySet)
+    got.foreach { case (id, s) =>
+      val want = if (phraseDocs(id)) base(id) * 1.5 else base(id)
+      assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
+    }
+    // rescoreWeight 0: plain BM25 ranking (scaled by queryWeight)
+    val rw0 = scores(grouped.bm25TopKRescore("go ruby", "go ruby", 10, 10,
+      queryWeight = 2.0, rescoreWeight = 0.0))
+    rw0.foreach { case (id, s) => assert(math.abs(s - 2.0 * base(id)) < 1e-9) }
+    // windowSize 1: only the top base doc is retrievable at all
+    val win1 = grouped.bm25TopKRescore("go ruby", "go ruby", 1, 1)
+    val topBase = base.toSeq.sortBy { case (id, s) => (-s, id) }.head._1
+    assert(win1.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(topBase))
+    // unknown rescore phrase: nothing matches it, scores stay qw·base
+    val unk = scores(grouped.bm25TopKRescore("go ruby", "zz xx", 10, 10))
+    unk.foreach { case (id, s) => assert(math.abs(s - base(id)) < 1e-9) }
+    // unknown keyword: empty; window must cover k
+    assert(grouped.bm25TopKRescore("zzz", "go ruby", 10, 10).collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      grouped.bm25TopKRescore("go", "go ruby", windowSize = 1, k = 5)
+    }
+  }
+
   test("Japanese corpus end-to-end: lattice morphology + kana readings") {
     // the reference's Japanese pipeline shape (morphological tokenizer +
     // reading-form filter) over the in-repo lattice analyzer: queries
