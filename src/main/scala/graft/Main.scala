@@ -79,8 +79,8 @@ object Main {
       |         [--analyzer ...] [--stopwords ...] [--text-col text]
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
-      |  search --index <path> --query <q>
-      |         [--mode and|or|phrase|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms]
+      |  search --index <path>[,<path>…] --query <q>
+      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
       |         [--facet-field role] [--min-doc-count 3]
@@ -88,7 +88,9 @@ object Main {
       |          "a b"~slop, term~edits, term^boost;
       |          phrase: --slop widens to a position window; msm: --min-match terms required;
       |          collapse: best doc per --collapse-field value;
-      |          mlt: --query is a doc_ord; suggest: --query is a term prefix)
+      |          mlt: --query is a doc_ord; suggest: --query is a term prefix;
+      |          comma-separated --index paths federate independently built
+      |          slices — global stats merged, modes and|or|phrase|bm25|wand)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
@@ -278,6 +280,11 @@ object Main {
 
   private def search(spark: SparkSession, index: String, query: String,
       opts: Map[String, String], out: String => Unit): Unit = {
+    if (index.contains(",")) { // --index a,b,c → scatter-gather federation
+      fedSearch(spark, index.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+        query, opts, out)
+      return
+    }
     val analyzer = checkAnalyzer(index, opts)
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     val limit = opts.get("limit").map(_.toInt).getOrElse(20)
@@ -318,6 +325,8 @@ object Main {
       case "or"     => (searcher.matchQuery(query, Or).limit(limit), false)
       case "phrase" => (searcher.phraseQuery(query,
         slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
+      case "phrase-prefix" => (searcher.matchPhrasePrefix(query,
+        slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
       case "msm"    => (searcher.matchQueryMsm(query,
         opts.get("min-match").map(_.toInt).getOrElse(2)).limit(limit), false)
       case "tfidf"  => (searcher.matchQueryRanked(query, Or).limit(k), true)
@@ -338,6 +347,44 @@ object Main {
     }
     val cols = Seq("doc_ord") ++ (if (ranked) Seq("score") else Nil) ++
       Seq("conv_id", "turn_idx", "text").filter(df.columns.contains)
+    out(cols.mkString("\t"))
+    df.select(cols.map(col): _*).collect().foreach { r =>
+      out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))
+    }
+  }
+
+  /** Scatter-gather search over several independently built persisted
+    * indexes (`--index a,b,c` — time slices or shards): global BM25
+    * statistics are merged across slices ([[graft.query.Federation]]), so
+    * results are rank-identical to one monolithic index over the union
+    * corpus. Results carry the slices' key columns instead of the
+    * slice-local doc_ord. */
+  private def fedSearch(spark: SparkSession, paths: Seq[String], query: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    require(paths.size >= 2, "federated search needs at least two --index paths")
+    val analyzer = paths.map(checkAnalyzer(_, opts)).head
+    val slices = paths.map(ParquetIndexStorage.read(spark, _))
+    val keyCols = slices.map(_.manifest.keyCols).distinct match {
+      case Seq(kc) if kc.nonEmpty => kc
+      case Seq(_) => Seq("doc_id") // keymap-less slices need a stable id col
+      case other => throw new IllegalArgumentException(
+        s"slices disagree on key columns: $other")
+    }
+    val fed = graft.query.Federation.ofPersisted(slices, analyzer, keyCols)
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    val limit = opts.get("limit").map(_.toInt).getOrElse(20)
+    val (df, ranked): (DataFrame, Boolean) = opts.getOrElse("mode", "wand") match {
+      case "and"    => (fed.matchQuery(query, And).limit(limit), false)
+      case "or"     => (fed.matchQuery(query, Or).limit(limit), false)
+      case "phrase" => (fed.phraseQuery(query,
+        slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
+      case "bm25"   => (fed.bm25TopK(query, k), true)
+      case "wand"   => (fed.bm25TopKWand(query, k), true)
+      case other => throw new IllegalArgumentException(
+        s"mode '$other' is not federated; use and|or|phrase|bm25|wand with comma-separated --index")
+    }
+    val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
+      Seq("text").filter(df.columns.contains)
     out(cols.mkString("\t"))
     df.select(cols.map(col): _*).collect().foreach { r =>
       out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))

@@ -136,6 +136,25 @@ object SparkEntry {
       })
     }
 
+  // Federated searcher: THREE independently built slice indexes over a
+  // doc_id % 3 split of the same documents table (slice-local ordinals,
+  // dictionaries, dfs, avgdls). Its oracles are the MONOLITHIC BM25 SQL —
+  // the federation's global-statistics merge must reproduce single-index
+  // scores exactly.
+  private val fedCache = scala.collection.mutable.HashMap.empty[String, graft.query.Federation]
+  private def federation(spark: SparkSession, dir: String): graft.query.Federation =
+    fedCache.synchronized {
+      fedCache.getOrElseUpdate(dir, {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("doc_ord", col("doc_id"))
+        graft.query.Federation(
+          (0 until 3).map(r =>
+            graft.index.IndexBuilder.build(
+              docs.filter(col("doc_id") % 3 === r), analyzer).cache()),
+          analyzer)
+      })
+    }
+
   private def docsTable(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embTable(s: SparkSession, dir: String): DataFrame =
@@ -295,6 +314,27 @@ object SparkEntry {
 
     "ft_bm25" -> ((s, d) =>
       searcher(s, d).bm25All("spark join")
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_phrase_prefix" -> ((s, d) => // match_phrase_prefix "the s": 's'
+      // expands to {scan, slow, small, sort, spark, stream} against the
+      // dictionary; a doc matches when 'the' is immediately followed by
+      // any expansion
+      searcher(s, d).matchPhrasePrefix("the s")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated" -> ((s, d) => // 3 independently built slices; the oracle
+      // is the MONOLITHIC BM25 SQL — global N/avgdl/df merge must reproduce
+      // single-index scores float-exactly
+      federation(s, d).bm25All("spark join")
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_federated_wand" -> ((s, d) => // per-slice block-max WAND with global
+      // weights, scatter-gather k-cut — oracled against the monolithic
+      // EXHAUSTIVE top-k SQL (lossless pruning under federation)
+      federation(s, d).bm25TopKWand("spark join table", 20)
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
@@ -1161,6 +1201,60 @@ object SparkEntry {
          |FROM scored ORDER BY q_id, rank""".stripMargin,
 
     "ft_bm25_topk_wand" -> // EXHAUSTIVE top-20: the WAND lossless-pruning claim
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','table') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_phrase_prefix" -> // 'the' adjacent to any dictionary term LIKE 's%'
+      // (expansion capped at the same 128 / df-desc rule; the cap never
+      // binds at this vocab)
+      s"""WITH tp AS (
+         |  SELECT doc_id, unnest(arr) AS term, unnest(range(1, len(arr)+1)) AS pos
+         |  FROM (SELECT doc_id, $toksSql AS arr FROM documents)
+         |), vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tp GROUP BY term),
+         |exp AS (SELECT term FROM vocab WHERE term LIKE 's%'
+         |        ORDER BY df DESC, term LIMIT 128),
+         |m AS (SELECT DISTINCT a.doc_id FROM tp a JOIN tp b
+         |        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |      WHERE a.term = 'the' AND b.term IN (SELECT term FROM exp))
+         |SELECT doc_id FROM m ORDER BY doc_id""".stripMargin,
+
+    "ft_federated" -> // the MONOLITHIC BM25 SQL: federated slices with merged
+      // global stats must reproduce single-index scores exactly
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term)
+         |SELECT tf.doc_id,
+         |  round(sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |    / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS score
+         |FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_federated_wand" -> // monolithic EXHAUSTIVE top-20: federated per-slice
+      // WAND with global weights is lossless
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($toksSql) AS term FROM documents
          |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),

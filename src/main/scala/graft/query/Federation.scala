@@ -1,0 +1,263 @@
+package graft.query
+
+import graft.analysis.Analyzer
+import graft.index.{BlockParams, TextIndex}
+import graft.storage.PersistedIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scatter-gather search over a set of INDEPENDENTLY built index slices —
+  * the deployment shape a 10^12-turn corpus actually uses: one index per
+  * time slice (day/month of transcripts) or shard, each built with zero
+  * cross-slice shuffle (slice builds are embarrassingly parallel jobs),
+  * retention = drop a slice, incremental ingest = build only the new slice.
+  *
+  * The catch every sharded engine handles (Elasticsearch DFS query phase,
+  * Lucene's distributed IDF) is GLOBAL STATISTICS: BM25/TF-IDF need the
+  * corpus-wide `N`, `avgdl`, and per-term `df`, not the slice-local ones —
+  * otherwise the same document scores differently depending on which slice
+  * it landed in. All three are exactly mergeable from per-slice metadata:
+  * `N = Σ numDocs`, `avgdl = Σ totalTokens / Σ numDocs` (both carried by
+  * [[TextIndex]] — no corpus scan), and `df(t) = Σ slice df(t)` (one
+  * vocab-sized dictionary lookup per slice). Scoring then runs per slice
+  * with the GLOBAL weights injected, making every federated result
+  * RANK-IDENTICAL (scores float-exact) to a monolithic index over the
+  * union corpus — pinned in FederationSpec and the `ft_federated` oracle.
+  *
+  * Scale shape per query: each slice contributes its own pruned postings
+  * scan and doc-level aggregation (the same plan the monolithic Searcher
+  * compiles, typically served from disjoint executors), top-k queries cut
+  * to k rows INSIDE each slice (TakeOrderedAndProject), and the gather
+  * phase merges ≤ slices·k rows — the union never re-sorts a corpus-sized
+  * set. Block-max WAND stays lossless under federation because block
+  * maxima are stored as `(max_tf, min_dl)` and the score bound is computed
+  * at query time from the injected global idf/avgdl.
+  *
+  * Doc ordinals are slice-local, so federated results expose the caller's
+  * stable key columns (`tieCols`, e.g. `doc_id` or `conv_id, turn_idx`)
+  * instead of `doc_ord`; ties rank by `tieCols` ascending. The monolithic
+  * tie-break (doc_ord asc) coincides with this whenever ordinals were
+  * assigned in `tieCols` order — the builder's stable-ordering contract.
+  */
+final class Federation private (
+    val sliceSearchers: Seq[Searcher],
+    tieCols: Seq[String]
+) {
+  require(sliceSearchers.nonEmpty, "federation needs at least one slice")
+  require(tieCols.nonEmpty, "federation needs at least one tie-break key column")
+
+  private val analyzer: Analyzer = sliceSearchers.head.analyzer
+  private def tieAsc = tieCols.map(asc)
+
+  /** Per-slice resolved terms with the GLOBAL document frequency
+    * substituted: slice-local term_id/bucket (postings pruning stays
+    * slice-correct), df summed across every slice that knows the term.
+    * Query order is preserved per slice; terms unknown to a slice are
+    * absent from that slice's seq (they cannot match there). */
+  private def resolveGlobal(terms: Seq[String]): Seq[Seq[ResolvedTerm]] = {
+    val perSlice: Seq[Map[String, ResolvedTerm]] =
+      sliceSearchers.map(_.resolve(terms).map(rt => rt.term -> rt).toMap)
+    val globalDf: Map[String, Long] = terms.distinct.map { t =>
+      t -> perSlice.flatMap(_.get(t)).map(_.df).sum
+    }.toMap
+    perSlice.map { m =>
+      terms.flatMap(t => m.get(t).map(rt => rt.copy(df = globalDf(t))))
+    }
+  }
+
+  /** Schema-only empty frame: docs columns minus the slice-local ordinal. */
+  private def emptyDocs(withScore: Boolean): DataFrame = {
+    val base = sliceSearchers.head.index.docs.limit(0).drop("doc_ord")
+    if (withScore) base.withColumn("score", lit(0.0)) else base
+  }
+
+  private def unionAll(parts: Seq[DataFrame]): Option[DataFrame] =
+    parts.reduceOption(_ unionByName _)
+
+  /** Scored docs (docs columns + `score`) from one slice: the slice's
+    * pruned-postings BM25 aggregation with global weights, joined to the
+    * slice docs, ordinal dropped. */
+  private def slicedScores(s: Searcher, rts: Seq[ResolvedTerm]): DataFrame =
+    s.index.docs
+      .join(s.scoredMatches(rts, s.bm25Expr).select("doc_ord", "score"), "doc_ord")
+      .drop("doc_ord")
+
+  /** All matched docs with GLOBAL-stats BM25 scores (no top-k) — the
+    * federated twin of [[Searcher.bm25All]], float-exact to the monolithic
+    * scores. (score desc, tieCols asc). */
+  def bm25All(keyword: String): DataFrame = {
+    val rtss = resolveGlobal(analyzer.terms(keyword).distinct)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty => slicedScores(s, rts)
+    }
+    unionAll(parts) match {
+      case None      => emptyDocs(withScore = true)
+      case Some(all) => all.orderBy(desc("score") +: tieAsc: _*)
+    }
+  }
+
+  /** Federated BM25 top-k: each slice cuts to its own k
+    * (TakeOrderedAndProject inside the slice), the gather merges
+    * ≤ slices·k rows — correct because a doc's global rank is never better
+    * than its slice rank. Rank-identical to the monolithic top-k up to the
+    * tie-break key (see class doc). */
+  def bm25TopK(keyword: String, k: Int): DataFrame = {
+    val rtss = resolveGlobal(analyzer.terms(keyword).distinct)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty =>
+        slicedScores(s, rts).orderBy(desc("score") +: tieAsc: _*).limit(k)
+    }
+    unionAll(parts) match {
+      case None      => emptyDocs(withScore = true)
+      case Some(all) => all.orderBy(desc("score") +: tieAsc: _*).limit(k)
+    }
+  }
+
+  /** Federated block-max WAND top-k — rank-identical to [[bm25TopK]]:
+    * per-slice WAND over the slice's block table with GLOBAL idf/avgdl
+    * injected (bounds recomputed from the stored `(max_tf, min_dl)`, so
+    * pruning stays lossless under federated stats), per-slice k cut,
+    * ≤ slices·k gather. One shared `metrics` accumulates skip rates
+    * across slices. */
+  def bm25TopKWand(keyword: String, k: Int,
+      metrics: Option[WandMetrics] = None): DataFrame = {
+    val rtss = resolveGlobal(analyzer.terms(keyword).distinct)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty =>
+        val weights = rts.map(rt => rt.termId -> s.bm25Idf(rt.df)).toMap
+        s.index.docs
+          .join(BlockMaxWand.topK(s.blocks, weights, k, s.blockParams,
+            s.index.avgDocLen, metrics), "doc_ord")
+          .drop("doc_ord")
+          .orderBy(desc("score") +: tieAsc: _*)
+          .limit(k)
+    }
+    unionAll(parts) match {
+      case None      => emptyDocs(withScore = true)
+      case Some(all) => all.orderBy(desc("score") +: tieAsc: _*).limit(k)
+    }
+  }
+
+  /** Federated batch BM25 top-k — the query-set-replay shape
+    * ([[Searcher.bm25TopKBatch]]) across slices: ONE slot broadcast + one
+    * pruned postings scan + one (q_id, doc) aggregation per slice with
+    * global idf weights, per-(slice, q_id) k cut, then one gather window
+    * over ≤ slices·queries·k rows. Returns `(q_id, rank, tieCols…, score)`
+    * — ranks and scores identical to the monolithic batch path. */
+  def bm25TopKBatch(keywords: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms: Seq[(Int, String)] = keywords.zipWithIndex.flatMap {
+      case (kw, qi) => analyzer.terms(kw).distinct.map(t => (qi, t))
+    }
+    val distinctTerms = qTerms.map(_._2).distinct
+    val rtss = resolveGlobal(distinctTerms)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score") +: tieAsc: _*)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty =>
+        val byTerm = rts.map(rt => rt.term -> rt).toMap
+        val slots = qTerms.flatMap { case (qi, t) =>
+          byTerm.get(t).map(rt => (qi, rt.termId, s.bm25Idf(rt.df)))
+        }
+        s.index.docs
+          .join(s.batchScores(slots, byTerm.values.toSeq), "doc_ord")
+          .drop("doc_ord")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .drop("rank")
+    }
+    val keyThenScore = (tieCols.map(col) :+ col("score")).toArray
+    unionAll(parts) match {
+      case None =>
+        emptyDocs(withScore = true)
+          .select(lit(0).as("q_id") +: lit(0L).as("rank") +: keyThenScore: _*)
+          .limit(0)
+      case Some(all) =>
+        all.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("q_id") +: col("rank").cast("long").as("rank") +: keyThenScore: _*)
+    }
+  }
+
+  /** Federated MatchQuery (AND/OR), unranked. Slice-local evaluation is
+    * already globally correct: a term absent from a slice's dictionary is
+    * absent from the slice's corpus, so AND yields nothing there and OR
+    * drops the term — exactly the monolithic semantics. Results ordered by
+    * `tieCols`. */
+  def matchQuery(keyword: String, logic: Logic): DataFrame = {
+    val parts = sliceSearchers.map(_.matchQuery(keyword, logic).drop("doc_ord"))
+    unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
+  /** Federated total-hits count: Σ slice counts (disjoint corpora). */
+  def countMatches(keyword: String, logic: Logic): Long =
+    sliceSearchers.map(_.countMatches(keyword, logic)).sum
+
+  /** Federated PhraseQuery, unranked: positional matching is per-doc, so
+    * slice results union losslessly. Ordered by `tieCols`. */
+  def phraseQuery(phrase: String, slop: Int = 0,
+      inOrder: Boolean = false): DataFrame = {
+    val parts = sliceSearchers.map(
+      _.phraseQuery(phrase, ranked = false, slop, inOrder).drop("doc_ord"))
+    unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
+  /** Federated facet counts: per-slice facet aggregations re-aggregated —
+    * the gather merges facet-sized partials, never doc rows. */
+  def facetCounts(keyword: String, logic: Logic, facetCol: String): DataFrame = {
+    val parts = sliceSearchers.map(_.facetCounts(keyword, logic, facetCol))
+    unionAll(parts).get
+      .groupBy(col(facetCol)).agg(sum("n_docs").as("n_docs"))
+  }
+
+  /** Global corpus stats (what the slices' scoring runs on). */
+  def numDocs: Long = sliceSearchers.head.index.numDocs
+  def avgDocLen: Double = sliceSearchers.head.index.avgDocLen
+}
+
+object Federation {
+
+  /** Federate in-memory/built [[TextIndex]] slices. One pass over slice
+    * METADATA (numDocs, totalTokens — no corpus scan) computes the global
+    * stats every slice's scoring then runs on. */
+  def apply(slices: Seq[TextIndex], analyzer: Analyzer,
+      blockParams: BlockParams = BlockParams(),
+      tieCols: Seq[String] = Seq("doc_id")): Federation = {
+    require(slices.nonEmpty, "federation needs at least one slice")
+    val globalN = slices.map(_.numDocs).sum
+    val totalTokens = slices.map(_.exactTotalTokens).sum
+    val avgdl = if (globalN == 0) 0.0 else totalTokens.toDouble / globalN
+    new Federation(
+      slices.map(ix => new Searcher(
+        ix.copy(numDocs = globalN, avgDocLen = avgdl, totalTokens = totalTokens),
+        analyzer, blockParams, None, sortUnranked = false)),
+      tieCols)
+  }
+
+  /** Federate persisted slices (each with its own WAND block table).
+    * Scoring parameters must agree across slices — per-slice block maxima
+    * are only comparable under one (k1, b). */
+  def ofPersisted(slices: Seq[PersistedIndex], analyzer: Analyzer,
+      tieCols: Seq[String] = Seq("doc_id")): Federation = {
+    require(slices.nonEmpty, "federation needs at least one slice")
+    val params = slices.map(p => (p.manifest.k1, p.manifest.b)).distinct
+    require(params.size == 1,
+      s"slices disagree on BM25 params (k1, b): $params — rebuild or rescore")
+    val globalN = slices.map(_.index.numDocs).sum
+    val totalTokens = slices.map(_.index.exactTotalTokens).sum
+    val avgdl = if (globalN == 0) 0.0 else totalTokens.toDouble / globalN
+    new Federation(
+      slices.map { p =>
+        new Searcher(
+          p.index.copy(numDocs = globalN, avgDocLen = avgdl,
+            totalTokens = totalTokens),
+          analyzer,
+          BlockParams(blockSize = p.manifest.blockSize,
+            bucketSpan = p.manifest.bucketSpan,
+            k1 = p.manifest.k1, b = p.manifest.b),
+          Some(p.blocks), sortUnranked = false,
+          dGroupSpan = p.manifest.dGroupSpan)
+      },
+      tieCols)
+  }
+}

@@ -356,6 +356,71 @@ final class Searcher(
       .orderBy(desc("df"), asc("term"))
       .limit(n)
 
+  /** Match-phrase-prefix (Elasticsearch `match_phrase_prefix` — the
+    * query-as-you-type phrase): phrase matching where the LAST token is a
+    * dictionary PREFIX — "spark jo" matches docs continuing with "join",
+    * "jobs", … . The final token expands against the vocab-sized dictionary
+    * exactly like [[prefixQuery]] (highest-df first, capped at
+    * `maxExpansions` — Lucene MultiTermQuery truncation); every expansion
+    * shares the FINAL phrase slot, so a doc matches when some expansion
+    * completes the phrase within `slop` (the same unordered window
+    * semantics as [[phraseQuery]]; slop 0 = exact adjacency).
+    *
+    * Work shape: one pruned postings scan for the exact terms plus the
+    * expansion set, one (doc, slot) aggregation that UNIONS positions per
+    * slot (the only change vs the single-term-per-slot phrase plan), one
+    * doc-level window fold. `ranked` scores matched docs with TF-IDF over
+    * the exact terms + expansions, like the ranked phrase path. */
+  def matchPhrasePrefix(phrase: String, slop: Int = 0,
+      maxExpansions: Int = 128, ranked: Boolean = false): DataFrame = {
+    require(slop >= 0 && slop <= Searcher.MaxSlop,
+      s"slop must be in [0, ${Searcher.MaxSlop}], got $slop")
+    require(maxExpansions > 0, s"maxExpansions must be > 0, got $maxExpansions")
+    val qTerms = analyzer.terms(phrase)
+    if (qTerms.isEmpty) return emptyDocs(ranked)
+    val exact = qTerms.init
+    val prefix = qTerms.last
+    val exactRts = resolve(exact.distinct).map(rt => rt.term -> rt).toMap
+    if (exactRts.size != exact.distinct.size) return emptyDocs(ranked)
+    val expRts = expand(col("term").startsWith(prefix), maxExpansions)
+    if (expRts.isEmpty) return emptyDocs(ranked)
+
+    val k = qTerms.size
+    val slots = exact.zipWithIndex.map { case (t, i) => (exactRts(t).termId, i) } ++
+      expRts.map(rt => (rt.termId, k - 1))
+    val allRts = (exactRts.values.toSeq ++ expRts).distinct
+
+    // Per-slot position UNION: several expansions of the final slot can
+    // appear in one doc; any of their positions may complete the phrase.
+    val perSlot = postingsFor(allRts)
+      .join(broadcast(slots.toDF("term_id", "q_pos")), "term_id")
+      .groupBy(col("doc_ord"), col("q_pos"))
+      .agg(array_distinct(flatten(collect_list(col("positions")))).as("positions"))
+    val grouped = perSlot
+      .groupBy(col("doc_ord"))
+      .agg(count(lit(1)).as("nslots"),
+        collect_list(struct(col("q_pos"), col("positions"))).as("pls"))
+      .filter(col("nslots") === lit(k))
+
+    val rel = (x: Column) =>
+      transform(x.getField("positions"), p => p - x.getField("q_pos"))
+    val matched =
+      if (slop == 0)
+        grouped.withColumn("common",
+          aggregate(col("pls"), lit(null).cast("array<int>"),
+            (acc, x) => when(acc.isNull, rel(x)).otherwise(array_intersect(acc, rel(x)))))
+          .filter(size(col("common")) > 0)
+      else
+        grouped.filter(Searcher.slopWindowHit(
+          transform(col("pls"), x => rel(x)), lit(slop)))
+
+    if (!ranked) fetchDocs(matched.withColumn("score", lit(0.0)), ranked = false)
+    else fetchDocs(
+      scoredMatches(allRts, tfIdfExpr)
+        .join(matched.select("doc_ord"), "doc_ord", "left_semi"),
+      ranked = true)
+  }
+
   /** Did-you-mean spell correction: the dictionary terms within `maxEdits`
     * Levenshtein edits of `term`, ranked most-plausible first — distance
     * asc, then df desc, then term asc (closer corrections beat popular ones;

@@ -271,4 +271,61 @@ class MainSpec extends SparkSpec {
     assert(c == 2 && out.exists(_.contains("usage:")))
     assert(captured("search", "--index", idx, "--query", "x", "--mode", "nope")._1 == 2)
   }
+
+  test("federated search over comma-separated slice indexes == monolithic") {
+    import spark.implicits._
+    // two slice inputs split by conversation + a fresh monolithic index
+    // over the union (the shared `idx` is mutated by the delta/remove tests)
+    spark.read.parquet(s"$root/turns").filter(col("conv_id") === "c1")
+      .write.parquet(s"$root/turns_s1")
+    spark.read.parquet(s"$root/turns").filter(col("conv_id") === "c2")
+      .write.parquet(s"$root/turns_s2")
+    val (m1, s1, s2) = (s"$root/idx_mono", s"$root/idx_s1", s"$root/idx_s2")
+    Seq((s"$root/turns", m1), (s"$root/turns_s1", s1), (s"$root/turns_s2", s2))
+      .foreach { case (in, ix) =>
+        assert(captured("build", "--input", in, "--index", ix,
+          "--term-buckets", "2", "--write-groups", "1",
+          "--block-size", "8", "--bucket-span", "64")._1 == 0)
+      }
+    // wand: federated (conv_id, turn_idx, score, text) vs monolithic
+    // (doc_ord, score, conv_id, turn_idx, text)
+    val (cf, fed) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark join", "--mode", "wand", "--k", "4")
+    assert(cf == 0, fed.mkString("\n"))
+    assert(fed.head.startsWith("conv_id\tturn_idx\tscore"))
+    val (cm, mono) = captured("search", "--index", m1,
+      "--query", "spark join", "--mode", "wand", "--k", "4")
+    assert(cm == 0)
+    val fs = fed.drop(1).map { l => val f = l.split("\t"); (f(0), f(1), f(2).toDouble) }
+    val ms = mono.drop(1).map { l => val f = l.split("\t"); (f(2), f(3), f(1).toDouble) }
+    assert(fs.map(t => (t._1, t._2)) == ms.map(t => (t._1, t._2)),
+      s"fed=$fs mono=$ms") // same docs in the same rank order
+    fs.zip(ms).foreach { case (f, m) => assert(math.abs(f._3 - m._3) < 1e-9) }
+    // unranked AND + phrase go through the federated path too
+    val (ca, fedAnd) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark join", "--mode", "and")
+    assert(ca == 0 && fedAnd.drop(1).length == 2, fedAnd.mkString("\n"))
+    val (cp, fedPhrase) = captured("search", "--index", s"$s1,$s2",
+      "--query", "join table", "--mode", "phrase")
+    assert(cp == 0 && fedPhrase.drop(1).length == 2)
+    // federated count parity comes free: all wand hits == mono row count
+    assert(fed.length == mono.length)
+    // modes without a federated plan are refused loudly
+    assert(captured("search", "--index", s"$s1,$s2",
+      "--query", "spark", "--mode", "mlt")._1 == 2)
+  }
+
+  test("phrase-prefix search mode completes the last token from the dictionary") {
+    // fresh mono index from the federated test's build
+    val m1 = s"$root/idx_mono"
+    // "spark jo" -> 'jo' expands to {join}: both "spark ... join table" docs
+    // have spark immediately before join? c1/0 "spark join table" yes;
+    // c2/1 "spark shuffle join table" no (shuffle intervenes) at slop 0
+    val (c1, out1) = captured("search", "--index", m1,
+      "--query", "spark jo", "--mode", "phrase-prefix")
+    assert(c1 == 0 && out1.drop(1).length == 1, out1.mkString("\n"))
+    val (c2, out2) = captured("search", "--index", m1,
+      "--query", "spark jo", "--mode", "phrase-prefix", "--slop", "1")
+    assert(c2 == 0 && out2.drop(1).length == 2, out2.mkString("\n"))
+  }
 }

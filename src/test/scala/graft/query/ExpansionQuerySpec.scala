@@ -161,4 +161,55 @@ class ExpansionQuerySpec extends SparkSpec {
     assert(searcher.didYouMean("go", maxEdits = 1, n = 5).count() == 0)
     assert(searcher.didYouMean("", 2, 5).count() == 0)
   }
+
+  // match_phrase_prefix corpus: "jo" expands to {join, joke}; jam does not
+  // continue the phrase; docs 4/6 test slop windows; doc 8 repeated tokens.
+  private lazy val pp = {
+    val rows = Seq(
+      (0L, 1L, "spark join table"), (1L, 2L, "spark joke here"),
+      (2L, 3L, "spark jam"), (3L, 4L, "join spark"),
+      (4L, 5L, "go spark"), (5L, 6L, "spark go join"),
+      (6L, 7L, "joke"), (7L, 8L, "go go gone"))
+    new Searcher(IndexBuilder.build(
+      rows.toDF("doc_ord", "doc_id", "text"), analyzer).cache(), analyzer)
+  }
+
+  test("matchPhrasePrefix: last token expands, any expansion completes the phrase") {
+    // "spark jo" -> spark followed by join|joke: docs 1, 2 (not 3: jam)
+    assert(ids(pp.matchPhrasePrefix("spark jo")) == Seq(1L, 2L))
+    // uniquely-expanding prefix ≡ the exact phrase
+    assert(ids(pp.matchPhrasePrefix("spark joi")) == ids(pp.phraseQuery("spark join")))
+    // single-token phrase ≡ prefixQuery's OR set
+    assert(ids(pp.matchPhrasePrefix("jo")) == ids(pp.prefixQuery("jo")))
+  }
+
+  test("matchPhrasePrefix: slop widens the window with phraseQuery semantics") {
+    // doc 6 "spark go join": gap of 1 between spark and join
+    assert(ids(pp.matchPhrasePrefix("spark jo", slop = 1)) == Seq(1L, 2L, 6L))
+    // unordered window at slop 2 also admits the reversal (doc 4), exactly
+    // like phraseQuery's documented unordered slop semantics
+    assert(ids(pp.matchPhrasePrefix("spark jo", slop = 2)) == Seq(1L, 2L, 4L, 6L))
+  }
+
+  test("matchPhrasePrefix: expansion truncation, repeated tokens, edge cases") {
+    // maxExpansions=1 keeps the highest-df expansion: join (df 3) beats
+    // joke (df 2) -> only the exact "spark join" doc survives
+    assert(ids(pp.matchPhrasePrefix("spark jo", maxExpansions = 1)) == Seq(1L))
+    // repeated exact tokens each occupy their own slot
+    assert(ids(pp.matchPhrasePrefix("go go go")) == Seq(8L))
+    // unknown exact term / unexpandable prefix / empty input -> empty
+    assert(pp.matchPhrasePrefix("zzz jo").count() == 0)
+    assert(pp.matchPhrasePrefix("spark zz").count() == 0)
+    assert(pp.matchPhrasePrefix("").count() == 0)
+    intercept[IllegalArgumentException] { pp.matchPhrasePrefix("spark jo", slop = -1) }
+    intercept[IllegalArgumentException] { pp.matchPhrasePrefix("spark jo", maxExpansions = 0) }
+  }
+
+  test("matchPhrasePrefix ranked: TF-IDF over exact terms + expansions, desc order") {
+    val rows = pp.matchPhrasePrefix("spark jo", ranked = true)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.map(_._1).toSet == Set(1L, 2L))
+    assert(rows.forall(_._2 > 0.0))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sortBy(-(_: Double)))
+  }
 }

@@ -1,0 +1,211 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.analysis.Analyzer
+import graft.index.{BlockParams, IndexBuilder}
+import graft.storage.{ParquetIndexStorage, StorageParams}
+import org.apache.spark.sql.DataFrame
+
+/** Federation == monolithic: every federated query over independently
+  * built slices must be rank-identical (scores float-exact) to the same
+  * query against ONE index over the union corpus — the global-statistics
+  * contract (N, avgdl, df merged across slices). The corpus is built so
+  * slice-local stats are WRONG answers: doc lengths differ across slices
+  * (slice avgdl ≠ global avgdl) and some terms live in one slice only
+  * (slice df ≠ global df), so any stats leak fails the float comparison.
+  */
+class FederationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val analyzer = Analyzer.standard()
+
+  // Deterministic skewed corpus: 30 docs, lengths 1..8 tokens, the word
+  // pool weighted so df varies; "zz" appears ONLY in slice-0 docs and
+  // "qq" ONLY in slice-2 docs (doc_id % 3 slicing below).
+  private val pool =
+    Vector("go", "ruby", "php", "java", "spark", "join", "table", "scan")
+  private lazy val corpus: Seq[(Long, Long, String)] =
+    (0 until 30).map { i =>
+      val len = 1 + (i * 7 + 3) % 8
+      val words = (0 until len).map(j => pool((i * 5 + j * 11 + i * j) % pool.size))
+      val extra =
+        if (i % 3 == 0 && i % 2 == 0) Seq("zz")
+        else if (i % 3 == 2 && i % 5 == 0) Seq("qq")
+        else Nil
+      (i.toLong, (i + 1).toLong, (words ++ extra).mkString(" "))
+    }
+
+  private def df(rows: Seq[(Long, Long, String)]): DataFrame =
+    rows.toDF("doc_ord", "doc_id", "text")
+
+  private lazy val mono =
+    new Searcher(IndexBuilder.build(df(corpus), analyzer).cache(), analyzer)
+
+  // Three slices split by doc_id % 3, each REBUILT standalone: fresh dense
+  // slice-local ordinals, slice-local dictionary/df/avgdl.
+  private def sliceRows(r: Int): Seq[(Long, Long, String)] =
+    corpus.filter(_._2 % 3 == r).zipWithIndex
+      .map { case ((_, id, text), ord) => (ord.toLong, id, text) }
+
+  private lazy val fed = Federation(
+    (0 until 3).map(r => IndexBuilder.build(df(sliceRows(r)), analyzer).cache()),
+    analyzer)
+
+  private def scoresOf(res: DataFrame): Map[Long, Double] =
+    res.select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+  private def rankedIds(res: DataFrame): Seq[Long] =
+    res.select("doc_id").collect().map(_.getLong(0)).toSeq
+
+  private def idSet(res: DataFrame): Set[Long] =
+    res.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("global stats: federation N/avgdl == monolithic") {
+    assert(fed.numDocs == mono.index.numDocs)
+    assert(math.abs(fed.avgDocLen - mono.index.avgDocLen) < 1e-12)
+  }
+
+  test("bm25All: federated scores are float-exact vs monolithic, ranks identical") {
+    for (q <- Seq("go ruby", "spark join table", "zz", "qq go", "scan")) {
+      val m = scoresOf(mono.bm25All(q))
+      val f = scoresOf(fed.bm25All(q))
+      assert(f.keySet == m.keySet, s"matched set for '$q'")
+      f.foreach { case (id, s) =>
+        assert(math.abs(s - m(id)) < 1e-12, s"score of doc $id for '$q'")
+      }
+      assert(rankedIds(fed.bm25All(q)) == rankedIds(mono.bm25All(q)),
+        s"rank order for '$q'") // mono tie-break doc_ord tracks doc_id here
+    }
+  }
+
+  test("bm25TopK: scatter-gather k-cut == monolithic top-k") {
+    for (q <- Seq("go ruby", "zz go", "spark join"); k <- Seq(1, 3, 7)) {
+      val m = mono.bm25TopK(q, k)
+      val f = fed.bm25TopK(q, k)
+      assert(rankedIds(f) == rankedIds(m), s"'$q' k=$k")
+      val (ms, fs) = (scoresOf(m), scoresOf(f))
+      fs.foreach { case (id, s) => assert(math.abs(s - ms(id)) < 1e-12) }
+    }
+  }
+
+  test("bm25TopKWand: per-slice pruning with global weights stays lossless") {
+    val metrics = Some(WandMetrics(spark))
+    for (q <- Seq("go ruby", "spark join table", "qq")) {
+      val f = fed.bm25TopKWand(q, 5, metrics)
+      val e = fed.bm25TopK(q, 5)
+      assert(rankedIds(f) == rankedIds(e), s"'$q'")
+      val (es, fs) = (scoresOf(e), scoresOf(f))
+      fs.foreach { case (id, s) => assert(math.abs(s - es(id)) < 1e-9) }
+    }
+    assert(metrics.get.blocksTotal.value > 0) // WAND actually ran per slice
+  }
+
+  test("bm25TopKBatch: federated == monolithic (q_id, rank, doc, score)") {
+    val queries = Seq("go ruby", "spark join", "zz", "", "nosuchterm", "qq scan")
+    val k = 4
+    val m = mono.bm25TopKBatch(queries, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2) + 1, r.getDouble(3))) // ord→id
+      .sortBy(t => (t._1, t._2))
+    val f = fed.bm25TopKBatch(queries, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(f.length == m.length)
+    f.zip(m).foreach { case ((fq, fr, fid, fs), (mq, mr, mid, ms)) =>
+      assert(fq == mq && fr == mr && fid == mid, s"row ($fq,$fr)")
+      assert(math.abs(fs - ms) < 1e-12)
+    }
+  }
+
+  test("matchQuery / countMatches: AND and OR sets == monolithic") {
+    for ((q, logic) <- Seq(("go ruby", And), ("go ruby", Or), ("zz", And),
+        ("zz qq", Or), ("zz qq", And), ("nosuch", Or), ("", And))) {
+      assert(idSet(fed.matchQuery(q, logic)) ==
+        idSet(mono.matchQuery(q, logic)), s"'$q' $logic")
+      assert(fed.countMatches(q, logic) == mono.countMatches(q, logic))
+    }
+    // federated unranked output is ordered by the tie key
+    val ids = rankedIds(fed.matchQuery("go", Or))
+    assert(ids == ids.sorted)
+  }
+
+  test("phraseQuery: positional matching unions losslessly across slices") {
+    for ((p, slop) <- Seq(("go ruby", 0), ("go ruby", 2), ("spark join", 0),
+        ("ruby go", 1), ("nosuch phrase", 0))) {
+      assert(idSet(fed.phraseQuery(p, slop)) ==
+        idSet(mono.phraseQuery(p, slop = slop)), s"'$p' slop=$slop")
+    }
+  }
+
+  test("facetCounts: per-slice facet partials re-aggregate to monolithic counts") {
+    // facet by text length parity via a derived docs column is not available;
+    // use doc parity through a docs column: rebuild with a facet column
+    val facetRows = corpus.map { case (ord, id, text) =>
+      (ord, id, text, if (id % 2 == 0) "even" else "odd")
+    }
+    val monoF = new Searcher(IndexBuilder.build(
+      facetRows.toDF("doc_ord", "doc_id", "text", "par"), analyzer).cache(), analyzer)
+    val slices = (0 until 3).map { r =>
+      val rows = facetRows.filter(_._2 % 3 == r).zipWithIndex
+        .map { case ((_, id, text, par), ord) => (ord.toLong, id, text, par) }
+      IndexBuilder.build(rows.toDF("doc_ord", "doc_id", "text", "par"), analyzer).cache()
+    }
+    val fedF = Federation(slices, analyzer)
+    def counts(res: DataFrame): Map[String, Long] =
+      res.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts(fedF.facetCounts("go ruby", Or, "par")) ==
+      counts(monoF.facetCounts("go ruby", Or, "par")))
+  }
+
+  test("single-slice federation ≡ monolithic searcher") {
+    val one = Federation(Seq(IndexBuilder.build(df(corpus), analyzer).cache()), analyzer)
+    val q = "go ruby spark"
+    assert(scoresOf(one.bm25All(q)) == scoresOf(mono.bm25All(q)))
+    assert(idSet(one.matchQuery(q, And)) == idSet(mono.matchQuery(q, And)))
+  }
+
+  test("persisted slices federate through ofPersisted with WAND parity") {
+    val dirs = (0 until 3).map { r =>
+      val path = java.nio.file.Files.createTempDirectory("graft_fedslice_").toString + "/idx"
+      ParquetIndexStorage.build(df(sliceRows(r)), analyzer, path,
+        StorageParams(termBuckets = 4, writeGroups = 2,
+          blockParams = BlockParams(blockSize = 8, bucketSpan = 16)),
+        sourceDesc = s"fed spec slice $r")
+      path
+    }
+    val pfed = Federation.ofPersisted(
+      dirs.map(ParquetIndexStorage.read(spark, _)), analyzer)
+    for (q <- Seq("go ruby", "zz qq go", "spark join table")) {
+      val m = scoresOf(mono.bm25All(q))
+      val f = scoresOf(pfed.bm25All(q))
+      assert(f.keySet == m.keySet, s"'$q'")
+      f.foreach { case (id, s) => assert(math.abs(s - m(id)) < 1e-12) }
+      assert(rankedIds(pfed.bm25TopKWand(q, 5)) ==
+        rankedIds(mono.bm25TopK(q, 5)), s"WAND '$q'")
+    }
+  }
+
+  test("mismatched persisted BM25 params are refused") {
+    def writeSlice(r: Int, k1: Double): graft.storage.PersistedIndex = {
+      val path = java.nio.file.Files.createTempDirectory("graft_fedbad_").toString + "/idx"
+      ParquetIndexStorage.build(df(sliceRows(r)), analyzer, path,
+        StorageParams(termBuckets = 2, writeGroups = 1,
+          blockParams = BlockParams(blockSize = 8, bucketSpan = 16, k1 = k1)),
+        sourceDesc = "fed spec bad")
+      ParquetIndexStorage.read(spark, path)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Federation.ofPersisted(Seq(writeSlice(0, 1.2), writeSlice(1, 0.9)), analyzer)
+    }
+    assert(e.getMessage.contains("k1"))
+  }
+
+  test("unknown and empty keywords yield empty results with the docs schema") {
+    assert(fed.bm25All("nosuchterm").collect().isEmpty)
+    assert(fed.bm25TopK("", 5).collect().isEmpty)
+    assert(fed.bm25TopKWand("nosuchterm", 5).collect().isEmpty)
+    assert(fed.bm25TopKBatch(Seq("nosuchterm", ""), 5).collect().isEmpty)
+    val cols = fed.bm25All("nosuchterm").columns.toSeq
+    assert(cols.contains("doc_id") && cols.contains("score") && !cols.contains("doc_ord"))
+  }
+}
