@@ -98,6 +98,15 @@ object Bench {
       (0 until 200).map(i => graft.query.Percolator.StoredQuery(i.toLong,
         if (i % 2 == 0) "spark join" else "vector window group",
         if (i % 3 == 0) And else Or)), analyzer).count())
+    // federated scatter-gather over two independently built slices with
+    // merged global stats: per-query cost = two pruned slice plans + a
+    // <= 2k-row gather (rank-identical to the monolithic index; the
+    // per-query delta vs q_bm25_exhaustive is the fan-out overhead)
+    val fed = graft.query.Federation(
+      (0 until 2).map(r => graft.index.IndexBuilder.build(
+        docs.filter(col("doc_id") % 2 === r), analyzer).cache()),
+      analyzer)
+    timed("q_federated_bm25")(fed.bm25TopK("spark join table", 10).collect())
 
     // ---- WAND pruning win on a corpus big enough to prune -----------------
     // The sf documents tables are tiny (5k docs, 31-term vocab) — every

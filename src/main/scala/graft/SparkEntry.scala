@@ -317,6 +317,12 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_boosting" -> ((s, d) => // ES boosting query: BM25('spark join'),
+      // docs containing 'window' demoted x0.5 (not excluded)
+      searcher(s, d).bm25TopKBoosting("spark join", "window", 0.5, 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_phrase_prefix" -> ((s, d) => // match_phrase_prefix "the s": 's'
       // expands to {scan, slow, small, sort, spark, stream} against the
       // dictionary; a doc matches when 'the' is immediately followed by
@@ -1219,6 +1225,29 @@ object SparkEntry {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_boosting" -> // BM25('spark','join'), x0.5 where the doc contains 'window'
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window'),
+         |base AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT b.doc_id,
+         |  round(CASE WHEN n.doc_id IS NULL THEN b.score ELSE b.score * 0.5 END, 6) AS score
+         |FROM base b LEFT JOIN neg n USING (doc_id)
          |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_phrase_prefix" -> // 'the' adjacent to any dictionary term LIKE 's%'

@@ -71,6 +71,34 @@ object PlanProbe {
     // sigterms is the documented exception: postings scan NOT term-pruned
     // (matched-set-proportional by design)
     audit("sigterms", s.significantTerms("spark join", And, 10, 2))
+    // later round-3 additions
+    audit("grouped", s.bm25TopKGrouped("spark join", "source", 10, "sum"))
+    audit("sortby", s.matchTopKSortBy("spark join", And, "n_chars", 10))
+    audit("cardinality", s.facetCardinality("spark join", Or, "source"))
+    audit("facet_date", s.facetDateHistogram("spark join", Or,
+      date_add(to_date(lit("2025-01-01")), (col("doc_id") % 400).cast("int"))
+        .cast("timestamp"), "month"))
+    // rescore phase two: window-restricted phrase + scoring aggregations
+    audit("rescore", s.bm25TopKRescore("spark join", "join table",
+      windowSize = 100, k = 10, rescoreWeight = 0.7))
+    // phrase-prefix: one pruned scan for exact terms + expansion set
+    audit("phrase_prefix", s.matchPhrasePrefix("the s"))
+    // boosting: positive scoring scan + negative matched scan, doc-keyed join
+    audit("boosting", s.bm25TopKBoosting("spark join", "window", 0.5, 10))
+
+    // federation: per-slice plans must keep their slice-local t_bucket
+    // pruning; the gather is a union of per-slice TakeOrdered cuts
+    val fedDocs = (0 until 2).map(r => docs.filter(col("doc_id") % 2 === r))
+    val fedPaths = fedDocs.zipWithIndex.map { case (d, i) =>
+      val p = graft.LocalTmp.dir("graft_planprobe_fed_") + s"/slice$i"
+      ParquetIndexStorage.build(d, analyzer, p,
+        StorageParams(termBuckets = 8, writeGroups = 2), sourceDesc = s"$sfDir %2==$i")
+      p
+    }
+    val fed = graft.query.Federation.ofPersisted(
+      fedPaths.map(ParquetIndexStorage.read(spark, _)), analyzer)
+    audit("fed_bm25_topk", fed.bm25TopK("spark join", 10))
+    audit("fed_match_or", fed.matchQuery("spark join", Or))
     spark.stop()
   }
 }

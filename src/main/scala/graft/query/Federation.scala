@@ -179,6 +179,48 @@ final class Federation private (
     }
   }
 
+  /** Federated batch BM25 top-k WITH block-max WAND pruning — the realistic
+    * offline query-service shape across slices: per slice, ONE pruned
+    * blocks scan for the union of the set's terms with every query's WAND
+    * run per doc bucket ([[BlockMaxWand.topKBatch]], global idf/avgdl
+    * injected — bounds stay lossless), per-slice per-query k already cut
+    * by WAND's heaps, one gather window. Rank-identical to
+    * [[bm25TopKBatch]] (pinned in FederationSpec). */
+  def bm25TopKBatchWand(keywords: Seq[String], k: Int,
+      metrics: Option[WandMetrics] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms: Seq[(Int, String)] = keywords.zipWithIndex.flatMap {
+      case (kw, qi) => analyzer.terms(kw).distinct.map(t => (qi, t))
+    }
+    val rtss = resolveGlobal(qTerms.map(_._2).distinct)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score") +: tieAsc: _*)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty =>
+        val byTerm = rts.map(rt => rt.term -> rt).toMap
+        val queries: Map[Int, Map[Long, Double]] = qTerms
+          .flatMap { case (qi, t) =>
+            byTerm.get(t).map(rt => (qi, rt.termId, s.bm25Idf(rt.df))) }
+          .groupBy(_._1)
+          .map { case (qi, rows) => qi -> rows.map(r => r._2 -> r._3).toMap }
+        s.index.docs
+          .join(BlockMaxWand.topKBatch(s.blocks, queries, k, s.blockParams,
+            s.index.avgDocLen, metrics).drop("rank"), "doc_ord")
+          .drop("doc_ord")
+    }
+    val keyThenScore = (tieCols.map(col) :+ col("score")).toArray
+    unionAll(parts) match {
+      case None =>
+        emptyDocs(withScore = true)
+          .select(lit(0).as("q_id") +: lit(0L).as("rank") +: keyThenScore: _*)
+          .limit(0)
+      case Some(all) =>
+        all.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("q_id") +: col("rank").cast("long").as("rank") +: keyThenScore: _*)
+    }
+  }
+
   /** Federated MatchQuery (AND/OR), unranked. Slice-local evaluation is
     * already globally correct: a term absent from a slice's dictionary is
     * absent from the slice's corpus, so AND yields nothing there and OR

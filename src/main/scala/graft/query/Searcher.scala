@@ -992,6 +992,34 @@ final class Searcher(
       .limit(k)
   }
 
+  /** Boosting query (Elasticsearch `boosting`): ranked by the positive
+    * query's BM25, with docs ALSO matching the negative query demoted —
+    * their score is multiplied by `negativeBoost` ∈ [0, 1) — instead of
+    * excluded (the difference from NOT: "prefer spark docs, but bury the
+    * deprecated ones" keeps them retrievable). The negative side is an
+    * ordinary unranked match (`negLogic` AND/OR) whose matched ordinals
+    * left-join the scored aggregation — one extra pruned postings scan,
+    * both sides doc-keyed. Results (score desc, doc_ord asc), k rows. */
+  def bm25TopKBoosting(positive: String, negative: String,
+      negativeBoost: Double, k: Int, negLogic: Logic = Or): DataFrame = {
+    require(negativeBoost >= 0.0 && negativeBoost < 1.0,
+      s"negativeBoost must be in [0, 1) — 1 would be a no-op; got $negativeBoost")
+    val rts = resolve(analyzer.terms(positive).distinct)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val scored = scoredMatches(rts, bm25Expr).select("doc_ord", "score")
+    val combined = matchedAgg(negative, negLogic, ranked = false) match {
+      case None => scored // no resolvable negative: plain ranking
+      case Some(neg) =>
+        scored.join(neg.select(col("doc_ord"), lit(true).as("neg_hit")),
+            Seq("doc_ord"), "left")
+          .withColumn("score",
+            when(col("neg_hit"), col("score") * lit(negativeBoost))
+              .otherwise(col("score")))
+          .drop("neg_hit")
+    }
+    rankedTopK(combined, k)
+  }
+
   /** Cursor pagination (Elasticsearch `search_after`): the k results
     * strictly after the cursor `(afterScore, afterOrd)` — the last row of
     * the previous page — in (score desc, doc_ord asc) order. Page N costs

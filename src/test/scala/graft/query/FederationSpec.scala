@@ -117,6 +117,22 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKBatchWand: federated batch pruning rank-identical to batch") {
+    val queries = Seq("go ruby", "spark join", "zz", "qq scan", "nosuch")
+    val metrics = Some(WandMetrics(spark))
+    def rows(df: DataFrame): Seq[(Int, Long, Long, Double)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    val exh = rows(fed.bm25TopKBatch(queries, 3))
+    val wand = rows(fed.bm25TopKBatchWand(queries, 3, metrics))
+    assert(wand.length == exh.length)
+    wand.zip(exh).foreach { case ((wq, wr, wid, ws), (eq, er, eid, es)) =>
+      assert(wq == eq && wr == er && wid == eid, s"row ($wq,$wr)")
+      assert(math.abs(ws - es) < 1e-9)
+    }
+    assert(metrics.get.blocksTotal.value > 0)
+  }
+
   test("matchQuery / countMatches: AND and OR sets == monolithic") {
     for ((q, logic) <- Seq(("go ruby", And), ("go ruby", Or), ("zz", And),
         ("zz qq", Or), ("zz qq", And), ("nosuch", Or), ("", And))) {

@@ -507,6 +507,39 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKBoosting: negative matches demoted multiplicatively, never dropped") {
+    val base = grouped.bm25All("go ruby").select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap // docs 1,2,3,4
+    // negative 'php' matches docs 3, 4
+    val got = grouped.bm25TopKBoosting("go ruby", "php", 0.4, 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet == base.keySet) // demoted, not excluded
+    got.foreach { case (id, s) =>
+      val want = if (id == 3L || id == 4L) base(id) * 0.4 else base(id)
+      assert(math.abs(s - want) < 1e-12, s"doc $id")
+    }
+    // nb=0 buries but keeps; unknown negative ≡ plain; AND negative logic
+    val zeroed = grouped.bm25TopKBoosting("go ruby", "php", 0.0, 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(zeroed(3L) == 0.0 && zeroed(4L) == 0.0 && zeroed.keySet == base.keySet)
+    val unk = grouped.bm25TopKBoosting("go ruby", "zzz", 0.4, 10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    unk.foreach { case (id, s) => assert(math.abs(s - base(id)) < 1e-12) }
+    // negLogic=And: 'go php' AND matches only doc 3
+    val andNeg = grouped.bm25TopKBoosting("go ruby", "go php", 0.5, 10, And)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(andNeg(3L) - base(3L) * 0.5) < 1e-12)
+    assert(math.abs(andNeg(4L) - base(4L)) < 1e-12)
+    intercept[IllegalArgumentException] {
+      grouped.bm25TopKBoosting("go", "php", 1.0, 10)
+    }
+    assert(grouped.bm25TopKBoosting("zzz", "php", 0.4, 10).collect().isEmpty)
+  }
+
   test("Japanese corpus end-to-end: lattice morphology + kana readings") {
     // the reference's Japanese pipeline shape (morphological tokenizer +
     // reading-form filter) over the in-repo lattice analyzer: queries
