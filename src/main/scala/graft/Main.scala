@@ -366,7 +366,11 @@ object Main {
     val slices = paths.map(ParquetIndexStorage.read(spark, _))
     val keyCols = slices.map(_.manifest.keyCols).distinct match {
       case Seq(kc) if kc.nonEmpty => kc
-      case Seq(_) => Seq("doc_id") // keymap-less slices need a stable id col
+      case Seq(_) if slices.head.index.docs.columns.contains("doc_id") =>
+        Seq("doc_id") // keymap-less slices with an explicit stable id col
+      case Seq(_) => throw new IllegalArgumentException(
+        "federated search needs a stable per-doc key: build slices with a " +
+          "keymap (the default) or include a doc_id column in the input")
       case other => throw new IllegalArgumentException(
         s"slices disagree on key columns: $other")
     }

@@ -53,10 +53,18 @@ final class Federation private (
     * substituted: slice-local term_id/bucket (postings pruning stays
     * slice-correct), df summed across every slice that knows the term.
     * Query order is preserved per slice; terms unknown to a slice are
-    * absent from that slice's seq (they cannot match there). */
+    * absent from that slice's seq (they cannot match there). The per-slice
+    * dictionary lookups are independent vocab-sized collects, so they run
+    * CONCURRENTLY — at realistic slice counts (30 day-slices) serializing
+    * them would stack scheduler latency ahead of any scoring work. */
   private def resolveGlobal(terms: Seq[String]): Seq[Seq[ResolvedTerm]] = {
-    val perSlice: Seq[Map[String, ResolvedTerm]] =
-      sliceSearchers.map(_.resolve(terms).map(rt => rt.term -> rt).toMap)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val perSlice: Seq[Map[String, ResolvedTerm]] = Await.result(
+      Future.sequence(sliceSearchers.map(s =>
+        Future(s.resolve(terms).map(rt => rt.term -> rt).toMap))),
+      Duration.Inf)
     val globalDf: Map[String, Long] = terms.distinct.map { t =>
       t -> perSlice.flatMap(_.get(t)).map(_.df).sum
     }.toMap
@@ -118,7 +126,15 @@ final class Federation private (
     * injected (bounds recomputed from the stored `(max_tf, min_dl)`, so
     * pruning stays lossless under federated stats), per-slice k cut,
     * ≤ slices·k gather. One shared `metrics` accumulates skip rates
-    * across slices. */
+    * across slices.
+    *
+    * Tie-break caveat: WAND's slice-internal k cut breaks exact-score ties
+    * by `doc_ord`, so rank identity at a slice's k boundary additionally
+    * requires ordinals assigned in `tieCols` order — true for every index
+    * this library builds (the builder's stable-ordering contract), but not
+    * enforceable here without a corpus scan. A hand-assembled [[TextIndex]]
+    * with ordinals out of key order can keep a different member of an
+    * exact-score tie straddling the boundary. */
   def bm25TopKWand(keyword: String, k: Int,
       metrics: Option[WandMetrics] = None): DataFrame = {
     val rtss = resolveGlobal(analyzer.terms(keyword).distinct)
@@ -144,13 +160,36 @@ final class Federation private (
     * global idf weights, per-(slice, q_id) k cut, then one gather window
     * over ≤ slices·queries·k rows. Returns `(q_id, rank, tieCols…, score)`
     * — ranks and scores identical to the monolithic batch path. */
-  def bm25TopKBatch(keywords: Seq[String], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qTerms: Seq[(Int, String)] = keywords.zipWithIndex.flatMap {
+  /** `(q_id, term)` slots for a batch query set, analyzer applied once. */
+  private def batchSlots(keywords: Seq[String]): Seq[(Int, String)] =
+    keywords.zipWithIndex.flatMap {
       case (kw, qi) => analyzer.terms(kw).distinct.map(t => (qi, t))
     }
-    val distinctTerms = qTerms.map(_._2).distinct
-    val rtss = resolveGlobal(distinctTerms)
+
+  /** The shared batch gather: one window over ≤ slices·queries·k per-slice
+    * survivors, cut to k per q_id, projected to
+    * `(q_id, rank, tieCols…, score)`. */
+  private def gatherBatch(parts: Seq[DataFrame], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("score") +: tieAsc: _*)
+    val keyThenScore = (tieCols.map(col) :+ col("score")).toArray
+    unionAll(parts) match {
+      case None =>
+        emptyDocs(withScore = true)
+          .select(lit(0).as("q_id") +: lit(0L).as("rank") +: keyThenScore: _*)
+          .limit(0)
+      case Some(all) =>
+        all.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("q_id") +: col("rank").cast("long").as("rank") +: keyThenScore: _*)
+    }
+  }
+
+  def bm25TopKBatch(keywords: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = batchSlots(keywords)
+    val rtss = resolveGlobal(qTerms.map(_._2).distinct)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("score") +: tieAsc: _*)
     val parts = sliceSearchers.zip(rtss).collect {
@@ -166,17 +205,7 @@ final class Federation private (
           .filter(col("rank") <= k)
           .drop("rank")
     }
-    val keyThenScore = (tieCols.map(col) :+ col("score")).toArray
-    unionAll(parts) match {
-      case None =>
-        emptyDocs(withScore = true)
-          .select(lit(0).as("q_id") +: lit(0L).as("rank") +: keyThenScore: _*)
-          .limit(0)
-      case Some(all) =>
-        all.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("q_id") +: col("rank").cast("long").as("rank") +: keyThenScore: _*)
-    }
+    gatherBatch(parts, k)
   }
 
   /** Federated batch BM25 top-k WITH block-max WAND pruning — the realistic
@@ -188,13 +217,8 @@ final class Federation private (
     * [[bm25TopKBatch]] (pinned in FederationSpec). */
   def bm25TopKBatchWand(keywords: Seq[String], k: Int,
       metrics: Option[WandMetrics] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val qTerms: Seq[(Int, String)] = keywords.zipWithIndex.flatMap {
-      case (kw, qi) => analyzer.terms(kw).distinct.map(t => (qi, t))
-    }
+    val qTerms = batchSlots(keywords)
     val rtss = resolveGlobal(qTerms.map(_._2).distinct)
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(desc("score") +: tieAsc: _*)
     val parts = sliceSearchers.zip(rtss).collect {
       case (s, rts) if rts.nonEmpty =>
         val byTerm = rts.map(rt => rt.term -> rt).toMap
@@ -208,17 +232,7 @@ final class Federation private (
             s.index.avgDocLen, metrics).drop("rank"), "doc_ord")
           .drop("doc_ord")
     }
-    val keyThenScore = (tieCols.map(col) :+ col("score")).toArray
-    unionAll(parts) match {
-      case None =>
-        emptyDocs(withScore = true)
-          .select(lit(0).as("q_id") +: lit(0L).as("rank") +: keyThenScore: _*)
-          .limit(0)
-      case Some(all) =>
-        all.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= k)
-          .select(col("q_id") +: col("rank").cast("long").as("rank") +: keyThenScore: _*)
-    }
+    gatherBatch(parts, k)
   }
 
   /** Federated MatchQuery (AND/OR), unranked. Slice-local evaluation is
@@ -278,13 +292,21 @@ object Federation {
 
   /** Federate persisted slices (each with its own WAND block table).
     * Scoring parameters must agree across slices — per-slice block maxima
-    * are only comparable under one (k1, b). */
+    * are only comparable under one (k1, b) — and every slice must have been
+    * built with the analyzer being queried with: a mixed-vocabulary
+    * federation (one slice stemmed, another not) would silently drop the
+    * differently-analyzed slices' matches and merge df over incomparable
+    * term spaces. */
   def ofPersisted(slices: Seq[PersistedIndex], analyzer: Analyzer,
       tieCols: Seq[String] = Seq("doc_id")): Federation = {
     require(slices.nonEmpty, "federation needs at least one slice")
     val params = slices.map(p => (p.manifest.k1, p.manifest.b)).distinct
     require(params.size == 1,
       s"slices disagree on BM25 params (k1, b): $params — rebuild or rescore")
+    val analyzers = slices.map(_.manifest.analyzer).distinct
+    require(analyzers == Seq(analyzer.describe),
+      s"analyzer mismatch: slices built with ${analyzers.mkString(" / ")}, " +
+        s"querying with ${analyzer.describe} — federate only same-analyzer slices")
     val globalN = slices.map(_.index.numDocs).sum
     val totalTokens = slices.map(_.index.exactTotalTokens).sum
     val avgdl = if (globalN == 0) 0.0 else totalTokens.toDouble / globalN

@@ -548,12 +548,17 @@ final class Searcher(
     * doc-level match aggregation + one facet-sized aggregation — the
     * matched ordinal set is semi-joined to docs, never sorted. */
   def facetCounts(keyword: String, logic: Logic, facetCol: String): DataFrame =
+    matchedDocs(keyword, logic)
+      .groupBy(col(facetCol)).agg(count(lit(1)).as("n_docs"))
+
+  /** The matched docs frame for (keyword, logic) — the shared front half of
+    * every matched-set facet/sort: one pruned postings scan + the doc-level
+    * match aggregation, matched ordinals joined to docs (never sorted).
+    * Statically-empty matches skip the join and return schema-only docs. */
+  private def matchedDocs(keyword: String, logic: Logic): DataFrame =
     matchedAgg(keyword, logic, ranked = false) match {
-      case None => index.docs.limit(0).groupBy(col(facetCol))
-        .agg(count(lit(1)).as("n_docs"))
-      case Some(matched) =>
-        index.docs.join(matched.select("doc_ord"), "doc_ord")
-          .groupBy(col(facetCol)).agg(count(lit(1)).as("n_docs"))
+      case None          => index.docs.limit(0)
+      case Some(matched) => index.docs.join(matched.select("doc_ord"), "doc_ord")
     }
 
   /** Histogram facet over the matched set — Elasticsearch's histogram
@@ -566,13 +571,7 @@ final class Searcher(
     require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
     val bucket = (floor(col(valueCol).cast("double") / binWidth) * binWidth)
       .cast("long").as("bucket")
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None => index.docs.limit(0).groupBy(bucket)
-        .agg(count(lit(1)).as("n_docs"))
-      case Some(matched) =>
-        index.docs.join(matched.select("doc_ord"), "doc_ord")
-          .groupBy(bucket).agg(count(lit(1)).as("n_docs"))
-    }
+    matchedDocs(keyword, logic).groupBy(bucket).agg(count(lit(1)).as("n_docs"))
   }
 
   /** Significant-terms facet (Elasticsearch `significant_terms`, lift
@@ -618,14 +617,9 @@ final class Searcher(
     * Empty matched set yields one all-null row (count 0), like SQL. */
   def facetStats(keyword: String, logic: Logic, valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
-    def aggStats(df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"), min(v).as("vmin"), max(v).as("vmax"),
+    matchedDocs(keyword, logic)
+      .agg(count(lit(1)).as("n_docs"), min(v).as("vmin"), max(v).as("vmax"),
         sum(v).as("vsum"), avg(v).as("vavg"))
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None => aggStats(index.docs.limit(0))
-      case Some(matched) =>
-        aggStats(index.docs.join(matched.select("doc_ord"), "doc_ord"))
-    }
   }
 
   /** Cardinality facet (Elasticsearch `cardinality` aggregation, exact
@@ -636,15 +630,9 @@ final class Searcher(
     * one row per distinct value per partition, never the matched set. For
     * sketch-sized memory at extreme cardinalities use
     * [[facetCardinalityApprox]]. */
-  def facetCardinality(keyword: String, logic: Logic, facetCol: String): DataFrame = {
-    def cardAgg(df: DataFrame): DataFrame =
-      df.agg(count_distinct(col(facetCol)).as("n_distinct"))
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None => cardAgg(index.docs.limit(0))
-      case Some(matched) =>
-        cardAgg(index.docs.join(matched.select("doc_ord"), "doc_ord"))
-    }
-  }
+  def facetCardinality(keyword: String, logic: Logic, facetCol: String): DataFrame =
+    matchedDocs(keyword, logic)
+      .agg(count_distinct(col(facetCol)).as("n_distinct"))
 
   /** [[facetCardinality]] with a HyperLogLog++ sketch (Elasticsearch's
     * actual `cardinality` implementation): constant memory per partition and
@@ -654,15 +642,9 @@ final class Searcher(
     * `rsd` is the target relative standard deviation (Spark default 0.05);
     * accuracy vs the exact count is pinned in SearcherSpec. */
   def facetCardinalityApprox(keyword: String, logic: Logic, facetCol: String,
-      rsd: Double = 0.05): DataFrame = {
-    def cardAgg(df: DataFrame): DataFrame =
-      df.agg(approx_count_distinct(col(facetCol), rsd).as("n_distinct"))
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None => cardAgg(index.docs.limit(0))
-      case Some(matched) =>
-        cardAgg(index.docs.join(matched.select("doc_ord"), "doc_ord"))
-    }
-  }
+      rsd: Double = 0.05): DataFrame =
+    matchedDocs(keyword, logic)
+      .agg(approx_count_distinct(col(facetCol), rsd).as("n_distinct"))
 
   /** Date-histogram facet (Elasticsearch `date_histogram` with a calendar
     * interval): doc counts per `date_trunc(interval)` bucket of the
@@ -679,13 +661,7 @@ final class Searcher(
     require(allowed.contains(interval),
       s"interval must be one of ${allowed.toSeq.sorted.mkString(", ")}, got $interval")
     val bucket = date_trunc(interval, ts).as("bucket")
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None => index.docs.limit(0).groupBy(bucket)
-        .agg(count(lit(1)).as("n_docs"))
-      case Some(matched) =>
-        index.docs.join(matched.select("doc_ord"), "doc_ord")
-          .groupBy(bucket).agg(count(lit(1)).as("n_docs"))
-    }
+    matchedDocs(keyword, logic).groupBy(bucket).agg(count(lit(1)).as("n_docs"))
   }
 
   /** Sort-by-field top-k (Elasticsearch `sort` on a doc field instead of
@@ -697,13 +673,7 @@ final class Searcher(
   def matchTopKSortBy(keyword: String, logic: Logic, sortCol: String, k: Int,
       ascending: Boolean = true): DataFrame = {
     val key = if (ascending) asc(sortCol) else desc(sortCol)
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None => index.docs.limit(0)
-      case Some(matched) =>
-        index.docs.join(matched.select("doc_ord"), "doc_ord")
-          .orderBy(key, asc("doc_ord"))
-          .limit(k)
-    }
+    matchedDocs(keyword, logic).orderBy(key, asc("doc_ord")).limit(k)
   }
 
   /** Matched docs with the query terms each one actually contains

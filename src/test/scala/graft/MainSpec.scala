@@ -316,8 +316,12 @@ class MainSpec extends SparkSpec {
   }
 
   test("phrase-prefix search mode completes the last token from the dictionary") {
-    // fresh mono index from the federated test's build
-    val m1 = s"$root/idx_mono"
+    val m1 = s"$root/idx_mono" // shared with the federated test; build on demand
+    if (!new java.io.File(m1).exists()) {
+      assert(captured("build", "--input", s"$root/turns", "--index", m1,
+        "--term-buckets", "2", "--write-groups", "1",
+        "--block-size", "8", "--bucket-span", "64")._1 == 0)
+    }
     // "spark jo" -> 'jo' expands to {join}: both "spark ... join table" docs
     // have spark immediately before join? c1/0 "spark join table" yes;
     // c2/1 "spark shuffle join table" no (shuffle intervenes) at slop 0

@@ -216,6 +216,21 @@ class FederationSpec extends SparkSpec {
     assert(e.getMessage.contains("k1"))
   }
 
+  test("querying persisted slices with a different analyzer is refused") {
+    val path = java.nio.file.Files.createTempDirectory("graft_fedana_").toString + "/idx"
+    ParquetIndexStorage.build(df(sliceRows(0)), analyzer, path,
+      StorageParams(termBuckets = 2, writeGroups = 1,
+        blockParams = BlockParams(blockSize = 8, bucketSpan = 16)),
+      sourceDesc = "fed spec analyzer")
+    val stemmed = Analyzer.standard(stem = true) // different vocabulary
+    assume(stemmed.describe != analyzer.describe)
+    val e = intercept[IllegalArgumentException] {
+      Federation.ofPersisted(
+        Seq(ParquetIndexStorage.read(spark, path)), stemmed)
+    }
+    assert(e.getMessage.contains("analyzer mismatch"))
+  }
+
   test("unknown and empty keywords yield empty results with the docs schema") {
     assert(fed.bm25All("nosuchterm").collect().isEmpty)
     assert(fed.bm25TopK("", 5).collect().isEmpty)
