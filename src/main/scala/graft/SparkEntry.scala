@@ -269,6 +269,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_facet_pctl" -> ((s, d) => // percentiles facet (exact flavor) over
+      // the matched set; approx t-digest twin pinned in SearcherSpec
+      searcher(s, d).facetPercentiles("spark join", Or, "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("fraction"), round(col("value"), 6).as("value"))
+        .orderBy("fraction")),
+
     "ft_facet_stats" -> ((s, d) => // stats facet over the matched set
       searcher(s, d).facetStats("spark join", Or, "n_chars")
         .select(col("n_docs"), col("vmin"), col("vmax"),
@@ -645,6 +652,27 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_filtered" -> ((s, d) => { // kNN with the ES PRE-filter: top-k among
+      // label==1 vectors only (never "top-k then filter")
+      val emb = embTable(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+        filter = Some(col("label") === 1))
+        .orderBy("q_id", "rank")
+    }),
+
+    "hyb_rrf" -> ((s, d) => { // hybrid retrieval: BM25('spark join') fused
+      // with exact-cosine ranks of doc 7's embedding via reciprocal-rank
+      // fusion — rank-based, so the two retrievers' incomparable score
+      // scales never mix
+      val emb = embTable(s, d)
+      val qv = emb.filter(col("vec_id") === 7).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toSeq
+      graft.query.Hybrid.bm25VectorTopK(searcher(s, d), emb, "spark join",
+        qv, k = 20, nPerSide = 50)
+        .select(col("doc_id"), round(col("score"), 9).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     "sim_cosine_pairs" -> ((s, d) =>
       Similarity.cosinePairsBlocked(embTable(s, d), "label", threshold = 0.3)
         .orderBy("id_a", "id_b")),
@@ -1008,6 +1036,19 @@ object SparkEntry {
          |FROM scored s JOIN documents d USING (doc_id)
          |WHERE d.lang = 'en'
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_facet_pctl" -> // quantile_cont == Spark percentile: both interpolate
+      // at position f·(n-1) over the sorted matched values (DuckDB only
+      // accepts CONSTANT fractions, hence the union of scalar aggregates)
+      s"""WITH m AS (
+         |  SELECT n_chars::DOUBLE AS v FROM documents
+         |  WHERE list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join')
+         |)
+         |SELECT 0.25::DOUBLE AS fraction, round(quantile_cont(v, 0.25), 6) AS value FROM m
+         |UNION ALL SELECT 0.5::DOUBLE, round(quantile_cont(v, 0.5), 6) FROM m
+         |UNION ALL SELECT 0.75::DOUBLE, round(quantile_cont(v, 0.75), 6) FROM m
+         |UNION ALL SELECT 0.95::DOUBLE, round(quantile_cont(v, 0.95), 6) FROM m
+         |ORDER BY fraction""".stripMargin,
 
     "ft_facet_stats" ->
       s"""SELECT count(*) AS n_docs,
@@ -1687,6 +1728,51 @@ object SparkEntry {
          |)
          |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank, id, cosine
          |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ann_filtered" -> // ES kNN pre-filter: rank only label==1 vectors
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS id,
+         |    round(${cosineSql("e.embedding", "q.qe")}, 6) AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.q_id AND e.label = 1
+         |)
+         |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank, id, cosine
+         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "hyb_rrf" -> // RRF fusion: BM25 ranks (quantized to 6 digits, doc_id
+      // tie-break, top 50) + cosine-vs-doc-7 ranks (same quantization),
+      // fused as sum(1/(60+rank)) — two-term double sums, order-exact
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |    round(sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS s
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+         |        FROM bm QUALIFY r <= 50),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+         |cos AS (SELECT e.vec_id AS doc_id,
+         |          round(${cosineSql("e.embedding", "q.qe")}, 6) AS s
+         |        FROM embeddings e CROSS JOIN q),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+         |       FROM cos QUALIFY r <= 50),
+         |fused AS (SELECT doc_id, sum(1.0 / (60 + r)) AS score
+         |          FROM (SELECT * FROM bmr UNION ALL SELECT * FROM vr)
+         |          GROUP BY doc_id)
+         |SELECT doc_id, round(score, 9) AS score FROM fused
+         |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ann_brute_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

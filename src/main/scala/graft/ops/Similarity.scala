@@ -132,15 +132,23 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: broadcast the (small) query set against
     * the corpus, window-rank per query. The per-query work is a full scan —
-    * the correct baseline and the oracle for `lshTopK`. */
+    * the correct baseline and the oracle for `lshTopK`.
+    *
+    * `filter` is the Elasticsearch kNN PRE-filter: a predicate over the
+    * corpus frame's own columns that restricts WHICH vectors compete —
+    * top-k is taken among survivors (never "top-k then filter", which can
+    * return fewer than k). Applied before the scan, so it pushes down to
+    * the column store. */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      filter: Option[Column] = None
   ): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = filter.map(corpus.filter).getOrElse(corpus)
+    val c = base.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"),
@@ -221,23 +229,37 @@ object Similarity {
       c, planes, tables, dim, seed, portable)
   }
 
+  /** Restrict payload-free candidate pairs to an allowed-id set — the
+    * Elasticsearch kNN PRE-filter on the indexed probes: top-k is taken
+    * among allowed survivors. The id frame's FIRST column is the id; a
+    * left-semi join keeps the candidate rows payload-free, and an
+    * eval-set-sized allow list broadcasts. */
+  private def allowOnly(cand: DataFrame, allowed: Option[DataFrame]): DataFrame =
+    allowed.fold(cand) { a =>
+      cand.join(a.select(col(a.columns.head).as("id")), Seq("id"), "left_semi")
+    }
+
   /** Query a prebuilt [[LshIndex]]: hash only the (small, broadcast) query
     * set, bucket-equality join against the index's candidate table, then
-    * exact-cosine verify + rank on the deduplicated candidates. */
+    * exact-cosine verify + rank on the deduplicated candidates.
+    * `allowed` pre-filters candidates to an id set (see [[allowOnly]]). */
   def lshTopKIndexed(
       index: LshIndex,
       queries: DataFrame,
       k: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None
   ): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
     val qb = lshBucketed(q, "q_id", "q_v",
       index.planes, index.tables, index.dim, index.seed, index.portable)
-    val cand = index.buckets
-      .join(broadcast(qb), Seq("tbl", "bucket"))
-      .filter(col("id") =!= col("q_id"))
-      .select("q_id", "id")
+    val cand = allowOnly(
+      index.buckets
+        .join(broadcast(qb), Seq("tbl", "bucket"))
+        .filter(col("id") =!= col("q_id"))
+        .select("q_id", "id"),
+      allowed)
       .distinct() // union of tables — id pairs only, no vector payload
     val scored = cand
       .join(index.corpus, "id")
@@ -388,14 +410,16 @@ object Similarity {
 
   /** Query a prebuilt [[IvfIndex]]: score the query set against the
     * broadcast codebook, keep each query's top-nprobe centroid lists, and
-    * verify exactly within them. */
+    * verify exactly within them. `allowed` pre-filters the probed lists to
+    * an id set (see [[allowOnly]]). */
   def ivfTopKIndexed(
       index: IvfIndex,
       queries: DataFrame,
       k: Int,
       nprobe: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      allowed: Option[DataFrame] = None
   ): DataFrame = {
     val centVecs = index.centVecs
     require(nprobe >= 1, "need nprobe >= 1")
@@ -429,7 +453,7 @@ object Similarity {
         .drop("cv", "sim", "crk")
     } // (q_id, q_v, cid)
 
-    val scored = assigned.join(probes, Seq("cid"))
+    val scored = allowOnly(assigned, allowed).join(probes, Seq("cid"))
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"),
         round(cosine(col("v"), col("q_v")), 6).as("cosine"))

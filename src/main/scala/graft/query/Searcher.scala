@@ -622,6 +622,51 @@ final class Searcher(
         sum(v).as("vsum"), avg(v).as("vavg"))
   }
 
+  /** Percentiles facet (Elasticsearch `percentiles` aggregation, exact
+    * flavor): linear-interpolation percentiles of the numeric `valueCol`
+    * over the matched set, one row `(fraction, value)` per requested
+    * fraction (the SQL `percentile_cont` definition — position
+    * `f·(n-1)` interpolated between neighbors, so it is
+    * engine-reproducible). Exact percentiles sort the matched values inside
+    * one aggregation buffer; at matched sets where that state is itself
+    * web-scale use [[facetPercentilesApprox]]. */
+  def facetPercentiles(keyword: String, logic: Logic, valueCol: String,
+      fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty, "at least one percentile fraction required")
+    require(fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1], got $fractions")
+    percentileFacet(keyword, logic, valueCol, fractions,
+      v => percentile(v, typedLit(fractions)))
+  }
+
+  /** [[facetPercentiles]] with the t-digest sketch (Spark
+    * `percentile_approx` / Elasticsearch's actual `percentiles`
+    * implementation): constant memory per partition and a sketch-sized
+    * shuffle regardless of matched-set size — the 10^12-doc shape.
+    * `accuracy` trades memory for error (Spark default 10000); closeness to
+    * the exact facet is pinned in SearcherSpec. */
+  def facetPercentilesApprox(keyword: String, logic: Logic, valueCol: String,
+      fractions: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(fractions.nonEmpty, "at least one percentile fraction required")
+    require(fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1], got $fractions")
+    percentileFacet(keyword, logic, valueCol, fractions,
+      v => percentile_approx(v, typedLit(fractions), lit(accuracy))
+        .cast("array<double>"))
+  }
+
+  /** Shared shape of the two percentile facets: matched-ordinal join, ONE
+    * aggregation producing the whole fraction array, then a fraction-sized
+    * posexplode back to rows. */
+  private def percentileFacet(keyword: String, logic: Logic, valueCol: String,
+      fractions: Seq[Double], agg: Column => Column): DataFrame =
+    matchedDocs(keyword, logic)
+      .agg(agg(col(valueCol).cast("double")).as("_ps"))
+      .select(posexplode_outer(col("_ps")).as(Seq("_i", "value")))
+      .select(
+        element_at(typedLit(fractions), col("_i").cast("int") + 1).as("fraction"),
+        col("value"))
+
   /** Cardinality facet (Elasticsearch `cardinality` aggregation, exact
     * flavor): the number of DISTINCT values of `facetCol` across the matched
     * set, one row `(n_distinct)`. Shape: matched-ordinal join projected to

@@ -626,6 +626,45 @@ class OpsSpec extends SparkSpec {
     assert(again == packed.map(t => (t._1, t._2, t._4)).sorted.toSeq)
   }
 
+  test("pre-filtered kNN: top-k taken among allowed vectors only") {
+    val q = emb.filter(col("vec_id") === 0L)
+    val got = Similarity.bruteForceTopK(emb, q, k = 3,
+      filter = Some(col("label") === 1))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // pre-filter == brute force over the label-1 corpus
+    val want = Similarity.bruteForceTopK(emb.filter(col("label") === 1), q, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).toSet.subsetOf(Set(3L, 4L, 5L)))
+    // never "top-k then filter": the antipode (5) is allowed and must appear
+    // even though it would miss an unfiltered top-3
+    assert(got.map(_._2).contains(5L))
+  }
+
+  test("indexed ANN probes honor the allowed-id pre-filter") {
+    val q = emb.filter(col("vec_id") === 0L)
+    val allowed = emb.filter(col("label") === 1).select("vec_id")
+    // exact config (nprobe == nlist): ivf + allowed == brute over allowed
+    val idx = Similarity.ivfIndex(emb, nlist = 4)
+    val got = Similarity.ivfTopKIndexed(idx, q, k = 3, nprobe = 4,
+      allowed = Some(allowed))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = Similarity.bruteForceTopK(emb.filter(col("label") === 1), q, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // LSH: allowed filter == post-filtering the unfiltered candidate list,
+    // re-ranked densely over the survivors
+    val lidx = Similarity.lshIndex(emb, planes = 2, tables = 4)
+    val unf = Similarity.lshTopKIndexed(lidx, q, k = 6)
+      .filter(col("id").isin(3L, 4L, 5L))
+      .orderBy(org.apache.spark.sql.functions.desc("cosine"), col("id"))
+      .collect().map(_.getLong(2)).toSeq
+    val gotSeq = Similarity.lshTopKIndexed(lidx, q, k = 6, allowed = Some(allowed))
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(gotSeq == unf)
+    assert(gotSeq.nonEmpty && gotSeq.toSet.subsetOf(Set(3L, 4L, 5L)))
+  }
+
   test("multimodal plumbing: schema, determinism, stub features") {
     val withMedia = Multimodal.withSyntheticMedia(docs)
     assert(withMedia.schema("media").dataType.typeName == "binary")

@@ -380,6 +380,27 @@ class SearcherSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
 
+  test("facetPercentiles: interpolated fractions over the matched set") {
+    // matched values: [10, 20, 30, 44]; position f·(n-1) interpolation
+    val got = grouped.facetPercentiles("go ruby", Or, "len",
+      Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val want = Map(0.0 -> 10.0, 0.25 -> 17.5, 0.5 -> 25.0, 0.75 -> 33.5, 1.0 -> 44.0)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (f, v) => assert(math.abs(got(f) - v) < 1e-9, s"f=$f") }
+    // empty matched set: one null row per fraction (SQL aggregate semantics)
+    val empty = grouped.facetPercentiles("zzz", Or, "len", Seq(0.5)).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(1))
+    // t-digest twin stays within the value range and near exact at tiny n
+    val approx = grouped.facetPercentilesApprox("go ruby", Or, "len", Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(approx >= 10.0 && approx <= 44.0)
+    intercept[IllegalArgumentException](
+      grouped.facetPercentiles("go", Or, "len", Nil))
+    intercept[IllegalArgumentException](
+      grouped.facetPercentiles("go", Or, "len", Seq(1.5)))
+  }
+
   test("significantTerms: lift ranks over-represented terms in the matched set") {
     // query 'go' (OR): matched docs 1,2,3 of 5; df_in/df: go 3/3, ruby 2/3, php 1/2
     val rows = grouped.significantTerms("go", Or, topN = 10, minDocCount = 1)
