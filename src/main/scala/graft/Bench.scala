@@ -107,6 +107,12 @@ object Bench {
         docs.filter(col("doc_id") % 2 === r), analyzer).cache()),
       analyzer)
     timed("q_federated_bm25")(fed.bm25TopK("spark join table", 10).collect())
+    // hybrid retrieval: BM25 ranks + exact-cosine ranks fused via RRF —
+    // each side its own top-100 plan, fusion touches <= 200 rank rows
+    val hybQv = emb.filter(col("vec_id") === 7).select("embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    timed("q_hybrid_rrf")(graft.query.Hybrid.bm25VectorTopK(
+      searcher, emb, "spark join", hybQv, k = 20, nPerSide = 100).collect())
 
     // ---- WAND pruning win on a corpus big enough to prune -----------------
     // The sf documents tables are tiny (5k docs, 31-term vocab) — every

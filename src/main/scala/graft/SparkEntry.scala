@@ -324,6 +324,28 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_context" -> ((s, d) => { // conversation-context fetch: ±2 turns of
+      // each BM25 top-5 hit's conversation (conv/turn synthesized from
+      // doc_id — the documents table carries no conversation key)
+      val docs = docsTable(s, d)
+        .withColumn("doc_ord", col("doc_id"))
+        .withColumn("conv", (col("doc_id") / 10).cast("long"))
+        .withColumn("turn", (col("doc_id") % 10).cast("int"))
+      val hits = graft.query.Hybrid.ranks(
+        searcher(s, d).bm25All("spark join").select(col("doc_id"), col("score")), 5)
+        .select(col("doc_id").as("doc_ord"))
+      graft.query.Searcher.contextWindows(docs, hits, "conv", "turn", window = 2)
+        .select(col("hit_ord"), col("doc_id"), col("offset"))
+        .orderBy("hit_ord", "offset")
+    }),
+
+    "ft_lmdirichlet" -> ((s, d) => // pluggable similarity: LM Dirichlet
+      // (Zhai & Lafferty / Lucene LMDirichletSimilarity) over the same
+      // one-scan plan as BM25
+      searcher(s, d).lmDirichletAll("spark join")
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_boosting" -> ((s, d) => // ES boosting query: BM25('spark join'),
       // docs containing 'window' demoted x0.5 (not excluded)
       searcher(s, d).bm25TopKBoosting("spark join", "window", 0.5, 10000)
@@ -1266,6 +1288,54 @@ object SparkEntry {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
+         |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_context" -> // ±2-turn windows (conv = doc_id//10, turn = doc_id%10)
+      // around the BM25 top-5 (quantized rank, doc_id tie-break)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |    round(sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS s
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |hits AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+         |         FROM bm QUALIFY r <= 5)
+         |SELECT h.doc_id AS hit_ord, d.doc_id,
+         |  (d.doc_id % 10 - h.doc_id % 10)::INTEGER AS "offset"
+         |FROM hits h JOIN documents d
+         |  ON d.doc_id // 10 = h.doc_id // 10
+         | AND abs(d.doc_id % 10 - h.doc_id % 10) <= 2
+         |ORDER BY hit_ord, "offset"""".stripMargin,
+
+    "ft_lmdirichlet" -> // query likelihood, Dirichlet μ=2000: per matched
+      // term ln(1 + tf/(μ·cf/|C|)), plus |q∩d|·ln(μ/(dl+μ)) once per doc
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |ctot AS (SELECT count(*) AS c FROM toks),
+         |cf AS (SELECT term, count(*) AS cf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln(1 + tf.tf::DOUBLE / (2000.0 * cf.cf / ctot.c)))
+         |      + count(*) * ln(2000.0 / (tc.token_count + 2000.0)) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN cf USING (term) CROSS JOIN ctot
+         |  GROUP BY tf.doc_id, tc.token_count)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
          |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_boosting" -> // BM25('spark','join'), x0.5 where the doc contains 'window'

@@ -19,6 +19,34 @@ object Searcher {
     * that genuinely distinct BM25 scores almost never share a bucket. */
   val PageGrain: Int = 9
 
+  /** Conversation-context fetch — the serving step after retrieval on a
+    * transcripts corpus (what a RAG pipeline feeds the model): for every
+    * hit turn, the turns of the SAME conversation within ±`window` of it,
+    * tagged `(hit_ord, offset)` (offset 0 = the hit itself; conversation
+    * boundaries clamp naturally — missing neighbors are simply absent).
+    *
+    * `hits` carries `doc_ord` (any matched/ranked result — top-k-sized),
+    * so the hit keys BROADCAST: one broadcast-hash-join pass over `docs`
+    * (equi-key = the conversation column, the window bound as a residual
+    * condition), no corpus shuffle, no self-join of the docs table.
+    * Duplicate hit ordinals are deduped first (a doc reachable from two
+    * queries should contribute one window). A hit appearing in another
+    * hit's window yields one row per (hit, turn) pair — window overlap is
+    * the caller's dedup decision, it is query-dependent. */
+  def contextWindows(docs: DataFrame, hits: DataFrame, convCol: String,
+      turnCol: String, window: Int): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    val hitKeys = docs
+      .join(hits.select("doc_ord").distinct(), "doc_ord")
+      .select(col("doc_ord").as("hit_ord"),
+        col(convCol).as("_hconv"), col(turnCol).as("_hturn"))
+    docs.join(broadcast(hitKeys),
+        docs(convCol) === col("_hconv") &&
+          abs(docs(turnCol) - col("_hturn")) <= window)
+      .withColumn("offset", (docs(turnCol) - col("_hturn")).cast("int"))
+      .drop("_hconv", "_hturn")
+  }
+
   /** The disjunction-max aggregation expression shared by
     * [[Searcher.disMaxTopK]] and [[MultiField.bm25TopKBestFields]]:
     * `max + tieBreaker · (sum − max)` over the grouped per-clause /
@@ -1252,6 +1280,60 @@ final class Searcher(
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
     fetchDocs(scoredMatches(rts, bm25Expr), ranked = true)
   }
+
+  /** [[Searcher.contextWindows]] over this index's docs table — the hits
+    * frame is any of this searcher's matched/ranked results. */
+  def contextWindows(hits: DataFrame, convCol: String, turnCol: String,
+      window: Int): DataFrame =
+    Searcher.contextWindows(index.docs, hits, convCol, turnCol, window)
+
+  // ------------------------------------------- alternative similarity: LM
+
+  /** All matched docs ranked by query likelihood with Dirichlet smoothing
+    * (Zhai & Lafferty 2001 — Lucene's `LMDirichletSimilarity`, the standard
+    * alternative to BM25):
+    *
+    *   score(d) = Σ_{t ∈ q∩d} ln(1 + tf_td / (μ·cf_t/|C|))
+    *            + |q∩d| · ln(μ / (dl_d + μ))
+    *
+    * where cf_t is the term's collection frequency and |C| the corpus token
+    * total — both already in the dictionary/stats (no extra corpus work),
+    * so this compiles to the SAME one-pruned-scan one-doc-aggregation plan
+    * as BM25 with a different score expression. OR semantics over the query
+    * terms, like [[bm25All]]; per-term contributions positive, the
+    * length-norm term negative (longer docs pay more), exactly the Lucene
+    * per-term decomposition summed. μ defaults to Lucene's 2000. */
+  def lmDirichletAll(keyword: String, mu: Double = 2000.0): DataFrame = {
+    require(mu > 0, s"mu must be > 0, got $mu")
+    val terms = analyzer.terms(keyword).distinct
+    if (terms.isEmpty) return emptyDocs(withScore = true).limit(0)
+    require(index.termDict.columns.contains("cf"),
+      "LM-Dirichlet needs collection frequencies (cf) in the term dictionary")
+    val hasBucket = index.termBuckets > 0
+    val cols = if (hasBucket) Seq("term", "term_id", "df", "cf", "t_bucket")
+               else Seq("term", "term_id", "df", "cf")
+    val found = index.termDict.filter(col("term").isin(terms: _*))
+      .select(cols.map(col): _*).collect()
+    if (found.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val rts = found.map(r => ResolvedTerm(r.getString(0), r.getLong(1),
+      r.getLong(2), if (hasBucket) r.getInt(4) else -1)).toSeq
+    val totalC = index.exactTotalTokens.toDouble
+    val weights = found.map(r => (r.getLong(1), mu * r.getLong(3) / totalC))
+      .toSeq.toDF("term_id", "w_lm") // μ·p(t|C): the smoothing denominator
+    val scored = withTokenCount(postingsFor(rts))
+      .join(broadcast(weights), "term_id")
+      .groupBy(col("doc_ord"))
+      .agg((sum(log(lit(1.0) + col("tf").cast("double") / col("w_lm"))) +
+        count(lit(1)).cast("double") *
+          log(lit(mu) / (max(col("token_count")).cast("double") + lit(mu))))
+        .as("score"))
+    fetchDocs(scored, ranked = true)
+  }
+
+  /** LM-Dirichlet top-k — TakeOrderedAndProject over [[lmDirichletAll]]'s
+    * aggregation, the same no-global-sort shape as [[bm25TopK]]. */
+  def lmDirichletTopK(keyword: String, k: Int, mu: Double = 2000.0): DataFrame =
+    lmDirichletAll(keyword, mu).limit(k)
 
   // ------------------------------------------------- boolean query trees
 

@@ -380,6 +380,58 @@ class SearcherSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.isNullAt(1))
   }
 
+  test("contextWindows: ±w same-conversation turns, clamped at boundaries") {
+    val docs = Seq(
+      (0L, "c1", 0), (1L, "c1", 1), (2L, "c1", 2), (3L, "c1", 3),
+      (4L, "c2", 0), (5L, "c2", 1)
+    ).toDF("doc_ord", "conv", "turn")
+    val hits = Seq(1L, 4L, 99L).toDF("doc_ord") // 99 unknown → dropped
+    val got = Searcher.contextWindows(docs, hits, "conv", "turn", 1)
+      .select("hit_ord", "doc_ord", "offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Set(
+      (1L, 0L, -1), (1L, 1L, 0), (1L, 2L, 1), // full window inside c1
+      (4L, 4L, 0), (4L, 5L, 1))               // clamped at c2's start
+    assert(got == want)
+    // duplicate hit ordinals contribute one window
+    assert(Searcher.contextWindows(docs,
+      Seq(1L, 1L).toDF("doc_ord"), "conv", "turn", 1).count() == 3L)
+    // window 0 = the hits themselves
+    val w0 = Searcher.contextWindows(docs, hits, "conv", "turn", 0)
+      .select("doc_ord").collect().map(_.getLong(0)).toSet
+    assert(w0 == Set(1L, 4L))
+    intercept[IllegalArgumentException](
+      Searcher.contextWindows(docs, hits, "conv", "turn", -1))
+  }
+
+  test("lmDirichletAll: query-likelihood Dirichlet scores match the closed form") {
+    val mu = 100.0
+    // corpus: C=10 tokens; cf(go)=4, cf(ruby)=3; dl: 2,3,2,2,1
+    val tfs = Map(
+      1L -> Map("go" -> 1, "ruby" -> 1), 2L -> Map("go" -> 2, "ruby" -> 1),
+      3L -> Map("go" -> 1), 4L -> Map("ruby" -> 1))
+    val dls = Map(1L -> 2.0, 2L -> 3.0, 3L -> 2.0, 4L -> 2.0)
+    val cf = Map("go" -> 4.0, "ruby" -> 3.0)
+    val want = tfs.map { case (id, m) =>
+      id -> (m.map { case (t, tf) => math.log(1 + tf / (mu * cf(t) / 10.0)) }.sum
+        + m.size * math.log(mu / (dls(id) + mu)))
+    }
+    val got = grouped.lmDirichletAll("go ruby", mu).select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, s) => assert(math.abs(got(id) - s) < 1e-12, s"doc $id") }
+    // rarer term outranks common at equal tf/dl: ruby (cf 3) vs go (cf 4)
+    assert(got(4L) > got(3L))
+    assert(grouped.lmDirichletAll("zzz").collect().isEmpty)
+    assert(grouped.lmDirichletAll("").collect().isEmpty)
+    val all = grouped.lmDirichletAll("go ruby", mu)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val top2 = grouped.lmDirichletTopK("go ruby", 2, mu)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top2 == all.take(2))
+    intercept[IllegalArgumentException](grouped.lmDirichletAll("go", mu = 0.0))
+  }
+
   test("facetPercentiles: interpolated fractions over the matched set") {
     // matched values: [10, 20, 30, 44]; position f·(n-1) interpolation
     val got = grouped.facetPercentiles("go ruby", Or, "len",
