@@ -80,7 +80,7 @@ object Main {
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
       |  search --index <path>[,<path>…] --query <q>
-      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms]
+      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms|context]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
       |         [--facet-field role] [--min-doc-count 3]
@@ -312,6 +312,22 @@ object Main {
         .foreach(r => out(s"${r.get(0)}\t${r.getLong(1)}"))
       return
     }
+    if (mode == "context") { // conversation windows around the BM25 top-k:
+      // the transcripts serving shape — retrieve, then feed each hit's
+      // ±window surrounding turns (RAG context) downstream
+      val docsCols = searcher.index.docs.columns
+      require(Seq("conv_id", "turn_idx").forall(docsCols.contains),
+        "context mode needs conv_id/turn_idx docs columns (build from a transcripts table)")
+      val w = opts.get("window").map(_.toInt).getOrElse(2)
+      val hits = searcher.bm25TopK(query, k).select("doc_ord")
+      val cols = Seq("hit_ord", "offset", "conv_id", "turn_idx", "text")
+      out(cols.mkString("\t"))
+      searcher.contextWindows(hits, "conv_id", "turn_idx", w)
+        .orderBy(col("hit_ord"), col("offset"))
+        .select(cols.map(col): _*).collect()
+        .foreach(r => out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t")))
+      return
+    }
     if (mode == "sigterms") { // significant terms of the matched set
       out(Seq("term", "df_in", "df", "lift").mkString("\t"))
       searcher.significantTerms(query, Or, topN = k,
@@ -331,6 +347,8 @@ object Main {
         opts.get("min-match").map(_.toInt).getOrElse(2)).limit(limit), false)
       case "tfidf"  => (searcher.matchQueryRanked(query, Or).limit(k), true)
       case "bm25"   => (searcher.bm25TopK(query, k), true)
+      case "lm"     => (searcher.lmDirichletTopK(query, k,
+        opts.get("mu").map(_.toDouble).getOrElse(2000.0)), true)
       case "wand"   => (searcher.bm25TopKWand(query, k), true)
       case "collapse" => (searcher.bm25TopKCollapse(query,
         opts.getOrElse("collapse-field", "conv_id"), k), true)

@@ -236,7 +236,11 @@ object Similarity {
     * eval-set-sized allow list broadcasts. */
   private def allowOnly(cand: DataFrame, allowed: Option[DataFrame]): DataFrame =
     allowed.fold(cand) { a =>
-      cand.join(a.select(col(a.columns.head).as("id")), Seq("id"), "left_semi")
+      // explicit broadcast: a filtered projection of a large source keeps
+      // its parent's size estimate, and an un-hinted semi join would
+      // sort-merge-shuffle the corpus-scale candidate/index side
+      cand.join(broadcast(a.select(col(a.columns.head).as("id"))),
+        Seq("id"), "left_semi")
     }
 
   /** Query a prebuilt [[LshIndex]]: hash only the (small, broadcast) query

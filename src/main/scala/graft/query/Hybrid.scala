@@ -27,11 +27,15 @@ object Hybrid {
     * The cut runs FIRST (`orderBy.limit` → TakeOrderedAndProject, a k-heap
     * per partition — the corpus-sized input is never globally sorted); the
     * `row_number` window then orders only the surviving ≤ n rows. Scores are
-    * quantized to `scale` decimal digits before ranking, the same
-    * jitter-proofing as the `search_after` cursor: distributed float
-    * reduction order must not flip ranks between otherwise-identical runs —
-    * fused output depends on ranks, not scores, so rank stability is the
-    * whole contract here. */
+    * quantized to `scale` decimal digits before ranking because fused
+    * output depends on RANKS, not scores: rank assignment must be stable
+    * under distributed float reduce-order jitter, and — since rank lists
+    * are what get compared across engines (the DuckDB oracle) — under
+    * cross-engine last-ulp drift too. That second requirement is why the
+    * default grain (6) is deliberately COARSER than `Searcher.PageGrain`
+    * (9, jitter-only): scores within 1e-6 rank as ties (id asc) rather
+    * than in an order the last ulps happen to pick. Callers wanting finer
+    * discrimination pass `scale` up to 9. */
   def ranks(scored: DataFrame, n: Int, scoreCol: String = "score",
       idCol: String = "doc_id", scale: Int = 6): DataFrame = {
     require(n > 0, s"n must be > 0, got $n")

@@ -9,7 +9,8 @@ sealed trait Logic
 case object And extends Logic // `/root/reference/query.go:13-18` Logic=AND
 case object Or extends Logic  //                                  Logic=OR
 
-final case class ResolvedTerm(term: String, termId: Long, df: Long, bucket: Int = -1)
+final case class ResolvedTerm(term: String, termId: Long, df: Long,
+    bucket: Int = -1, cf: Long = -1L)
 
 object Searcher {
   /** Decimal digits the `search_after` cursor comparison quantizes scores
@@ -37,7 +38,7 @@ object Searcher {
       turnCol: String, window: Int): DataFrame = {
     require(window >= 0, s"window must be >= 0, got $window")
     val hitKeys = docs
-      .join(hits.select("doc_ord").distinct(), "doc_ord")
+      .join(broadcast(hits.select("doc_ord").distinct()), "doc_ord")
       .select(col("doc_ord").as("hit_ord"),
         col(convCol).as("_hconv"), col(turnCol).as("_hturn"))
     docs.join(broadcast(hitKeys),
@@ -127,14 +128,21 @@ final class Searcher(
   def resolve(terms: Seq[String]): Seq[ResolvedTerm] = {
     if (terms.isEmpty) return Nil
     val hasBucket = index.termBuckets > 0
-    val cols = if (hasBucket) Seq("term", "term_id", "df", "t_bucket")
-               else Seq("term", "term_id", "df")
+    val hasCf = index.termDict.columns.contains("cf") // every index this
+      // library builds carries it; -1 marks a hand-assembled dict without
+    val cols = Seq("term", "term_id", "df") ++
+      (if (hasCf) Seq("cf") else Nil) ++
+      (if (hasBucket) Seq("t_bucket") else Nil)
     val found = index.termDict
       .filter(col("term").isin(terms.distinct: _*))
       .select(cols.map(col): _*)
       .collect()
-      .map(r => r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1), r.getLong(2),
-        if (hasBucket) r.getInt(3) else -1))
+      .map { r =>
+        val cf = if (hasCf) r.getLong(3) else -1L
+        val bucket = if (hasBucket) r.getInt(if (hasCf) 4 else 3) else -1
+        r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1),
+          r.getLong(2), bucket, cf)
+      }
       .toMap
     terms.flatMap(found.get) // query order preserved (ORDER BY FIELD parity)
   }
@@ -685,15 +693,21 @@ final class Searcher(
 
   /** Shared shape of the two percentile facets: matched-ordinal join, ONE
     * aggregation producing the whole fraction array, then a fraction-sized
-    * posexplode back to rows. */
+    * expansion back to rows. The expansion explodes the LITERAL fraction
+    * list (not the aggregate array) so an empty matched set — where the
+    * aggregate is a null array — still yields one (fraction, null) row per
+    * REQUESTED fraction, the contract callers zip against. */
   private def percentileFacet(keyword: String, logic: Logic, valueCol: String,
-      fractions: Seq[Double], agg: Column => Column): DataFrame =
+      fractions: Seq[Double], agg: Column => Column): DataFrame = {
+    val slots = fractions.zipWithIndex.map { case (f, i) =>
+      struct(lit(f).as("fraction"), lit(i + 1).as("_i"))
+    }
     matchedDocs(keyword, logic)
       .agg(agg(col(valueCol).cast("double")).as("_ps"))
-      .select(posexplode_outer(col("_ps")).as(Seq("_i", "value")))
-      .select(
-        element_at(typedLit(fractions), col("_i").cast("int") + 1).as("fraction"),
-        col("value"))
+      .select(explode(array(slots: _*)).as("_f"), col("_ps"))
+      .select(col("_f.fraction").as("fraction"),
+        element_at(col("_ps"), col("_f._i")).as("value"))
+  }
 
   /** Cardinality facet (Elasticsearch `cardinality` aggregation, exact
     * flavor): the number of DISTINCT values of `facetCol` across the matched
@@ -1307,19 +1321,13 @@ final class Searcher(
     require(mu > 0, s"mu must be > 0, got $mu")
     val terms = analyzer.terms(keyword).distinct
     if (terms.isEmpty) return emptyDocs(withScore = true).limit(0)
-    require(index.termDict.columns.contains("cf"),
+    val rts = resolve(terms)
+    if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    require(rts.forall(_.cf >= 0),
       "LM-Dirichlet needs collection frequencies (cf) in the term dictionary")
-    val hasBucket = index.termBuckets > 0
-    val cols = if (hasBucket) Seq("term", "term_id", "df", "cf", "t_bucket")
-               else Seq("term", "term_id", "df", "cf")
-    val found = index.termDict.filter(col("term").isin(terms: _*))
-      .select(cols.map(col): _*).collect()
-    if (found.isEmpty) return emptyDocs(withScore = true).limit(0)
-    val rts = found.map(r => ResolvedTerm(r.getString(0), r.getLong(1),
-      r.getLong(2), if (hasBucket) r.getInt(4) else -1)).toSeq
     val totalC = index.exactTotalTokens.toDouble
-    val weights = found.map(r => (r.getLong(1), mu * r.getLong(3) / totalC))
-      .toSeq.toDF("term_id", "w_lm") // μ·p(t|C): the smoothing denominator
+    val weights = rts.map(rt => (rt.termId, mu * rt.cf / totalC))
+      .toDF("term_id", "w_lm") // μ·p(t|C): the smoothing denominator
     val scored = withTokenCount(postingsFor(rts))
       .join(broadcast(weights), "term_id")
       .groupBy(col("doc_ord"))

@@ -103,6 +103,22 @@ class MainSpec extends SparkSpec {
     assert(st.drop(1).exists(_.startsWith("spark\t")), st.mkString("\n"))
   }
 
+  test("context and lm search modes through the CLI") {
+    // top hit for 'shuffle partitions' is c2/0; ±1 window pulls c2/1
+    val (c1, ctx) = captured("search", "--index", idx, "--query",
+      "shuffle partitions", "--mode", "context", "--k", "1", "--window", "1")
+    assert(c1 == 0, ctx.mkString("\n"))
+    assert(ctx.head == Seq("hit_ord", "offset", "conv_id", "turn_idx", "text").mkString("\t"))
+    val rows = ctx.tail.map(_.split("\t"))
+    assert(rows.map(r => (r(2), r(3), r(1))).toSet ==
+      Set(("c2", "0", "0"), ("c2", "1", "1")), ctx.mkString("\n"))
+    // LM-Dirichlet ranking: the two-term doc tops
+    val (c2, lm) = captured("search", "--index", idx, "--query", "spark join",
+      "--mode", "lm", "--k", "3")
+    assert(c2 == 0 && lm.head.contains("score"), lm.mkString("\n"))
+    assert(lm(1).contains("spark join table"), lm.mkString("\n"))
+  }
+
   test("slop / msm / collapse / boost search modes through the CLI") {
     // corpus: c1/0 "spark join table", c1/1 "broadcast join wins",
     //         c2/0 "shuffle partitions tuning", c2/1 "spark shuffle join table"

@@ -440,9 +440,11 @@ class SearcherSpec extends SparkSpec {
     val want = Map(0.0 -> 10.0, 0.25 -> 17.5, 0.5 -> 25.0, 0.75 -> 33.5, 1.0 -> 44.0)
     assert(got.keySet == want.keySet)
     want.foreach { case (f, v) => assert(math.abs(got(f) - v) < 1e-9, s"f=$f") }
-    // empty matched set: one null row per fraction (SQL aggregate semantics)
-    val empty = grouped.facetPercentiles("zzz", Or, "len", Seq(0.5)).collect()
-    assert(empty.length == 1 && empty.head.isNullAt(1))
+    // empty matched set: one (fraction, null) row per REQUESTED fraction —
+    // callers zip results against their fraction list
+    val empty = grouped.facetPercentiles("zzz", Or, "len", Seq(0.25, 0.5)).collect()
+    assert(empty.length == 2 && empty.forall(_.isNullAt(1)))
+    assert(empty.map(_.getDouble(0)).toSet == Set(0.25, 0.5))
     // t-digest twin stays within the value range and near exact at tiny n
     val approx = grouped.facetPercentilesApprox("go ruby", Or, "len", Seq(0.5))
       .collect().head.getDouble(1)
