@@ -86,6 +86,23 @@ object PlanProbe {
     // boosting: positive scoring scan + negative matched scan, doc-keyed join
     audit("boosting", s.bm25TopKBoosting("spark join", "window", 0.5, 10))
 
+    // round-3 session-2 additions
+    // LM-Dirichlet: same one-pruned-scan one-agg shape as bm25
+    audit("lm_dirichlet", s.lmDirichletTopK("spark join", 10))
+    // percentiles facet: matched-ordinal join + ONE aggregation
+    audit("facet_pctl", s.facetPercentiles("spark join", Or, "n_chars", Seq(0.5, 0.9)))
+    // context windows: hit keys resolved + broadcast — docs never shuffles
+    audit("context", s.contextWindows(
+      s.bm25TopK("spark join", 5).select("doc_ord"),
+      "source", "n_chars", 2))
+    // hybrid RRF: each side its own plan; fusion agg over <= 2n rank rows
+    audit("hybrid_rrf", {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val qv = emb.filter(col("vec_id") === 7).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toSeq
+      graft.query.Hybrid.bm25VectorTopK(s, emb, "spark join", qv, 10, nPerSide = 50)
+    })
+
     // federation: per-slice plans must keep their slice-local t_bucket
     // pruning; the gather is a union of per-slice TakeOrdered cuts
     val fedDocs = (0 until 2).map(r => docs.filter(col("doc_id") % 2 === r))
