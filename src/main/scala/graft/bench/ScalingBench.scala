@@ -434,6 +434,36 @@ object ScalingBench {
          |  one JVM's memory bus. The only remaining exchange is the
          |  map-side-combined, vocab-sized dictionary agg.
          |
+         |WAND demo reading (the `wand_demo` block in BENCH_r*.json): since
+         |the long-keyed (term_h) postings probe landed, the per-query
+         |EXHAUSTIVE baseline got ~1.7x faster, so at the demo's 135k-doc
+         |corpus BOTH single-query paths are fixed-cost-bound (~0.5 s/query
+         |of driver, plan, and file-listing latency that pruning cannot
+         |touch) and their wall times cross over — `q_bm25_wand_syn` can
+         |read slower than `q_bm25_exhaustive_syn` while the measured block
+         |skip rate stays ~0.36. The capacity comparison, where pruning
+         |shows through undiluted, is the BATCH pair on the same corpus:
+         |`q_bm25_batch_wand_syn` vs `q_bm25_batch_exh_syn` (~11 ms vs
+         |~40 ms per query across a 20-query set, batch skip rate ~0.30).
+         |
+         |Reading the round-3 BENCH totals vs round 2: the headline `total`
+         |is NOT like-for-like. Round 3's `queries` block times 8 additional
+         |query surfaces (bool trees, fuzzy, sloppy phrase, collapse,
+         |dis_max, percolation over 200 standing queries, 2-slice
+         |federation, hybrid RRF) that round 2 did not measure, and
+         |`index_build` now writes the maintenance-ready persisted layout
+         |(d_group doc-range partition level + staged-commit markers +
+         |per-partition metrics) that makes incremental deltas O(touched
+         |partitions) — capability round 2's layout lacked — at PARITY with
+         |round 2's build time on a quiet host (measured 4.6 s vs r2's
+         |4.8 s at sf0.1; the same stage reads 9.4 s under one of this VM's
+         |steal episodes, which is why every stage is best-of-k).
+         |Query-for-query, the shared r2 queries are flat to noise and the
+         |ANN pair got 1.7-3.8x faster (prebuilt serving indexes). The
+         |`wand_demo` block further gained the batch-WAND pair,
+         |removal/compaction maintenance timings, and a 60k-vector ANN
+         |recall demo — all new work, all outside the headline total.
+         |
          |Environment: single JVM local mode (this sandbox has no multi-node
          |cluster); local[N] = N executor threads. Spark ${org.apache.spark.SPARK_VERSION}.
          |""".stripMargin

@@ -68,8 +68,15 @@ final class Federation private (
     val globalDf: Map[String, Long] = terms.distinct.map { t =>
       t -> perSlice.flatMap(_.get(t)).map(_.df).sum
     }.toMap
+    // cf merges the same way df does (Σ slice cf); -1 (unknown in ANY
+    // slice dictionary) poisons the sum to "unknown" rather than a lie
+    val globalCf: Map[String, Long] = terms.distinct.map { t =>
+      val cfs = perSlice.flatMap(_.get(t)).map(_.cf)
+      t -> (if (cfs.exists(_ < 0)) -1L else cfs.sum)
+    }.toMap
     perSlice.map { m =>
-      terms.flatMap(t => m.get(t).map(rt => rt.copy(df = globalDf(t))))
+      terms.flatMap(t => m.get(t).map(rt =>
+        rt.copy(df = globalDf(t), cf = globalCf(t))))
     }
   }
 
