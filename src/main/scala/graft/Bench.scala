@@ -80,21 +80,31 @@ object Bench {
     }
 
     // ---- query surface ----------------------------------------------------
-    timed("q_match_and")(searcher.matchQuery("spark join", And).count())
-    timed("q_match_or")(searcher.matchQuery("vector window", Or).count())
-    timed("q_phrase")(searcher.phraseQuery("batch batch").count())
-    timed("q_tfidf")(searcher.matchQueryRanked("spark join", Or).count())
-    timed("q_bm25_exhaustive")(searcher.bm25TopK("spark join table", 10).collect())
-    timed("q_bm25_wand")(searcher.bm25TopKWand("spark join table", 10).collect())
-    timed("q_bm25_wand_warm")(searcher.bm25TopKWand("slow merge data", 10).collect())
-    timed("q_bool_tree")(searcher.boolQuery( // 4 live leaves, ONE postings scan
+    // Registered as thunks and measured best-of-k with the k rounds
+    // INTERLEAVED round-robin across queries (not k back-to-back reps per
+    // query): this VM's host has multi-second steal episodes, and with
+    // back-to-back reps one episode poisons a query's ENTIRE best-of-k —
+    // the BENCH_r03 run shows exactly that (the 7-10x outliers
+    // q_bm25_wand_warm..q_dismax are one contiguous program-order span;
+    // the same queries measure ~0.2 s in every clean run). Round-robin
+    // bounds an episode's damage to one round of each query.
+    val headline = scala.collection.mutable.ArrayBuffer.empty[(String, () => Any)]
+    def q(name: String)(body: => Any): Unit = headline += name -> (() => body)
+    q("q_match_and")(searcher.matchQuery("spark join", And).count())
+    q("q_match_or")(searcher.matchQuery("vector window", Or).count())
+    q("q_phrase")(searcher.phraseQuery("batch batch").count())
+    q("q_tfidf")(searcher.matchQueryRanked("spark join", Or).count())
+    q("q_bm25_exhaustive")(searcher.bm25TopK("spark join table", 10).collect())
+    q("q_bm25_wand")(searcher.bm25TopKWand("spark join table", 10).collect())
+    q("q_bm25_wand_warm")(searcher.bm25TopKWand("slow merge data", 10).collect())
+    q("q_bool_tree")(searcher.boolQuery( // 4 live leaves, ONE postings scan
       (graft.query.BTerm("spark") && graft.query.BTerm("join")) ||
       (graft.query.BTerm("group") && !graft.query.BTerm("window"))).count())
-    timed("q_fuzzy")(searcher.fuzzyQuery("sport", maxEdits = 2).count())
-    timed("q_phrase_slop")(searcher.phraseQuery("sort merge", slop = 2).count())
-    timed("q_collapse")(searcher.bm25TopKCollapse("spark join", "source", 10).collect())
-    timed("q_dismax")(searcher.disMaxTopK(Seq("spark join", "vector window"), 10, 0.3).collect())
-    timed("q_percolate")(graft.query.Percolator.matches(docs,
+    q("q_fuzzy")(searcher.fuzzyQuery("sport", maxEdits = 2).count())
+    q("q_phrase_slop")(searcher.phraseQuery("sort merge", slop = 2).count())
+    q("q_collapse")(searcher.bm25TopKCollapse("spark join", "source", 10).collect())
+    q("q_dismax")(searcher.disMaxTopK(Seq("spark join", "vector window"), 10, 0.3).collect())
+    q("q_percolate")(graft.query.Percolator.matches(docs,
       (0 until 200).map(i => graft.query.Percolator.StoredQuery(i.toLong,
         if (i % 2 == 0) "spark join" else "vector window group",
         if (i % 3 == 0) And else Or)), analyzer).count())
@@ -106,13 +116,32 @@ object Bench {
       (0 until 2).map(r => graft.index.IndexBuilder.build(
         docs.filter(col("doc_id") % 2 === r), analyzer).cache()),
       analyzer)
-    timed("q_federated_bm25")(fed.bm25TopK("spark join table", 10).collect())
+    q("q_federated_bm25")(fed.bm25TopK("spark join table", 10).collect())
     // hybrid retrieval: BM25 ranks + exact-cosine ranks fused via RRF —
     // each side its own top-100 plan, fusion touches <= 200 rank rows
     val hybQv = emb.filter(col("vec_id") === 7).select("embedding")
       .head.getSeq[Float](0).map(_.toDouble).toSeq
-    timed("q_hybrid_rrf")(graft.query.Hybrid.bm25VectorTopK(
+    q("q_hybrid_rrf")(graft.query.Hybrid.bm25VectorTopK(
       searcher, emb, "spark join", hybQv, k = 20, nPerSide = 100).collect())
+    // ---- training-data ops (same interleaved rounds) -----------------------
+    q("op_dedup_exact")(Dedup.exact(docs).count())
+    q("op_dedup_minhash")(
+      Dedup.minhashLshPairs(docs, threshold = 0.05, numHashes = 16, bands = 8).count())
+    // maxHamming 3 = the scale-safe budget (4 chunks of 16 bits); the
+    // pigeonhole banding derives maxHamming+1 chunks, so wider budgets
+    // shrink the chunk keys and blow up bucket sizes (documented in Dedup)
+    q("op_dedup_simhash")(Dedup.simhashPairs(docs, maxHamming = 3).count())
+    q("op_text_quality")(TextStats.quality(docs).count())
+    q("op_ann_brute")(
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 10).count())
+    q("op_ann_lsh")(
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 10, planes = 6, tables = 4).count())
+    for (_ <- 0 until reps; (name, thunk) <- headline) {
+      val t0 = System.nanoTime()
+      thunk()
+      val dt = (System.nanoTime() - t0) / 1e9
+      results(name) = math.min(results.getOrElse(name, Double.MaxValue), dt)
+    }
 
     // ---- WAND pruning win on a corpus big enough to prune -----------------
     // The sf documents tables are tiny (5k docs, 31-term vocab) — every
@@ -171,6 +200,36 @@ object Bench {
       timedBest("q_bm25_wand_syn", reps)(
         wandQueries.foreach(q => synSearcher.bm25TopKWand(q, 10, Some(m)).collect()))
       wandDemo("wand_skip_rate") = m.skipRate
+
+      // SERVING mode (the interactive deployment shape): blocks pinned
+      // MEMORY_AND_DISK, dictionary driver-resident — removes the
+      // ~0.5 s/query floor (blocks-parquet re-read + dictionary job) that
+      // made cold per-query WAND read slower than exhaustive above. Same
+      // queries, same skip logic; pruning now shows through per query.
+      synSearcher.serving(pinDocs = true)
+      timedBest("q_bm25_exhaustive_syn_pinned", reps)(
+        wandQueries.foreach(q => synSearcher.bm25TopK(q, 10).collect()))
+      timedBest("q_bm25_wand_syn_pinned", reps)(
+        wandQueries.foreach(q => synSearcher.bm25TopKWand(q, 10).collect()))
+      // single-stream latency mix: one client, mixed surface (ranked WAND /
+      // boolean / phrase / match), sequential — reported as QPS
+      locally {
+        val mix: Seq[() => Unit] = Seq(
+          () => { synSearcher.bm25TopKWand("hot0 t005000", 10).collect(); () },
+          () => { synSearcher.matchQuery("hot1 t009999", And).count(); () },
+          () => { synSearcher.bm25TopKWand("hot2 t007777 t001111", 10).collect(); () },
+          () => { synSearcher.phraseQuery("hot0 hot1").count(); () },
+          () => { synSearcher.bm25TopKWand("t000002 t012345", 10).collect(); () },
+          () => { synSearcher.matchQuery("hot2 t001800", Or).count(); () })
+        var best = Double.MaxValue
+        for (_ <- 0 until reps) {
+          val t0 = System.nanoTime()
+          mix.foreach(_.apply())
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        wandDemo("serving_mix_qps") = mix.size / best
+      }
+      synSearcher.unpin()
 
       // batch + WAND combined (the realistic offline query-set shape):
       // 120 hot+rare mixes evaluated in ONE plan, vs the exhaustive batch
@@ -285,20 +344,6 @@ object Bench {
       annDemo("n_vecs") = nVecs.toDouble
       vecs.unpersist()
     }
-
-    // ---- training-data ops ------------------------------------------------
-    timed("op_dedup_exact")(Dedup.exact(docs).count())
-    timed("op_dedup_minhash", k = math.min(reps, 2))(
-      Dedup.minhashLshPairs(docs, threshold = 0.05, numHashes = 16, bands = 8).count())
-    // maxHamming 3 = the scale-safe budget (4 chunks of 16 bits); the
-    // pigeonhole banding derives maxHamming+1 chunks, so wider budgets
-    // shrink the chunk keys and blow up bucket sizes (documented in Dedup)
-    timed("op_dedup_simhash")(Dedup.simhashPairs(docs, maxHamming = 3).count())
-    timed("op_text_quality")(TextStats.quality(docs).count())
-    timed("op_ann_brute")(
-      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 10).count())
-    timed("op_ann_lsh")(
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20), 10, planes = 6, tables = 4).count())
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -84,6 +84,8 @@ object Main {
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
       |         [--facet-field role] [--min-doc-count 3]
+      |         [--window 2 (context: ±turns fetched around each hit)]
+      |         [--mu 2000 (lm: Dirichlet smoothing)]
       |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases",
       |          "a b"~slop, term~edits, term^boost;
       |          phrase: --slop widens to a position window; msm: --min-match terms required;

@@ -246,7 +246,11 @@ object Similarity {
   /** Query a prebuilt [[LshIndex]]: hash only the (small, broadcast) query
     * set, bucket-equality join against the index's candidate table, then
     * exact-cosine verify + rank on the deduplicated candidates.
-    * `allowed` pre-filters candidates to an id set (see [[allowOnly]]). */
+    * `allowed` pre-filters candidates to an id set (see [[allowOnly]]) and
+    * MUST be broadcast-sized (an eval/allow list, not a corpus-scale
+    * filter result — it is broadcast to every executor; a predicate that
+    * matches most of the corpus belongs as a filter on `index.corpus`
+    * before the build, not here). */
   def lshTopKIndexed(
       index: LshIndex,
       queries: DataFrame,
@@ -415,7 +419,8 @@ object Similarity {
   /** Query a prebuilt [[IvfIndex]]: score the query set against the
     * broadcast codebook, keep each query's top-nprobe centroid lists, and
     * verify exactly within them. `allowed` pre-filters the probed lists to
-    * an id set (see [[allowOnly]]). */
+    * an id set (see [[allowOnly]]) and MUST be broadcast-sized — same
+    * contract as [[lshTopKIndexed]]'s `allowed`. */
   def ivfTopKIndexed(
       index: IvfIndex,
       queries: DataFrame,

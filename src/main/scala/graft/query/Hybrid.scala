@@ -21,8 +21,9 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Hybrid {
 
-  /** `(idCol, rank)` from a scored frame: dense 1-based ranks by
-    * (score desc, id asc), cut to the top `n`.
+  /** `(idCol, rank)` from a scored frame: sequential 1-based ranks
+    * (`row_number`) by (score desc, id asc), cut to the top `n` —
+    * quantized ties get distinct consecutive ranks, broken by id asc.
     *
     * The cut runs FIRST (`orderBy.limit` → TakeOrderedAndProject, a k-heap
     * per partition — the corpus-sized input is never globally sorted); the
@@ -59,9 +60,12 @@ object Hybrid {
     *
     * Contributions are exact per (list, doc); with two lists the sum of two
     * doubles is order-independent, so fused scores are engine-reproducible —
-    * what lets the DuckDB oracle check hybrid end-to-end. Three or more
-    * lists may differ in the last ulp across reduce orders; ordering is
-    * still stable because ties break on the id. */
+    * what lets the DuckDB oracle check hybrid end-to-end. With three or
+    * more lists the sum is reduce-order-dependent in the last ulp, so the
+    * top-k CUT orders by the fused score quantized to the same 6-digit
+    * grain [[ranks]] uses (near-ties collapse to id-asc order instead of
+    * an order the last ulps happen to pick); the emitted `score` column
+    * stays the unquantized sum. */
   def rrfTopK(rankings: Seq[(DataFrame, Double)], k: Int, rrfK: Int = 60,
       idCol: String = "doc_id"): DataFrame = {
     require(rankings.nonEmpty, "rrf fusion needs at least one ranking")
@@ -73,9 +77,10 @@ object Hybrid {
       r.select(col(idCol),
         (lit(w) / (lit(rrfK.toDouble) + col("rank").cast("double"))).as("contrib"))
     }
-    parts.reduce(_ unionByName _)
+    val fused = parts.reduce(_ unionByName _)
       .groupBy(col(idCol)).agg(sum("contrib").as("score"))
-      .orderBy(desc("score"), asc(idCol)).limit(k)
+    val cutKey = if (rankings.size <= 2) col("score") else round(col("score"), 6)
+    fused.orderBy(cutKey.desc, asc(idCol)).limit(k)
   }
 
   /** BM25 + exact-cosine hybrid top-k — the canonical two-retriever

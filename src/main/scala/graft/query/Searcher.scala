@@ -121,11 +121,114 @@ final class Searcher(
   lazy val blocks: Dataset[PostingBlockRow] =
     preBuiltBlocks.getOrElse(PostingBlocks.build(index, blockParams).cache())
 
+  // --------------------------------------------------------- serving mode
+
+  /** Full driver-resident dictionary (serving mode, vocab ≤ localDictMax):
+    * resolve() is pure driver work, no Spark job per query. */
+  @volatile private var fullLocalDict: Option[Map[String, ResolvedTerm]] = None
+  /** Miss-through resolve cache (serving mode, vocab > localDictMax):
+    * bounded LRU of term -> Option[ResolvedTerm] (negative entries are safe —
+    * a Searcher is a snapshot view of one committed index state). */
+  @volatile private var resolveLru:
+      Option[java.util.LinkedHashMap[String, Option[ResolvedTerm]]] = None
+
+  /** Switch this searcher to SERVING mode — the deployment shape for
+    * repeated interactive queries, removing the per-query driver floor that
+    * otherwise dominates top-k latency (measured on the 135k-turn demo:
+    * ~0.47 s/query of blocks-parquet re-read + ~0.04 s/query of dictionary
+    * job, vs ~0.07 s/query once pinned):
+    *
+    *  - the WAND block table is pinned `MEMORY_AND_DISK` (a serving shard
+    *    pins its block summaries — blocks are the compressed skip layer,
+    *    orders of magnitude smaller than raw postings; DISK spill keeps the
+    *    pin safe when a shard outgrows executor storage memory);
+    *  - the term dictionary becomes driver-resident: one collect when the
+    *    vocabulary fits `localDictMax`, otherwise a bounded miss-through
+    *    LRU whose misses run t_bucket-PRUNED lookups (the bucket derives on
+    *    the driver from the same xxhash64 the layout used) — never a full
+    *    dictionary scan per query;
+    *  - optionally the docs table is pinned for the final top-k fetch join
+    *    (pin only when the shard's docs fit storage; at 10^12 docs leave it
+    *    false and let the d_bucket layout serve the k-row fetch).
+    *
+    * Idempotent; returns this searcher. Pin lifetime = the index snapshot's:
+    * call `unpin()` before dropping the searcher if the session lives on. */
+  def serving(pinBlocks: Boolean = true, pinDocs: Boolean = true,
+      localDictMax: Int = 1000000): Searcher = {
+    if (pinBlocks) {
+      blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      blocks.count() // materialize now: first query should not pay the scan
+    }
+    if (pinDocs) {
+      index.docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.docs.count()
+    }
+    if (fullLocalDict.isEmpty && resolveLru.isEmpty) {
+      // ONE driver count decides the shape; vocab-sized either way
+      val vocab = index.termDict.count()
+      if (vocab <= localDictMax) {
+        val hasCf = index.termDict.columns.contains("cf")
+        val hasBucket = index.termBuckets > 0
+        val cols = Seq("term", "term_id", "df") ++
+          (if (hasCf) Seq("cf") else Nil) ++
+          (if (hasBucket) Seq("t_bucket") else Nil)
+        fullLocalDict = Some(index.termDict.select(cols.map(col): _*).collect().map { r =>
+          val cf = if (hasCf) r.getLong(3) else -1L
+          val bucket = if (hasBucket) r.getInt(if (hasCf) 4 else 3) else -1
+          r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1),
+            r.getLong(2), bucket, cf)
+        }.toMap)
+      } else {
+        val cap = math.max(localDictMax, 1024)
+        resolveLru = Some(new java.util.LinkedHashMap[String, Option[ResolvedTerm]](
+            1024, 0.75f, /*accessOrder=*/ true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Option[ResolvedTerm]]): Boolean =
+            size() > cap
+        })
+      }
+    }
+    this
+  }
+
+  /** Release serving-mode pins (blocks/docs persist + driver dictionary). */
+  def unpin(): Unit = {
+    blocks.unpersist()
+    index.docs.unpersist()
+    fullLocalDict = None
+    resolveLru = None
+  }
+
   // ---------------------------------------------------------------- helpers
 
   /** Term dictionary lookup. Unknown terms are silently dropped, like the
-    * SQL IN lookup in `/root/reference/storage_rdb_Impl.go:134-149`. */
+    * SQL IN lookup in `/root/reference/storage_rdb_Impl.go:134-149`.
+    *
+    * In [[serving]] mode this is driver-resident (full map) or LRU-cached
+    * with t_bucket-pruned miss lookups; otherwise one vocab-pruned
+    * dictionary job per call. */
   def resolve(terms: Seq[String]): Seq[ResolvedTerm] = {
+    fullLocalDict match {
+      case Some(d) => return terms.flatMap(d.get)
+      case None =>
+    }
+    resolveLru match {
+      case Some(lru) =>
+        val missing = lru.synchronized(terms.distinct.filterNot(lru.containsKey))
+        if (missing.nonEmpty) {
+          val found = resolveJob(missing).map(rt => rt.term -> rt).toMap
+          lru.synchronized(missing.foreach(t => lru.put(t, found.get(t))))
+        }
+        return lru.synchronized(terms.flatMap(t => Option(lru.get(t)).flatten))
+      case None =>
+    }
+    resolveJob(terms)
+  }
+
+  /** The Spark dictionary-lookup job behind [[resolve]]: t_bucket-pruned
+    * when the dictionary carries the bucket column (the bucket is
+    * re-derived on the driver from the layout's own xxhash64). */
+  private def resolveJob(terms: Seq[String]): Seq[ResolvedTerm] = {
     if (terms.isEmpty) return Nil
     val hasBucket = index.termBuckets > 0
     val hasCf = index.termDict.columns.contains("cf") // every index this
@@ -133,7 +236,17 @@ final class Searcher(
     val cols = Seq("term", "term_id", "df") ++
       (if (hasCf) Seq("cf") else Nil) ++
       (if (hasBucket) Seq("t_bucket") else Nil)
-    val found = index.termDict
+    // t_bucket pre-filter (derived on the driver from the layout's own
+    // xxhash64): prunes dictionary row groups at web-scale vocabularies
+    val base =
+      if (hasBucket) {
+        val n = index.termBuckets
+        val bks = terms.distinct
+          .map(t => ((graft.index.IndexBuilder.termHash(t) % n) + n) % n)
+          .distinct.map(_.toInt)
+        index.termDict.filter(col("t_bucket").isin(bks: _*))
+      } else index.termDict
+    val found = base
       .filter(col("term").isin(terms.distinct: _*))
       .select(cols.map(col): _*)
       .collect()

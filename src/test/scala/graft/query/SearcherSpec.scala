@@ -632,4 +632,40 @@ class SearcherSpec extends SparkSpec {
     assert(ids(s.phraseQuery("形態素 解析")) == Seq(3L))
     assert(ids(s.phraseQuery("解析 形態素")) == Seq())
   }
+
+  test("serving mode: full driver dictionary — resolve and results identical") {
+    val s = new Searcher(
+      index(Seq("Ruby PHP JS", "Go Ruby", "Ruby Go PHP", "Go PHP"),
+        Analyzer.standard()),
+      Analyzer.standard())
+    val coldResolve = s.resolve(Seq("ruby", "go", "nope", "php"))
+    val coldWand = s.bm25TopKWand("go ruby", 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val coldMatch = ids(s.matchQuery("go php", And))
+    s.serving() // vocab (5 terms) <= localDictMax -> full driver map
+    assert(s.resolve(Seq("ruby", "go", "nope", "php")) == coldResolve)
+    assert(s.bm25TopKWand("go ruby", 10).select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == coldWand)
+    assert(ids(s.matchQuery("go php", And)) == coldMatch)
+    s.serving() // idempotent
+    assert(s.resolve(Seq("go")) == coldResolve.filter(_.term == "go"))
+    s.unpin()
+    assert(s.resolve(Seq("ruby", "go", "nope", "php")) == coldResolve)
+  }
+
+  test("serving mode: LRU miss-through path (vocab > localDictMax) parity") {
+    val s = new Searcher(
+      index(Seq("Ruby PHP JS", "Go Ruby", "Ruby Go PHP", "Go PHP"),
+        Analyzer.standard()),
+      Analyzer.standard())
+    val coldResolve = s.resolve(Seq("ruby", "go", "nope", "php", "js"))
+    s.serving(pinBlocks = false, pinDocs = false, localDictMax = 1)
+    // first call misses everything, second serves from the LRU; both match
+    assert(s.resolve(Seq("ruby", "go", "nope", "php", "js")) == coldResolve)
+    assert(s.resolve(Seq("ruby", "go", "nope", "php", "js")) == coldResolve)
+    // unknown-term negative entries cached without poisoning known terms
+    assert(s.resolve(Seq("nope")).isEmpty)
+    assert(s.resolve(Seq("js")).map(_.term) == Seq("js"))
+    s.unpin()
+  }
 }
