@@ -154,8 +154,9 @@ object Bench {
     // the data — are skipped undecoded. Reported separately from `queries`
     // so the headline total stays the sf-dir workload.
     val wandDemo = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf1Queries = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     locally {
-      val synConvs = sys.env.getOrElse("SPARK_GRAFT_WAND_CONVS", "30000").toInt
+      val synConvs = sys.env.getOrElse("SPARK_GRAFT_WAND_CONVS", "222000").toInt
       val turns = graft.fixtures.SyntheticTranscripts.df(spark,
         graft.fixtures.SyntheticTranscripts.Params(
           seed = 42L, nConvs = synConvs, maxTurnsPerConv = 8, vocabSize = 20000,
@@ -200,6 +201,54 @@ object Bench {
       timedBest("q_bm25_wand_syn", reps)(
         wandQueries.foreach(q => synSearcher.bm25TopKWand(q, 10, Some(m)).collect()))
       wandDemo("wand_skip_rate") = m.skipRate
+
+      // ---- sf1 headline block: the full query SURFACE at ~10^6 turns ------
+      // The sf0.1 documents table is 500 docs — at that size every number
+      // in `queries` is fixed latency (driver + plan + listing), and says
+      // nothing about the PLANS. This block times the same surfaces against
+      // the ~1M-turn corpus above, where engine work dominates: a surface
+      // whose plan hides a corpus scan or an unpruned window would read
+      // many times q_match_and here, not within a small factor of it.
+      // Same interleaved best-of-k discipline as the headline block.
+      // Percolation runs on a 50k-turn slice — its deployment shape is
+      // per-ingest-batch (docs arrive, standing queries match), so corpus
+      // size is batch size, not index size.
+      if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+        val percDocs = synSearcher.index.docs.filter(col("doc_ord") < 50000)
+          .select(col("doc_ord").as("doc_id"), col("text")).cache()
+        percDocs.count()
+        val percQs = (0 until 200).map(i => graft.query.Percolator.StoredQuery(
+          i.toLong,
+          if (i % 2 == 0) "hot0 t005000" else "hot1 t009999 t003333",
+          if (i % 3 == 0) And else Or))
+        val sf1 = scala.collection.mutable.ArrayBuffer.empty[(String, () => Any)]
+        def q1(name: String)(body: => Any): Unit = sf1 += name -> (() => body)
+        q1("q_match_and")(synSearcher.matchQuery("hot0 t000200", And).count())
+        q1("q_match_or")(synSearcher.matchQuery("t000100 t000200", Or).count())
+        q1("q_phrase")(synSearcher.phraseQuery("planteda plantedb").count())
+        q1("q_tfidf")(synSearcher.matchQueryRanked("hot1 t000300", Or).count())
+        q1("q_bm25_exhaustive")(synSearcher.bm25TopK("hot0 t005000 t000777", 10).collect())
+        q1("q_bm25_wand")(synSearcher.bm25TopKWand("hot0 t005000 t000777", 10).collect())
+        q1("q_bm25_wand_warm")(synSearcher.bm25TopKWand("hot1 t009999 t003333", 10).collect())
+        q1("q_bool_tree")(synSearcher.boolQuery(
+          (graft.query.BTerm("hot0") && graft.query.BTerm("t000200")) ||
+          (graft.query.BTerm("t000300") && !graft.query.BTerm("hot2"))).count())
+        q1("q_fuzzy")(synSearcher.fuzzyQuery("t000345", maxEdits = 1).count())
+        q1("q_phrase_slop")(synSearcher.phraseQuery("planteda plantedb", slop = 2).count())
+        q1("q_collapse")(synSearcher.bm25TopKCollapse("hot0 t005000", "conv_id", 10).collect())
+        q1("q_dismax")(synSearcher.disMaxTopK(
+          Seq("hot0 t005000", "hot1 t009999"), 10, 0.3).collect())
+        q1("q_percolate_50k")(
+          graft.query.Percolator.matches(percDocs, percQs, analyzer).count())
+        for (_ <- 0 until reps; (name, thunk) <- sf1) {
+          val t0 = System.nanoTime()
+          thunk()
+          val dt = (System.nanoTime() - t0) / 1e9
+          sf1Queries(name) = math.min(sf1Queries.getOrElse(name, Double.MaxValue), dt)
+        }
+        percDocs.unpersist()
+        sf1Queries("n_turns") = synSearcher.index.numDocs.toDouble
+      }
 
       // SERVING mode (the interactive deployment shape): blocks pinned
       // MEMORY_AND_DISK, dictionary driver-resident — removes the
@@ -324,6 +373,12 @@ object Bench {
         Similarity.lshIndex(vecs, planes = 12, tables = 4).cached())
       val lsh = timedBest("ann_lsh_query", math.min(reps, 2))(
         resultSet(Similarity.lshTopKIndexed(lshIdx, qs, 10)))
+      // multiprobe: SAME index (no extra tables, no corpus growth) — each
+      // (query, table) additionally looks up the `probes` nearest-boundary
+      // single-bit-flip buckets, so recall rises for a query-side-only cost
+      val mprobes = sys.env.getOrElse("SPARK_GRAFT_LSH_PROBES", "2").toInt
+      val lshMp = timedBest("ann_lsh_mp_query", math.min(reps, 2))(
+        resultSet(Similarity.lshTopKIndexed(lshIdx, qs, 10, probes = mprobes)))
       // realistic codebook size: assignment is a constant-size codegen'd
       // kernel (VecNearestCentroid), flat in nlist — bigger codebooks cost
       // nothing at build and shrink the probed corpus fraction per query
@@ -340,6 +395,8 @@ object Bench {
           got.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
         }.sum / exact.size
       annDemo("lsh_recall") = recall(lsh)
+      annDemo("lsh_mp_recall") = recall(lshMp)
+      annDemo("lsh_mp_probes") = mprobes.toDouble
       annDemo("ivf_recall") = recall(ivf)
       annDemo("n_vecs") = nVecs.toDouble
       vecs.unpersist()
@@ -351,8 +408,10 @@ object Bench {
       .mkString("{", ",", "}")
     val ad = annDemo.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val s1 = sf1Queries.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"wand_demo":$wd,"ann_demo":$ad,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_sf1":$s1,"wand_demo":$wd,"ann_demo":$ad,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

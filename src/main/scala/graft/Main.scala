@@ -97,6 +97,8 @@ object Main {
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
       |  compact --index <path> [--batch-id <id>]
+      |         [--groups auto|g1,g2,… (per-d_group incremental compaction;
+      |          auto selects groups below --min-density, default 0.5)]
       |  stats  --index <path>""".stripMargin
 
   /** Testable core: returns a process exit code, prints through `out`. */
@@ -247,7 +249,23 @@ object Main {
     val id = opts.getOrElse("batch-id",
       ParquetIndexStorage.nextFreeEpoch(0L)(i =>
         ParquetIndexStorage.compactClaimed(index, s"$i")).toString)
-    val mf = ParquetIndexStorage.compact(spark, index, id)
+    // --groups: incremental per-d_group compaction — `auto` selects groups
+    // below --min-density (default 0.5), or an explicit comma list; absent
+    // = the full dense rewrite
+    val mf = opts.get("groups") match {
+      case None => ParquetIndexStorage.compact(spark, index, id)
+      case Some(spec) =>
+        val gs =
+          if (spec == "auto")
+            ParquetIndexStorage.sparseDGroups(spark, index,
+              opts.getOrElse("min-density", "0.5").toDouble)
+          else spec.split(",").map(_.trim.toLong).toSeq
+        if (gs.isEmpty) {
+          out(s"""{"compacted":"$index","groups":[],"densityBefore":$before,"densityAfter":$before}""")
+          return
+        }
+        ParquetIndexStorage.compactGroups(spark, index, id, gs)
+    }
     val after = ParquetIndexStorage.ordinalDensity(spark, index)
     out(s"""{"compacted":"$index","numDocs":${mf.numDocs},""" +
       s""""densityBefore":$before,"densityAfter":$after}""")

@@ -373,6 +373,25 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_federated_fuzzy" -> ((s, d) => // GLOBAL-vocabulary fuzzy expansion
+      // (levenshtein<=2 of 'sport'), ranked: per-slice expansion would
+      // diverge when a term is slice-exclusive or its df ordering differs
+      // locally — the merged expansion + global-df TF-IDF must be
+      // float-exact to the monolithic ranked fuzzy query
+      federation(s, d).fuzzyQuery("sport", maxEdits = 2, ranked = true)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_federated_prefix" -> ((s, d) => // global-vocabulary prefix
+      // expansion, unranked OR-match across the slices
+      federation(s, d).prefixQuery("s")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_suggest" -> ((s, d) => // autocomplete over merged slice
+      // dictionaries: Σ slice df == monolithic df, global (df desc, term)
+      // top-n — a slice-exclusive completion still surfaces
+      federation(s, d).suggest("s", 10)),
+
     "ft_bm25_topk_wand" -> ((s, d) => // oracled against the EXHAUSTIVE top-k
       // SQL — the rank-identity claim itself (WAND pruning is lossless);
       // boundary safety: the rank-20/21 score gap at sf0.01 is ~7e-4,
@@ -1414,6 +1433,38 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM scored
          |QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20
          |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_federated_fuzzy" -> // MONOLITHIC ranked fuzzy: expansion derived
+      // from the corpus-wide vocabulary (levenshtein<=2, global-df-desc cap
+      // — under the 128 cap at this 31-term vocab), TF-IDF with global df/N
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         |exp AS (SELECT term FROM vocab WHERE levenshtein(term, 'sport') <= 2
+         |        ORDER BY df DESC, term LIMIT 128),
+         |df AS (SELECT term, df FROM vocab WHERE term IN (SELECT term FROM exp)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN (SELECT term FROM exp) GROUP BY doc_id, term)
+         |SELECT tf.doc_id,
+         |  round(sum((tf.tf::DOUBLE / tc.token_count) * (log2(n.n::DOUBLE / (df.df + 1)) + 1)), 6) AS score
+         |FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN n
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_federated_prefix" -> // 6 's'-prefix terms at this vocab — under the
+      // 128 cap, so the unranked OR-match is exactly "any token matches"
+      s"""SELECT doc_id FROM documents
+         |WHERE len(list_filter($toksSql, t -> t LIKE 's%')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_federated_suggest" -> // corpus-wide completion frequencies
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |)
+         |SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |WHERE term LIKE 's%' GROUP BY term
+         |ORDER BY df DESC, term LIMIT 10""".stripMargin,
 
     "ft_bm25_batch_wand" -> // exhaustive batch top-20 == the batch WAND plan
       s"""WITH toks AS (

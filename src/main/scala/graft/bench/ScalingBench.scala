@@ -39,7 +39,7 @@ object ScalingBench {
 
   final case class StageTimes(
       calib: Double, cacheScan: Double, ordinals: Double, analyzeNoCache: Double,
-      analyze: Double, dict: Double, blocks: Double)
+      analyzeDict: Double, blocks: Double)
 
   final case class RunResult(
       cpus: Int,
@@ -122,19 +122,53 @@ object ScalingBench {
     val (_, tAnalyzeNoCache) = t {
       IndexBuilder.docTermPostings(docs, analyzer, "text").count()
     }
-    // stage: fused analyze+group pass, the one big materialization
-    val (byTermDoc, tAnalyze) = t {
+    val d = docs.cache()
+    // stage: fused analyze+group+DICTIONARY — ONE job, mirroring exactly
+    // what IndexBuilder.build(materialize=true) executes: the
+    // localTermDict collect is the action that materializes the posting
+    // cache, runs the vocab agg's map-side partials on top of the cache
+    // write in the same tasks, and assembles ids + Σcf + the term_h
+    // collision check on the driver (LocalRelation output — downstream
+    // broadcasts build without a scan job). Earlier rounds decomposed
+    // this into "analyze+cache" then a SEPARATE warm-cache dict agg —
+    // timing a full posting-store re-scan the shipped build never
+    // performs; that phantom stage measured 0.41 raw and dragged the
+    // whole-build number. The docs cache materializes CONCURRENTLY (a
+    // separate Spark job reading the turns cache, not the posting store)
+    // and is awaited BEFORE ordCleanup releases the ordinal pass's
+    // pinned input, per Ids' cleanup contract.
+    val ((byTermDoc, termDict, n, tokens, hashOk), tAnalyzeDict) = t {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dCache = Future(d.count())
       val b = IndexBuilder.docTermPostings(docs, analyzer, "text").persist()
-      b.count()
-      b
+      val termStats = b.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+          max(col("term_h")).as("term_h"))
+      // exchange fallback for over-vocab inputs (not hit at this corpus)
+      val (out, tok, ok) = IndexBuilder.localTermDict(termStats) match {
+        case Some((ld, tk, o)) => (ld, tk, o)
+        case None =>
+          val (td0, _, c) = Ids.withDenseOrdinalCounted(termStats, "term_id",
+            Seq("term"), assumeUnsorted = true)
+          val o2 = td0.select("term_id", "term", "term_h", "df", "cf").cache()
+          val row = o2.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
+            (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
+          c()
+          (o2, row.getLong(0), row.getBoolean(1))
+      }
+      Await.result(dCache, Duration.Inf)
+      (b, out, nTurns, tok, ok)
     }
     // calibration 2: three full every-column scans of the cached posting
     // store (sums touch the array and string columns too) — the
     // POSTING-CACHE-RESCAN ceiling. Stages whose work is dominated by
-    // re-reading the posting cache (dictionary agg, block pack) cannot
-    // scale past this in one JVM: every thread decodes cached columnar
-    // batches through the same memory bus that 4 real executor nodes
-    // would quadruple. Sized at 3 reps so the ratio is not job-overhead.
+    // re-reading the posting cache (the block pack streams it once to
+    // pack rows) cannot scale past this in one JVM: every thread decodes
+    // cached columnar batches through the same memory bus that 4 real
+    // executor nodes would quadruple. Sized at 3 reps so the ratio is
+    // not job-overhead.
     val csT0 = System.nanoTime()
     val tCacheScan = {
       def scanOnce(): Double = {
@@ -151,45 +185,6 @@ object ScalingBench {
       math.min(scanOnce(), scanOnce())
     }
     val cacheScanElapsed = (System.nanoTime() - csT0) / 1e9
-    val d = docs.cache()
-    // stage: term dictionary (agg + dense ordinal via the small-input
-    // broadcast path — no range exchange, no sorted-verify pass) + exact
-    // N/avgdl (token total = Σ cf over the vocab-sized dictionary, fused
-    // into the same job that materializes its cache; N is the turn count
-    // the ordinal pass already established). The docs cache materializes
-    // CONCURRENTLY (a separate Spark job reading the turns cache, not the
-    // posting cache the dict agg scans) and is awaited BEFORE ordCleanup
-    // releases the ordinal pass's pinned input, per Ids' cleanup contract —
-    // overlapping the two removes a serial wall-clock slice that belongs to
-    // neither stage's scaling story.
-    val ((termDict, n, tokens, hashOk), tDict) = t {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val dCache = Future(d.count())
-      val termStats = byTermDoc.groupBy(col("term"))
-        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
-          max(col("term_h")).as("term_h"))
-      // single-collect dictionary (ONE job; ids + Σcf + collision check on
-      // the driver; LocalRelation output so downstream broadcasts build
-      // without a scan job) — the three-fixed-latency-job alternative
-      // (dense-ordinal broadcast + cache-materializing agg) was this
-      // stage's measured scaling floor (DictProbe). Exchange fallback for
-      // over-vocab inputs.
-      val (out, tok, ok) = IndexBuilder.localTermDict(termStats) match {
-        case Some((ld, tk, o)) => (ld, tk, o)
-        case None =>
-          val (td0, _, c) = Ids.withDenseOrdinalCounted(termStats, "term_id",
-            Seq("term"), assumeUnsorted = true)
-          val o2 = td0.select("term_id", "term", "term_h", "df", "cf").cache()
-          val row = o2.agg(coalesce(sum(col("cf").cast("long")), lit(0L)),
-            (count(lit(1)) === countDistinct(col("term_h"))).as("ok")).head()
-          c()
-          (o2, row.getLong(0), row.getBoolean(1))
-      }
-      Await.result(dCache, Duration.Inf)
-      (out, nTurns, tok, ok)
-    }
     val docStats = byTermDoc.groupBy(col("doc_ord"))
       .agg(max(col("dl")).cast("int").as("token_count")) // lazy view
     // LONG-keyed dictionary probe (term_h precomputed in the analyze pass):
@@ -228,7 +223,7 @@ object ScalingBench {
     // the build wall
     val buildSec = (System.nanoTime() - tb0) / 1e9 - tAnalyzeNoCache - cacheScanElapsed
     (idx, searcher,
-      StageTimes(tCalib, tCacheScan, tOrd, tAnalyzeNoCache, tAnalyze, tDict, tBlocks), buildSec)
+      StageTimes(tCalib, tCacheScan, tOrd, tAnalyzeNoCache, tAnalyzeDict, tBlocks), buildSec)
   }
 
   def runAt(cpus: Int, nConvs: Int, rounds: Int, batchN: Int): RunResult = {
@@ -355,8 +350,7 @@ object ScalingBench {
     // calibration, posting-cache-rescan stages the cache-scan calibration
     val stageCeils: Seq[(String, StageTimes => Double, Double)] = Seq(
       ("ordinals", _.ordinals, calibEff),
-      ("analyze", _.analyze, calibEff),
-      ("dict", _.dict, cacheEff),
+      ("analyzeDict", _.analyzeDict, calibEff),
       ("blocks", _.blocks, cacheEff))
     // time-weighted ceiling for the whole build: if every stage ran exactly
     // at its ceiling, raw build efficiency would equal this number
@@ -385,11 +379,10 @@ object ScalingBench {
          |bring 4 buses. Each stage below is normalized against the ceiling
          |that binds it: CPU for compute stages; the cache-scan ceiling for
          |stages whose work is dominated by RE-READING the cached posting
-         |store (the dictionary agg scans it once to group terms, the block
-         |pack streams it once to pack rows — both touch every cached batch
-         |through the same bus the calibration scan does). A normalized
-         |value near 1.0 means the stage is AT the hardware ceiling, i.e.
-         |it would scale linearly on a real multi-node cluster.
+         |store (the block pack streams every cached batch through the
+         |same bus the calibration scan does). A normalized value near 1.0
+         |means the stage is AT the hardware ceiling, i.e. it would scale
+         |linearly on a real multi-node cluster.
          |
          || metric | local[8] (N) | local[32] (4N) | efficiency | ceiling | normalized |
          ||---|---|---|---|---|---|
@@ -399,8 +392,7 @@ object ScalingBench {
          || index build wall (sec) | ${r8.buildSec}%.1f | ${r32.buildSec}%.1f | — | — | — |
          || · stage: dense ordinals (verified-sorted fast path, no shuffle) | ${bestStage(8, _.ordinals)}%.1f s | ${bestStage(32, _.ordinals)}%.1f s | ${stageEff(_.ordinals)}%.2f | $calibEff%.2f | ${stageEff(_.ordinals) / calibEff}%.2f |
          || · stage: analyze+group, uncached probe | ${bestStage(8, _.analyzeNoCache)}%.1f s | ${bestStage(32, _.analyzeNoCache)}%.1f s | ${stageEff(_.analyzeNoCache)}%.2f | $calibEff%.2f | ${stageEff(_.analyzeNoCache) / calibEff}%.2f |
-         || · stage: analyze+group + cache write | ${bestStage(8, _.analyze)}%.1f s | ${bestStage(32, _.analyze)}%.1f s | ${stageEff(_.analyze)}%.2f | $calibEff%.2f | ${stageEff(_.analyze) / calibEff}%.2f |
-         || · stage: term dictionary + stats (single-collect LocalRelation) | ${bestStage(8, _.dict)}%.1f s | ${bestStage(32, _.dict)}%.1f s | ${stageEff(_.dict)}%.2f | $cacheEff%.2f | ${stageEff(_.dict) / cacheEff}%.2f |
+         || · stage: analyze+group+dictionary, ONE fused job (cache write + vocab agg + single collect) | ${bestStage(8, _.analyzeDict)}%.1f s | ${bestStage(32, _.analyzeDict)}%.1f s | ${stageEff(_.analyzeDict)}%.2f | $calibEff%.2f | ${stageEff(_.analyzeDict) / calibEff}%.2f |
          || · stage: WAND block table (no-exchange InternalRow pack) | ${bestStage(8, _.blocks)}%.1f s | ${bestStage(32, _.blocks)}%.1f s | ${stageEff(_.blocks)}%.2f | $cacheEff%.2f | ${stageEff(_.blocks) / cacheEff}%.2f |
          || BM25 top-10 batch throughput ($batchN queries, one plan) | $q8%.1f QPS | $q32%.1f QPS | $qpsEff%.2f | $calibEff%.2f | ${qpsEff / calibEff}%.2f |
          || single-stream latency mix (8 ref queries) | $l8%.2f QPS | $l32%.2f QPS | ${l32 / (4 * l8)}%.2f | — | — |
@@ -425,6 +417,14 @@ object ScalingBench {
          |- The uncached analyze probe separates raw compute scaling from
          |  the cache-write memory-bus penalty: one JVM's threads share a
          |  memory bus that a real multi-node cluster does not.
+         |- The analyze+dictionary stage is timed as the ONE fused job the
+         |  shipped IndexBuilder.build(materialize=true) actually runs: the
+         |  dictionary collect is the action that materializes the posting
+         |  cache, so the vocab agg's map-side partials ride the cache-write
+         |  tasks. Rounds 1-3 decomposed this into analyze-then-dict and so
+         |  timed a full warm-cache re-scan (measured 0.41 raw scaling) that
+         |  the shipped build does not perform; build wall and raw build
+         |  efficiency in this table exclude that phantom stage.
          |- The two big build shuffles are gone: ordinals verify the input's
          |  existing sort (one narrow pass) and assign over its partitions;
          |  WAND blocks stream-pack doc-ascending postings partitions in a
@@ -446,23 +446,19 @@ object ScalingBench {
          |`q_bm25_batch_wand_syn` vs `q_bm25_batch_exh_syn` (~11 ms vs
          |~40 ms per query across a 20-query set, batch skip rate ~0.30).
          |
-         |Reading the round-3 BENCH totals vs round 2: the headline `total`
-         |is NOT like-for-like. Round 3's `queries` block times 8 additional
-         |query surfaces (bool trees, fuzzy, sloppy phrase, collapse,
-         |dis_max, percolation over 200 standing queries, 2-slice
-         |federation, hybrid RRF) that round 2 did not measure, and
-         |`index_build` now writes the maintenance-ready persisted layout
-         |(d_group doc-range partition level + staged-commit markers +
-         |per-partition metrics) that makes incremental deltas O(touched
-         |partitions) — capability round 2's layout lacked — at PARITY with
-         |round 2's build time on a quiet host (measured 4.6 s vs r2's
-         |4.8 s at sf0.1; the same stage reads 9.4 s under one of this VM's
-         |steal episodes, which is why every stage is best-of-k).
-         |Query-for-query, the shared r2 queries are flat to noise and the
-         |ANN pair got 1.7-3.8x faster (prebuilt serving indexes). The
-         |`wand_demo` block further gained the batch-WAND pair,
-         |removal/compaction maintenance timings, and a 60k-vector ANN
-         |recall demo — all new work, all outside the headline total.
+         |Reading BENCH_r04 vs r03: headline `queries` reps are now
+         |INTERLEAVED round-robin across queries instead of back-to-back
+         |per query — BENCH_r03's 7-10x outliers (q_bm25_wand_warm 1.87 s
+         |vs 0.27 s in r2, and the contiguous program-order span through
+         |q_dismax) were one host steal episode poisoning whole best-of-k
+         |blocks; round-robin bounds an episode's damage to one rep of
+         |each query. The wand_demo block adds `*_pinned` serving-mode
+         |pairs (blocks persisted MEMORY_AND_DISK + driver-resident
+         |dictionary — Searcher.serving()): with the ~0.5 s/query cold
+         |floor (blocks-parquet re-read + dictionary job) removed,
+         |per-query WAND beats per-query exhaustive on the same corpus
+         |where the cold pair crosses over, and `serving_mix_qps` reports
+         |the single-stream mixed-surface latency in that shape.
          |
          |Environment: single JVM local mode (this sandbox has no multi-node
          |cluster); local[N] = N executor threads. Spark ${org.apache.spark.SPARK_VERSION}.

@@ -99,8 +99,13 @@ object Similarity {
     * `dim = -1` keeps the dynamic higher-order fold for all rows: planes
     * adapt to each row's array length, one interpreted lambda step per
     * element. */
-  def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L,
-      portable: Boolean = false): Column = {
+  /** Per-plane signed projections `v · plane_p` for p in [0, planes) — the
+    * quantities whose SIGNS form the bucket and whose MAGNITUDES rank the
+    * multiprobe flip candidates (a projection near zero means the vector
+    * sits near that plane, so its true neighbors plausibly landed on the
+    * other side). */
+  private def lshProjections(v: Column, planes: Int, dim: Int, seed: Long,
+      portable: Boolean): IndexedSeq[Column] = {
     def dynAt(p: Int): Column = {
       val idx = sequence(lit(0), size(v) - 1)
       val comp = (j: Column) =>
@@ -116,9 +121,46 @@ object Similarity {
         when(size(v) === dim, dot(v, typedLit(planeVector(p, dim, seed, portable))))
           .otherwise(dynAt(p))
       } else dynAt
-    (0 until planes).map { p =>
-      when(projAt(p) >= 0, lit(1L << p)).otherwise(lit(0L))
+    (0 until planes).map(projAt)
+  }
+
+  def lshBucket(v: Column, planes: Int, dim: Int, seed: Long = 42L,
+      portable: Boolean = false): Column =
+    lshProjections(v, planes, dim, seed, portable).zipWithIndex.map {
+      case (proj, p) => when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Multiprobe bucket set (Lv et al., VLDB 2007): the base bucket plus the
+    * `probes` single-bit flips on the planes whose |projection| is smallest
+    * — the boundaries this vector sits nearest, i.e. the flips most likely
+    * to hold missed true neighbors. Probing runs on the QUERY side only:
+    * recall rises without more tables (no index growth, no extra corpus
+    * projections) at the cost of `1 + probes` bucket lookups per (query,
+    * table) instead of 1. Returns array<long> of `1 + min(probes, planes)`
+    * DISTINCT buckets, base first. */
+  def lshProbeBuckets(v: Column, planes: Int, dim: Int, seed: Long = 42L,
+      portable: Boolean = false, probes: Int = 2): Column = {
+    val projs = lshProjections(v, planes, dim, seed, portable)
+    val base = projs.zipWithIndex.map {
+      case (proj, p) => when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val nFlips = math.min(math.max(probes, 0), planes)
+    if (nFlips == 0) return array(base)
+    // rank planes by |projection| asc (ties: plane index asc — struct sort
+    // is field-order lexicographic), flip the nearest-boundary bits
+    val ranked = array_sort(array(projs.zipWithIndex.map {
+      case (proj, p) => struct(abs(proj).as("a"), lit(p).as("p"))
+    }: _*))
+    // 1L << p for a COLUMN p: planes is small (<= 24 in any real config),
+    // so a when-chain stays a compact codegen'd expression
+    def bitOf(pcol: Column): Column =
+      (1 until planes).foldLeft(when(pcol === 0, lit(1L))) {
+        case (acc, p) => acc.when(pcol === p, lit(1L << p))
+      }
+    val flips = (0 until nFlips).map { i =>
+      base.bitwiseXOR(bitOf(element_at(ranked, i + 1).getField("p")))
+    }
+    array(base +: flips: _*)
   }
 
   /** The fixed vector length of `vecCol`, read from one row — callers use
@@ -181,10 +223,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       seed: Long = 42L,
-      portable: Boolean = false
+      portable: Boolean = false,
+      probes: Int = 0
   ): DataFrame =
     lshTopKIndexed(lshIndex(corpus, planes, tables, idCol, vecCol, seed, portable),
-      queries, k, idCol, vecCol)
+      queries, k, idCol, vecCol, probes = probes)
 
   /** Prebuilt LSH index: the payload-free bucket table plus the projected
     * corpus and every hashing parameter a query probe must reproduce. The
@@ -204,12 +247,23 @@ object Similarity {
   }
 
   private def lshBucketed(df: DataFrame, id: String, v: String,
-      planes: Int, tables: Int, dim: Int, seed: Long, portable: Boolean): DataFrame = {
-    val buckets = (0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-        lshBucket(col(v), planes, dim, seed + t * 7919L, portable).as("b")))
-    df.select(col(id), explode(array(buckets: _*)).as("tb"))
-      .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+      planes: Int, tables: Int, dim: Int, seed: Long, portable: Boolean,
+      probes: Int = 0): DataFrame = {
+    if (probes <= 0) {
+      val buckets = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket(col(v), planes, dim, seed + t * 7919L, portable).as("b")))
+      df.select(col(id), explode(array(buckets: _*)).as("tb"))
+        .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
+    } else {
+      // multiprobe (query side only): 1 + probes buckets per (row, table)
+      val buckets = (0 until tables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshProbeBuckets(col(v), planes, dim, seed + t * 7919L, portable,
+            probes).as("bs")))
+      df.select(col(id), explode(array(buckets: _*)).as("tb"))
+        .select(col(id), col("tb.tbl").as("tbl"), explode(col("tb.bs")).as("bucket"))
+    }
   }
 
   def lshIndex(
@@ -257,11 +311,16 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      allowed: Option[DataFrame] = None
+      allowed: Option[DataFrame] = None,
+      probes: Int = 0
   ): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
+    // probes > 0 = multiprobe ([[lshProbeBuckets]]): each (query, table)
+    // additionally looks up the `probes` nearest-boundary single-bit-flip
+    // buckets — recall rises with ZERO index growth (the corpus table is
+    // untouched; only the broadcast query side fans out ×(1+probes))
     val qb = lshBucketed(q, "q_id", "q_v",
-      index.planes, index.tables, index.dim, index.seed, index.portable)
+      index.planes, index.tables, index.dim, index.seed, index.portable, probes)
     val cand = allowOnly(
       index.buckets
         .join(broadcast(qb), Seq("tbl", "bucket"))

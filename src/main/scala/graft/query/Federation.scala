@@ -242,6 +242,95 @@ final class Federation private (
     gatherBatch(parts, k)
   }
 
+  // --------------------------- global-vocabulary dictionary expansion
+
+  /** Expansion terms satisfying `pred` against the GLOBAL vocabulary —
+    * the step where naive per-slice expansion diverges from a monolithic
+    * index: the monolithic cap keeps the `maxExpansions` highest-GLOBAL-df
+    * terms, and a term's global df can put it in the global top-M even when
+    * it makes no slice's local top-M (df spread thinly across slices), or
+    * when it is known to only one slice. The merge is one distributed plan
+    * over the slices' vocab-sized dictionaries — union of per-slice
+    * dictionary scans, `groupBy(term).agg(sum(df))`, global
+    * (df desc, term asc) top-M cut — so only ≤ `maxExpansions` terms ever
+    * reach the driver; no slice vocabulary is collected. Ordering matches
+    * [[Searcher.expand]] exactly (Σ slice df == monolithic df), so the
+    * surviving expansion set is identical to the monolithic one. */
+  private def expandGlobal(pred: org.apache.spark.sql.Column,
+      maxExpansions: Int): Seq[String] = {
+    require(maxExpansions > 0, s"maxExpansions must be > 0, got $maxExpansions")
+    val parts = sliceSearchers.map(
+      _.index.termDict.filter(pred).select(col("term"), col("df")))
+    unionAll(parts).get
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansions)
+      .select("term").collect().map(_.getString(0)).toSeq
+  }
+
+  /** OR-match of a pre-expanded global term set: slice-local term ids with
+    * GLOBAL df/cf substituted (so `ranked` TF-IDF weights are float-exact
+    * to the monolithic scores), per-slice pruned postings scan + doc agg,
+    * gather ordered (score desc,)? tieCols asc. */
+  private def matchExpandedGlobal(terms: Seq[String], ranked: Boolean): DataFrame = {
+    if (terms.isEmpty) return emptyDocs(ranked)
+    val rtss = resolveGlobal(terms)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty => s.matchExpanded(rts, ranked).drop("doc_ord")
+    }
+    unionAll(parts) match {
+      case None      => emptyDocs(ranked)
+      case Some(all) =>
+        if (ranked) all.orderBy(desc("score") +: tieAsc: _*)
+        else all.orderBy(tieAsc: _*)
+    }
+  }
+
+  /** Federated PrefixQuery — identical semantics to
+    * [[Searcher.prefixQuery]] over the union corpus: global-vocabulary
+    * expansion (see [[expandGlobal]]), then a per-slice OR match. */
+  def prefixQuery(prefix: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (prefix.isEmpty) return emptyDocs(ranked)
+    matchExpandedGlobal(
+      expandGlobal(col("term").startsWith(prefix), maxExpansions), ranked)
+  }
+
+  /** Federated FuzzyQuery — [[Searcher.fuzzyQuery]] over the union corpus:
+    * the edit-distance expansion runs against the merged global vocabulary
+    * with global-df cap ordering. */
+  def fuzzyQuery(term: String, maxEdits: Int = 1, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame =
+    analyzer.terms(term).headOption match {
+      case None    => emptyDocs(ranked)
+      case Some(t) =>
+        matchExpandedGlobal(
+          expandGlobal(Searcher.fuzzyPred(t, maxEdits), maxExpansions), ranked)
+    }
+
+  /** Federated WildcardQuery (`*` any run, `?` one char, anchored). */
+  def wildcardQuery(pattern: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (pattern.isEmpty) return emptyDocs(ranked)
+    matchExpandedGlobal(
+      expandGlobal(col("term").rlike(Searcher.wildcardRegex(pattern)),
+        maxExpansions), ranked)
+  }
+
+  /** Federated autocomplete — [[Searcher.suggest]] over the union corpus:
+    * per-slice prefix scans merged with Σ df, global (df desc, term asc)
+    * top-n. A slice-exclusive completion still surfaces, with its true
+    * global frequency. */
+  def suggest(prefix: String, n: Int = 10): DataFrame = {
+    val parts = sliceSearchers.map(
+      _.index.termDict.filter(col("term").startsWith(prefix))
+        .select(col("term"), col("df")))
+    unionAll(parts).get
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(n)
+  }
+
   /** Federated MatchQuery (AND/OR), unranked. Slice-local evaluation is
     * already globally correct: a term absent from a slice's dictionary is
     * absent from the slice's corpus, so AND yields nothing there and OR

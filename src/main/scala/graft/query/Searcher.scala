@@ -71,6 +71,24 @@ object Searcher {
     exists(flatten(rels), a =>
       forall(rels, rl => exists(rl, r => r >= a && r <= a + slop)))
 
+  /** Dictionary predicate for a fuzzy expansion: the length-window
+    * prefilter keeps the edit-distance evaluation off terms that cannot
+    * qualify. Shared by the monolithic expansion ([[Searcher.fuzzyQuery]],
+    * `BFuzzy` leaves) and the federated global-vocabulary expansion
+    * ([[Federation.fuzzyQuery]]). */
+  private[query] def fuzzyPred(term: String, maxEdits: Int): Column =
+    length(col("term")).between(term.length - maxEdits, term.length + maxEdits) &&
+      levenshtein(col("term"), lit(term)) <= maxEdits
+
+  /** Anchored regex for a `*`/`?` wildcard pattern (all other characters
+    * literal) — shared by the monolithic and federated wildcard queries. */
+  private[query] def wildcardRegex(pattern: String): String =
+    "^" + pattern.map {
+      case '*' => ".*"
+      case '?' => "."
+      case c   => java.util.regex.Pattern.quote(c.toString)
+    }.mkString + "$"
+
   /** Searcher over a persisted index: reuses its WAND block table and the
     * FULL block parameters — including the k1/b the block maxima were built
     * with (manifest formatVersion 2); scoring a reloaded index with default
@@ -449,7 +467,7 @@ final class Searcher(
 
   /** OR-match over a pre-resolved expansion set (unranked doc-order or
     * TF-IDF ranked like [[matchQueryRanked]]). */
-  private def matchExpanded(rts: Seq[ResolvedTerm], ranked: Boolean): DataFrame =
+  private[query] def matchExpanded(rts: Seq[ResolvedTerm], ranked: Boolean): DataFrame =
     if (rts.isEmpty) emptyDocs(ranked)
     else fetchDocs(scoredMatches(rts, if (ranked) tfIdfExpr else lit(0.0)), ranked)
 
@@ -469,12 +487,9 @@ final class Searcher(
   def wildcardQuery(pattern: String, ranked: Boolean = false,
       maxExpansions: Int = 128): DataFrame = {
     if (pattern.isEmpty) return emptyDocs(ranked)
-    val rx = "^" + pattern.map {
-      case '*' => ".*"
-      case '?' => "."
-      case c   => java.util.regex.Pattern.quote(c.toString)
-    }.mkString + "$"
-    matchExpanded(expand(col("term").rlike(rx), maxExpansions), ranked)
+    matchExpanded(
+      expand(col("term").rlike(Searcher.wildcardRegex(pattern)), maxExpansions),
+      ranked)
   }
 
   /** RegexpQuery: docs containing any dictionary term matching `regex`
@@ -598,20 +613,14 @@ final class Searcher(
     * Levenshtein edits of `term` (exact term included at distance 0). The
     * length window prefilter keeps the edit-distance evaluation off terms
     * that cannot qualify. */
-  /** Dictionary predicate for a fuzzy expansion: the length-window
-    * prefilter keeps the edit-distance evaluation off terms that cannot
-    * qualify. Shared by [[fuzzyQuery]] and [[BFuzzy]] leaf compilation. */
-  private def fuzzyPred(term: String, maxEdits: Int): Column =
-    length(col("term")).between(term.length - maxEdits, term.length + maxEdits) &&
-      levenshtein(col("term"), lit(term)) <= maxEdits
-
   def fuzzyQuery(term: String, maxEdits: Int = 1, ranked: Boolean = false,
       maxExpansions: Int = 128): DataFrame =
     // analyzer-normalize (first analyzed token) so the edit distance runs
     // against the same normalized space the dictionary holds
     analyzer.terms(term).headOption match {
       case None    => emptyDocs(ranked)
-      case Some(t) => matchExpanded(expand(fuzzyPred(t, maxEdits), maxExpansions), ranked)
+      case Some(t) =>
+        matchExpanded(expand(Searcher.fuzzyPred(t, maxEdits), maxExpansions), ranked)
     }
 
   /** MoreLikeThis: docs similar to `docOrd`, BM25-ranked over the source
@@ -1585,7 +1594,7 @@ final class Searcher(
         // then one vocab-sized dictionary scan expands it; empty ⇒ false
         val known = analyzer.terms(term).headOption match {
           case None    => Seq.empty[ResolvedTerm]
-          case Some(t) => expand(fuzzyPred(t, maxEdits), maxExpansions = maxExp)
+          case Some(t) => expand(Searcher.fuzzyPred(t, maxEdits), maxExpansions = maxExp)
         }
         if (known.isEmpty) (StaticFalse, pos)
         else {

@@ -689,6 +689,35 @@ object ParquetIndexStorage {
     * empty, manifest update, applied marker. Every write is a pure function
     * of the staged data, so a crash mid-apply is recovered by re-running
     * the same batchId (staging is skipped, overwrites repeat). */
+  /** Dynamic-overwrite `table` at `path` from its staged copy under `sp`,
+    * then delete touched partitions ABSENT from the staged content: dynamic
+    * overwrite only replaces partitions present in the staged data, so a
+    * touched partition whose post-apply content is EMPTY (e.g. every doc of
+    * a range replaced or compacted away) must be deleted explicitly or its
+    * stale rows would keep matching old content. An all-empty staged table
+    * (batch of empty docs) writes no parquet and cannot be re-read — treated
+    * as "no partitions present". */
+  private def overwriteTouched(spark: SparkSession, path: String, sp: String,
+      table: String, partCols: Seq[String], touched: Seq[Seq[Long]]): Unit = {
+    val staged0 =
+      try Some(spark.read.parquet(s"$sp/$table"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    staged0.foreach(_.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(s"$path/$table"))
+    val present: Set[Seq[Long]] =
+      staged0.map(_.select(partCols.map(c => col(c).cast("long")): _*)
+        .distinct().collect()
+        .map(r => partCols.indices.map(r.getLong).toSeq: Seq[Long]).toSet)
+      .getOrElse(Set.empty[Seq[Long]])
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(present).foreach { vals =>
+      val sub = partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$sub"), true)
+    }
+  }
+
   private def applyStagedDelta(
       spark: SparkSession, path: String, sp: String,
       staged: StageMarker, batchId: String, mf: IndexManifest): IndexManifest = {
@@ -734,32 +763,9 @@ object ParquetIndexStorage {
             "the staged batch (vacuum cannot; delete _stage/delta_" + batchId +
             " and its markers) and re-submit it")
     }
-    // dynamic overwrite only replaces partitions PRESENT in the staged
-    // data; a touched partition whose post-delta content is EMPTY (e.g.
-    // every doc of a range replaced away) must be deleted explicitly
-    // or its stale rows would keep matching old content
     def applyTable(table: String, partCols: Seq[String],
-        touched: Seq[Seq[Long]]): Unit = {
-      // an all-empty staged table (batch of empty docs) writes no parquet
-      // and cannot be re-read — treat as "no partitions present"
-      val staged0 =
-        try Some(spark.read.parquet(s"$sp/$table"))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      staged0.foreach(_.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCols: _*).parquet(s"$path/$table"))
-      val present: Set[Seq[Long]] =
-        staged0.map(_.select(partCols.map(c => col(c).cast("long")): _*)
-          .distinct().collect()
-          .map(r => partCols.indices.map(r.getLong).toSeq: Seq[Long]).toSet)
-        .getOrElse(Set.empty[Seq[Long]])
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.filterNot(present).foreach { vals =>
-        val sub = partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$table/$sub"), true)
-      }
-    }
+        touched: Seq[Seq[Long]]): Unit =
+      overwriteTouched(spark, path, sp, table, partCols, touched)
     def parseBuckets(key: String): Seq[Long] = {
       val s = staged.lineage.getOrElse(key, "")
       if (s.isEmpty) Nil else s.split(",").map(_.toLong).toSeq
@@ -1173,6 +1179,246 @@ object ParquetIndexStorage {
     swap("blocks", Seq("bucket"))
     if (mf.keyCols.nonEmpty) swap("keymap", Seq("k_bucket"))
     swap("term_dict", Nil)
+    val mf2 = mf.copy(stages = mf.stages :+ staged)
+    ManifestIO.write(s"$path/manifest.json", mf2)
+    ManifestIO.write(appliedM, staged.copy(stage = s"compact_${batchId}_applied"))
+    mf2
+  }
+
+  /** d_groups whose live-ordinal density sits below `threshold` — the
+    * selection input for [[compactGroups]]. Per-group density = live docs /
+    * occupied ordinal prefix (maxOrd-in-group − groupBase + 1): a group
+    * that was never full but has no HOLES scores 1.0 and is skipped, while
+    * a churned group (removals punched gaps) drops toward 0. Cost: one
+    * column-pruned scan of the narrow doc_stats table (doc_ord only) plus
+    * a ~#groups-row aggregate — cheap next to any rewrite, which is the
+    * point: probe often, compact only what drifted. */
+  def sparseDGroups(spark: SparkSession, path: String,
+      threshold: Double = 0.5): Seq[Long] = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    require(mf.dGroupSpan > 0,
+      s"index at $path predates the d_group postings layout; rebuild it instead")
+    if (mf.numDocs == 0) return Nil
+    val gSpan = mf.dGroupSpan
+    spark.read.parquet(s"$path/doc_stats")
+      .select(col("doc_ord"), floor(col("doc_ord") / lit(gSpan)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("live"), max(col("doc_ord")).as("mx"))
+      .filter(col("live").cast("double") /
+        (col("mx") - col("g") * lit(gSpan) + 1) < threshold)
+      .select("g").collect().map(_.getLong(0)).toSeq.sorted
+  }
+
+  /** Compact ONLY the given d_groups — the incremental maintenance twin of
+    * [[compact]] for a churned large store: a 10^12-doc index with removal
+    * churn concentrated in a few doc ranges should not pay an O(index)
+    * rewrite to re-densify them. Each selected group's surviving ordinals
+    * are remapped to be dense FROM THE GROUP'S OWN BASE (`g*dGroupSpan +
+    * rank`), order-preserving; the group boundary is the remap FENCE — no
+    * ordinal crosses it, so untouched groups (their postings leaves, docs/
+    * doc_stats buckets, and WAND block partitions) are not read, not
+    * rewritten, and keep their file mtimes. Reads and writes are
+    * directory-pruned to the touched groups' partitions (plus the touched
+    * docs' key buckets in the keymap), the same O(touched) contract as the
+    * deltas. The term dictionary, numDocs, and avgdl are unchanged (no doc
+    * enters or leaves).
+    *
+    * Semantics: queries are UNAFFECTED (same documents, same scores — only
+    * internal ordinals move); within each compacted group the ordinal space
+    * is dense from the base, so its WAND buckets re-fill and its d_bucket
+    * directory count shrinks. Inter-group holes (a group's unused tail, or
+    * groups below `threshold` NOT selected) remain — global densification
+    * is [[compact]]'s job. Select groups with [[sparseDGroups]].
+    *
+    * Two-phase and idempotent per `batchId` in the compact marker
+    * namespace, with the same write-clock guards as [[compact]]: it counts
+    * as a compaction ([[compactEpoch]]), so staged-but-unapplied deltas
+    * from before it are refused at apply (their ordinals may be remapped).
+    */
+  def compactGroups(
+      spark: SparkSession,
+      path: String,
+      batchId: String,
+      groups: Seq[Long],
+      failAfter: Option[String] = None
+  ): IndexManifest = {
+    val mf = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest])
+      .getOrElse(throw new IllegalStateException(s"no committed index at $path"))
+    require(mf.dGroupSpan > 0,
+      s"index at $path predates the d_group postings layout " +
+        s"(manifest dGroupSpan=${mf.dGroupSpan}); rebuild it instead")
+    require(groups.nonEmpty, "compactGroups needs at least one d_group")
+    // full compact and group compact share the compact_<id> marker
+    // namespace; a reused id across kinds would hit the other's idempotence
+    // marker and silently no-op
+    Seq(s"compact_${batchId}_applied", s"compact_${batchId}_staged").foreach { n =>
+      ManifestIO.read(marker(path, n), classOf[StageMarker])
+        .flatMap(_.lineage.get("op")).filter(_ != "compact_groups")
+        .foreach { other =>
+          throw new IllegalArgumentException(
+            s"batch id '$batchId' at $path was already used by a '$other'; " +
+              "reusing it for a 'compact_groups' would silently no-op — use a distinct id")
+        }
+    }
+    val appliedM = marker(path, s"compact_${batchId}_applied")
+    if (ManifestIO.exists(appliedM))
+      return ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    val stagedM = marker(path, s"compact_${batchId}_staged")
+    val sp = s"$path/_stage/compact_$batchId"
+    val span = mf.bucketSpan
+    val gSpan = mf.dGroupSpan
+    val bp = BlockParams(mf.blockSize, mf.bucketSpan, mf.k1, mf.b)
+    val bucketsPerGroup = gSpan / span
+    val gs = groups.distinct.sorted
+    def dBucketOf(c: Column) = floor(c / lit(span)).cast("long")
+    def dGroupOf(c: Column) = floor(c / lit(gSpan)).cast("long")
+    def listLong(table: String, prefix: String): Seq[Long] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val root = new org.apache.hadoop.fs.Path(s"$path/$table")
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong)
+    }
+    def inGroups(b: Long): Boolean = gs.contains(b / bucketsPerGroup)
+
+    val staged = ManifestIO.read(stagedM, classOf[StageMarker]).getOrElse {
+      val t0 = System.currentTimeMillis()
+      // touched leaves BEFORE the rewrite (deletion candidates at apply):
+      // enumerated from directory listings, never a scan
+      val oldDocBuckets = listLong("docs", "d_bucket=").filter(inGroups)
+      val oldBlockBuckets = listLong("blocks", "bucket=").filter(inGroups)
+      val docs0 = spark.read.parquet(s"$path/docs")
+        .filter(col("d_bucket").isin(oldDocBuckets: _*))
+      // per-(group, d_bucket) live counts -> driver-side offsets: dense
+      // rank within a group = docs in its EARLIER buckets + rank within
+      // own bucket. Bounded: |groups| × (dGroupSpan/bucketSpan) entries,
+      // and window partitions stay ≤ bucketSpan rows.
+      val counts = docs0
+        .groupBy(dGroupOf(col("doc_ord")).as("g"), col("d_bucket").cast("long").as("db"))
+        .count().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2))
+      val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, bs) =>
+        var acc = 0L
+        bs.sortBy(_._2).map { case (_, db, c) => val o = (g, db, acc); acc += c; o }
+      }
+      import spark.implicits._
+      val offDf = offsets.toDF("g", "db", "off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("db")).orderBy(col("doc_ord"))
+      val remap = docs0
+        .select(col("doc_ord"), dGroupOf(col("doc_ord")).as("g"),
+          col("d_bucket").cast("long").as("db"))
+        .join(broadcast(offDf), Seq("g", "db"))
+        .withColumn("new_ord", col("g") * lit(gSpan) + col("off") +
+          row_number().over(w).cast("long") - lit(1L))
+        .select("doc_ord", "new_ord")
+        .persist()
+      def remapped(df: DataFrame): DataFrame =
+        df.join(remap, "doc_ord").drop("doc_ord")
+          .withColumnRenamed("new_ord", "doc_ord")
+
+      val docsCols = docs0.drop("d_bucket").columns
+      remapped(docs0.drop("d_bucket"))
+        .select(docsCols.map(col): _*)
+        .withColumn("d_bucket", dBucketOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/docs")
+      remapped(spark.read.parquet(s"$path/doc_stats")
+          .filter(col("d_bucket").isin(oldDocBuckets: _*)).drop("d_bucket"))
+        .select("doc_ord", "token_count")
+        .withColumn("d_bucket", dBucketOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$sp/doc_stats")
+      remapped(spark.read.parquet(s"$path/postings")
+          .filter(col("d_group").isin(gs: _*)).drop("d_group"))
+        .select("term_id", "doc_ord", "positions", "tf", "dl", "t_bucket")
+        .withColumn("d_group", dGroupOf(col("doc_ord")))
+        .write.mode("overwrite").partitionBy("t_bucket", "d_group")
+        .parquet(s"$sp/postings")
+      // blocks: rebuild the touched groups' doc-range buckets from their
+      // staged (remapped) postings. Zero staged postings (groups holding
+      // only token-less docs) stage no blocks; apply then deletes the old
+      // touched block partitions — exactly the post-compact content.
+      val stagedPost =
+        try Some(spark.read.parquet(s"$sp/postings"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      stagedPost.foreach { sp0 =>
+        PostingBlocks.buildFrom(sp0.drop("t_bucket", "d_group"), null, bp)
+          .sortWithinPartitions(col("bucket"), col("term_id"), col("min_doc"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$sp/blocks")
+      }
+      // keymap: the touched docs' keys keep their k_bucket (hash of the
+      // key), so the touched bucket set is the distinct k_bucket of those
+      // keys; each touched bucket is rewritten with remapped ordinals
+      // substituted (rows of untouched docs in the same bucket ride along
+      // unchanged). Proportional to the touched docs' key spread.
+      val kBucketsTouched: Seq[Int] =
+        if (mf.keyCols.isEmpty) Nil
+        else {
+          val kb = kBucketCol(mf.keyCols, mf.keyBuckets)
+          val kbs = docs0.select(kb.as("kb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          spark.read.parquet(s"$path/keymap")
+            .filter(col("k_bucket").isin(kbs: _*))
+            .join(remap, Seq("doc_ord"), "left")
+            .withColumn("doc_ord", coalesce(col("new_ord"), col("doc_ord")))
+            .drop("new_ord", "k_bucket")
+            .withColumn("k_bucket", kBucketCol(mf.keyCols, mf.keyBuckets))
+            .write.mode("overwrite").partitionBy("k_bucket").parquet(s"$sp/keymap")
+          kbs
+        }
+      remap.unpersist()
+      val prevTokens = mf.stages.reverse.collectFirst {
+        case s if s.lineage.contains("tokens") => s.lineage("tokens").toLong
+      }.getOrElse(0L)
+      val m = StageMarker(s"compact_${batchId}_staged", mf.numDocs,
+        System.currentTimeMillis() - t0,
+        Map("op" -> "compact_groups",
+          "compactEpoch" -> compactEpoch(mf).toString,
+          "stagesAtStaging" -> mf.stages.size.toString,
+          "tokens" -> prevTokens.toString,
+          "numDocs" -> mf.numDocs.toString,
+          "dGroups" -> gs.mkString(","),
+          "dBuckets" -> oldDocBuckets.sorted.mkString(","),
+          "blockBuckets" -> oldBlockBuckets.sorted.mkString(","),
+          "kBuckets" -> kBucketsTouched.sorted.mkString(",")))
+      ManifestIO.write(stagedM, m)
+      m
+    }
+    if (failAfter.contains("staged")) throw new InjectedFailure("staged")
+    // crash window between manifest write and applied marker (see compact)
+    if (mf.stages.exists(_.stage == staged.stage)) {
+      ManifestIO.write(appliedM, staged.copy(stage = s"compact_${batchId}_applied"))
+      return mf
+    }
+    // write-clock guards, same hazard as the deltas: staged partitions are
+    // the complete content of the touched ranges AS OF STAGING
+    staged.lineage.get("stagesAtStaging").foreach { n =>
+      if (n.toInt != mf.stages.size)
+        throw new IllegalStateException(
+          s"staged group compaction '$batchId' at $path predates " +
+            s"${mf.stages.size - n.toInt} later applied delta(s)/compaction(s); " +
+            "applying its staged tables would erase their changes — discard its " +
+            "staging (delete _stage/compact_" + batchId +
+            " and its markers) and re-run with a fresh id")
+    }
+    def parseBuckets(key: String): Seq[Long] = {
+      val s = staged.lineage.getOrElse(key, "")
+      if (s.isEmpty) Nil else s.split(",").map(_.toLong).toSeq
+    }
+    val postTouched: Seq[Seq[Long]] =
+      listLong("postings", "t_bucket=").flatMap(t => gs.map(g => Seq(t, g)))
+    overwriteTouched(spark, path, sp, "postings", Seq("t_bucket", "d_group"), postTouched)
+    if (failAfter.contains("apply_postings")) throw new InjectedFailure("apply_postings")
+    overwriteTouched(spark, path, sp, "docs", Seq("d_bucket"),
+      parseBuckets("dBuckets").map(Seq(_)))
+    overwriteTouched(spark, path, sp, "doc_stats", Seq("d_bucket"),
+      parseBuckets("dBuckets").map(Seq(_)))
+    overwriteTouched(spark, path, sp, "blocks", Seq("bucket"),
+      parseBuckets("blockBuckets").map(Seq(_)))
+    if (staged.lineage.getOrElse("kBuckets", "").nonEmpty)
+      overwriteTouched(spark, path, sp, "keymap", Seq("k_bucket"),
+        parseBuckets("kBuckets").map(Seq(_)))
     val mf2 = mf.copy(stages = mf.stages :+ staged)
     ManifestIO.write(s"$path/manifest.json", mf2)
     ManifestIO.write(appliedM, staged.copy(stage = s"compact_${batchId}_applied"))

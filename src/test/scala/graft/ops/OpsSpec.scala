@@ -303,6 +303,50 @@ class OpsSpec extends SparkSpec {
     ivfIdx.assigned.unpersist()
   }
 
+  test("lshProbeBuckets: 1+min(probes,planes) DISTINCT buckets, base first," +
+      " each flip exactly one bit from base") {
+    for (probes <- Seq(0, 1, 2, 3, 10)) { // 10 > planes=3 clamps to planes
+      val rows = emb.select(
+        Similarity.lshBucket(col("embedding"), planes = 3, dim = 8).as("base"),
+        Similarity.lshProbeBuckets(col("embedding"), planes = 3, dim = 8,
+          probes = probes).as("bs")).collect()
+      val want = 1 + math.min(probes, 3)
+      rows.foreach { r =>
+        val base = r.getLong(0)
+        val bs = r.getSeq[Long](1)
+        assert(bs.size == want, s"probes=$probes size=${bs.size}")
+        assert(bs.head == base, "base bucket must come first")
+        assert(bs.distinct.size == bs.size, s"duplicate buckets: $bs")
+        bs.tail.foreach { b =>
+          assert(java.lang.Long.bitCount(b ^ base) == 1,
+            s"flip $b not one bit from base $base")
+        }
+      }
+    }
+  }
+
+  test("multiprobe LSH: probes=0 == default path; probes>0 candidates are a" +
+      " superset (recall can only rise)") {
+    val queries = emb.filter(col("vec_id").isin(0L, 3L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val idx = Similarity.lshIndex(emb, planes = 4, tables = 2).cached()
+    assert(rows(Similarity.lshTopKIndexed(idx, queries, 3, probes = 0)) ==
+      rows(Similarity.lshTopKIndexed(idx, queries, 3)))
+    // candidate sets grow monotonically with probe count: k exceeds the
+    // corpus so top-k == candidates, and each added probe only unions in
+    // more buckets
+    val cand = (0 to 4).map(p =>
+      rows(Similarity.lshTopKIndexed(idx, queries, 10, probes = p)))
+    cand.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), s"probe increase lost candidates: ${a.diff(b)}")
+    }
+    // with every single-bit flip probed per table, the planted neighbor is
+    // found for the base query regardless of which plane separated them
+    assert(cand.last.contains((0L, 1L)))
+    idx.buckets.unpersist(); idx.corpus.unpersist()
+  }
+
   test("ivfTopK on a corpus smaller than nprobe probes every centroid (no throw)") {
     val tiny = emb.filter(col("vec_id") < 5) // 5 rows < default nprobe 8
     val got = Similarity.ivfTopK(tiny, tiny.filter(col("vec_id") === 0L), 3,

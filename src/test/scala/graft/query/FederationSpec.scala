@@ -239,4 +239,54 @@ class FederationSpec extends SparkSpec {
     val cols = fed.bm25All("nosuchterm").columns.toSeq
     assert(cols.contains("doc_id") && cols.contains("score") && !cols.contains("doc_ord"))
   }
+
+  test("fuzzyQuery: global-vocabulary expansion == monolithic, slice-exclusive" +
+      " terms included (ranked scores float-exact)") {
+    // fuzzy 'qq' maxEdits=2 expands to {go, qq, zz}: 'zz' lives ONLY in
+    // slice 0 and 'qq' ONLY in slice 2 — a per-slice expansion would drop
+    // them from the other slices' plans and a slice-local df would mis-rank
+    assert(idSet(fed.fuzzyQuery("qq", maxEdits = 2)) ==
+      idSet(mono.fuzzyQuery("qq", maxEdits = 2)))
+    val m = scoresOf(mono.fuzzyQuery("qq", maxEdits = 2, ranked = true))
+    val f = scoresOf(fed.fuzzyQuery("qq", maxEdits = 2, ranked = true))
+    assert(f.keySet == m.keySet)
+    f.foreach { case (id, s) => assert(math.abs(s - m(id)) < 1e-12, s"doc $id") }
+    assert(fed.fuzzyQuery("", maxEdits = 1).collect().isEmpty)
+  }
+
+  test("prefix / wildcard / suggest: federated == monolithic") {
+    for (p <- Seq("j", "s", "z", "nomatch")) {
+      assert(idSet(fed.prefixQuery(p)) == idSet(mono.prefixQuery(p)), s"prefix '$p'")
+    }
+    for (w <- Seq("j*", "*a*", "??", "q?")) {
+      assert(idSet(fed.wildcardQuery(w)) == idSet(mono.wildcardQuery(w)), s"wc '$w'")
+    }
+    def sug(res: DataFrame): Seq[(String, Long)] =
+      res.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    for (p <- Seq("j", "s", "q", "")) {
+      assert(sug(fed.suggest(p, 5)) == sug(mono.suggest(p, 5)), s"suggest '$p'")
+    }
+  }
+
+  test("maxExpansions cap keeps the GLOBAL top-df expansion, not a slice-local one") {
+    // 'aa': df 1 in EACH slice (global df 3). 'ab': df 2, both docs in
+    // slice 0. Slice-0's local df order is ab(2) > aa(1); globally
+    // aa(3) > ab(2). A per-slice cap at 1 would keep 'ab' — the global
+    // merge must keep 'aa' exactly like the monolithic index.
+    val rows = Seq(
+      (0L, 0L, "aa pad0"), (1L, 1L, "aa pad1"), (2L, 2L, "aa pad2"),
+      (3L, 3L, "ab pad3"), (4L, 6L, "ab pad4"))
+    val monoC = new Searcher(
+      IndexBuilder.build(rows.toDF("doc_ord", "doc_id", "text"), analyzer).cache(),
+      analyzer)
+    val slices = (0 until 3).map { r =>
+      val s = rows.filter(_._2 % 3 == r).zipWithIndex
+        .map { case ((_, id, text), ord) => (ord.toLong, id, text) }
+      IndexBuilder.build(s.toDF("doc_ord", "doc_id", "text"), analyzer).cache()
+    }
+    val fedC = Federation(slices, analyzer)
+    val m = idSet(monoC.prefixQuery("a", maxExpansions = 1))
+    assert(m == Set(0L, 1L, 2L)) // the monolithic cap keeps 'aa'
+    assert(idSet(fedC.prefixQuery("a", maxExpansions = 1)) == m)
+  }
 }

@@ -389,6 +389,148 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(ids(sa2.matchQuery("postcompact", And)) == Seq(mfC.numDocs))
   }
 
+  test("compactGroups: sparse-group compaction == fresh build with the same " +
+      "per-group remap; untouched leaves keep their mtimes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit, row_number}
+    val path = tmp()
+    // 2 WAND buckets per d_group so the sub-group bucket-offset remap is
+    // exercised (a dense rank must carry across the group's buckets); a
+    // bigger corpus than the shared fixture so 3+ groups of 128 exist
+    val p2 = params.copy(dGroupSpan = 128)
+    val turns2 = SyntheticTranscripts.df(spark, SyntheticTranscripts.Params(
+      seed = 12L, nConvs = 160, maxTurnsPerConv = 5, vocabSize = 60,
+      minLen = 3, maxLen = 25, partitions = 4)).cache()
+    val idx2 = IndexBuilder.buildFromTurns(turns2, analyzer).cache()
+    ParquetIndexStorage.build(idx2.docs, analyzer, path, p2, "src")
+    val maxOrd = idx2.docs.agg(org.apache.spark.sql.functions.max("doc_ord"))
+      .head().getLong(0)
+    assert(maxOrd >= 384, s"fixture must span 3+ groups of 128 (max=$maxOrd)")
+    // churn groups 0 and 2 heavily; leave group 1 (ords 128..255) intact
+    val victims = (0L to 120L by 2L) ++ (256L to 380L by 2L)
+    ParquetIndexStorage.removeDocuments(spark, path, victims.toDF("doc_ord"), "rm_pg")
+
+    // density-driven selection finds exactly the churned groups
+    val sparse = ParquetIndexStorage.sparseDGroups(spark, path, threshold = 0.75)
+    assert(sparse.contains(0L) && sparse.contains(2L), s"sparse=$sparse")
+    assert(!sparse.contains(1L), s"untouched group selected: $sparse")
+
+    def leafMtimes(sub: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/$sub")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    // untouched group 1: postings d_group=1, docs/doc_stats/blocks buckets 2-3
+    val before = (leafMtimes("postings").filter(_._1.contains("d_group=1")),
+      leafMtimes("docs").filter(_._1.contains("d_bucket=2")),
+      leafMtimes("blocks").filter(_._1.contains("bucket=3")))
+    assert(before._1.nonEmpty && before._2.nonEmpty && before._3.nonEmpty)
+
+    val mfPG = ParquetIndexStorage.compactGroups(spark, path, "pg0", sparse)
+    assert(mfPG.numDocs == idx2.numDocs - victims.count(_ <= maxOrd))
+
+    val after = (leafMtimes("postings").filter(_._1.contains("d_group=1")),
+      leafMtimes("docs").filter(_._1.contains("d_bucket=2")),
+      leafMtimes("blocks").filter(_._1.contains("bucket=3")))
+    assert(after == before, "untouched-group leaves were rewritten")
+
+    // the compacted store == a FRESH build over the survivors with the
+    // SAME ordinals (selected groups dense from their base, others kept) —
+    // the strongest form of "partial compact == fresh build of the touched
+    // groups": every table, including blocks and keymap, must match
+    val gSpan = 128L
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("doc_ord"))
+    val survivors0 = idx2.docs.filter(!col("doc_ord").isin(victims: _*))
+    val expected = survivors0
+      .withColumn("g", floor(col("doc_ord") / lit(gSpan)))
+      .withColumn("new_ord",
+        org.apache.spark.sql.functions.when(col("g").isin(sparse: _*),
+          col("g") * lit(gSpan) + row_number().over(wg).cast("long") - 1L)
+        .otherwise(col("doc_ord")))
+      .drop("doc_ord", "g").withColumnRenamed("new_ord", "doc_ord")
+      .select(idx2.docs.columns.map(col): _*)
+    val freshPath = tmp()
+    ParquetIndexStorage.build(expected, analyzer, freshPath, p2, "fresh")
+    val a = ParquetIndexStorage.read(spark, path)
+    val b = ParquetIndexStorage.read(spark, freshPath)
+    def sym(x0: DataFrame, y0: DataFrame, what: String): Unit = {
+      val cols = x0.columns.sorted
+      assert(y0.columns.sorted.sameElements(cols), s"$what: schemas differ")
+      val (x, y) = (x0.select(cols.map(col): _*), y0.select(cols.map(col): _*))
+      assert(x.except(y).count() == 0, s"$what: compacted has extra rows")
+      assert(y.except(x).count() == 0, s"$what: compacted is missing rows")
+    }
+    sym(a.index.docs, b.index.docs, "docs")
+    sym(a.index.postings, b.index.postings, "postings")
+    sym(a.index.termDict.select("term_id", "term", "df", "cf"),
+      b.index.termDict.select("term_id", "term", "df", "cf"), "term_dict")
+    sym(a.blocks.toDF(), b.blocks.toDF(), "blocks")
+    sym(spark.read.parquet(s"$path/doc_stats").drop("d_bucket"),
+      spark.read.parquet(s"$freshPath/doc_stats").drop("d_bucket"), "doc_stats")
+    sym(spark.read.parquet(s"$path/keymap").drop("k_bucket"),
+      spark.read.parquet(s"$freshPath/keymap").drop("k_bucket"), "keymap")
+
+    // queries ride through unchanged (stable keys — ordinals moved)
+    def keys(df: DataFrame): Set[(String, Int)] =
+      df.select("conv_id", "turn_idx").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+    val sa = Searcher(a, analyzer)
+    val sb = Searcher(b, analyzer)
+    for (q <- Seq("t000000", "t000001 t000005", "hot0 t000002")) {
+      assert(keys(sa.matchQuery(q, And)) == keys(sb.matchQuery(q, And)), s"AND $q")
+      assert(keys(sa.bm25TopKWand(q, 10)) == keys(sb.bm25TopK(q, 10)), s"WAND $q")
+    }
+
+    // idempotent: re-running the applied id changes nothing
+    val mfBefore = ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get
+    ParquetIndexStorage.compactGroups(spark, path, "pg0", sparse)
+    assert(ManifestIO.read(s"$path/manifest.json", classOf[IndexManifest]).get == mfBefore)
+    // selection is quiet now: the compacted groups are dense from base
+    assert(ParquetIndexStorage.sparseDGroups(spark, path, threshold = 0.75)
+      .forall(g => !sparse.contains(g)))
+  }
+
+  test("compactGroups crash recovery: staged and mid-apply crashes re-run; " +
+      "a staged group compaction that predates a later delta is refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val path = tmp()
+    val p2 = params.copy(dGroupSpan = 128)
+    ParquetIndexStorage.build(docsWithOrd, analyzer, path, p2, "src")
+    ParquetIndexStorage.removeDocuments(spark, path,
+      (0L to 100L by 2L).toDF("doc_ord"), "rm")
+    // crash after staging -> re-run completes and matches a clean run
+    intercept[Exception] {
+      ParquetIndexStorage.compactGroups(spark, path, "pgc", Seq(0L),
+        failAfter = Some("staged"))
+    }
+    ParquetIndexStorage.compactGroups(spark, path, "pgc", Seq(0L))
+    // crash mid-apply -> re-run (staging skipped) finishes the overwrites
+    ParquetIndexStorage.removeDocuments(spark, path,
+      (128L to 200L by 2L).toDF("doc_ord"), "rm2")
+    intercept[InjectedFailure] {
+      ParquetIndexStorage.compactGroups(spark, path, "pgc2", Seq(1L),
+        failAfter = Some("apply_postings"))
+    }
+    ParquetIndexStorage.compactGroups(spark, path, "pgc2", Seq(1L))
+    val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
+    assert(s.matchQuery("t000000", Or).count() > 0)
+    // interleaving guard: stage pg3, then apply ANOTHER delta, then re-run
+    // pg3 — its staged tables predate the delta and must be refused
+    intercept[Exception] {
+      ParquetIndexStorage.compactGroups(spark, path, "pg3", Seq(0L),
+        failAfter = Some("staged"))
+    }
+    ParquetIndexStorage.removeDocuments(spark, path,
+      Seq(131L).toDF("doc_ord"), "rm3")
+    val ex = intercept[IllegalStateException] {
+      ParquetIndexStorage.compactGroups(spark, path, "pg3", Seq(0L))
+    }
+    assert(ex.getMessage.contains("predates"))
+  }
+
   test("a staged delta that predates a compaction is refused at apply") {
     import spark.implicits._
     val path = tmp()
