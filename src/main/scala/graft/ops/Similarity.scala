@@ -139,17 +139,30 @@ object Similarity {
     * table) instead of 1. Returns array<long> of `1 + min(probes, planes)`
     * DISTINCT buckets, base first. */
   def lshProbeBuckets(v: Column, planes: Int, dim: Int, seed: Long = 42L,
-      portable: Boolean = false, probes: Int = 2): Column = {
-    val projs = lshProjections(v, planes, dim, seed, portable)
-    val base = projs.zipWithIndex.map {
-      case (proj, p) => when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      portable: Boolean = false, probes: Int = 2): Column =
+    probeBucketsFromProjs(
+      array(lshProjections(v, planes, dim, seed, portable): _*), planes, probes)
+
+  /** Probe buckets from a MATERIALIZED projection array (`pj(p)` = v ·
+    * plane_p). Kept separate from [[lshProbeBuckets]] so the bucketing
+    * plan can compute the `planes` dot products ONCE per (row, table) and
+    * reference the array: the base bucket, the |projection| ranking, and
+    * every flip all reuse the projections, and Catalyst expressions are
+    * trees without common-subexpression sharing across Columns — inlining
+    * the projection subtrees (each carrying a dim-sized plane literal)
+    * into every consumer multiplied the plan by ~planes× and dominated
+    * wall time with planning + codegen, not probing. */
+  private def probeBucketsFromProjs(pj: Column, planes: Int, probes: Int): Column = {
+    def proj(p: Int): Column = element_at(pj, p + 1)
+    val base = (0 until planes).map { p =>
+      when(proj(p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     val nFlips = math.min(math.max(probes, 0), planes)
     if (nFlips == 0) return array(base)
     // rank planes by |projection| asc (ties: plane index asc — struct sort
     // is field-order lexicographic), flip the nearest-boundary bits
-    val ranked = array_sort(array(projs.zipWithIndex.map {
-      case (proj, p) => struct(abs(proj).as("a"), lit(p).as("p"))
+    val ranked = array_sort(array((0 until planes).map { p =>
+      struct(abs(proj(p)).as("a"), lit(p).as("p"))
     }: _*))
     // 1L << p for a COLUMN p: planes is small (<= 24 in any real config),
     // so a when-chain stays a compact codegen'd expression
@@ -256,13 +269,18 @@ object Similarity {
       df.select(col(id), explode(array(buckets: _*)).as("tb"))
         .select(col(id), col("tb.tbl").as("tbl"), col("tb.b").as("bucket"))
     } else {
-      // multiprobe (query side only): 1 + probes buckets per (row, table)
-      val buckets = (0 until tables).map(t =>
+      // multiprobe (query side only): 1 + probes buckets per (row, table).
+      // Projections materialize FIRST (one array per table, each plane
+      // literal once in the plan); buckets derive from the array — see
+      // probeBucketsFromProjs on why inlining blows the plan up
+      val projTables = (0 until tables).map(t =>
         struct(lit(t).as("tbl"),
-          lshProbeBuckets(col(v), planes, dim, seed + t * 7919L, portable,
-            probes).as("bs")))
-      df.select(col(id), explode(array(buckets: _*)).as("tb"))
-        .select(col(id), col("tb.tbl").as("tbl"), explode(col("tb.bs")).as("bucket"))
+          array(lshProjections(col(v), planes, dim,
+            seed + t * 7919L, portable): _*).as("pj")))
+      df.select(col(id), explode(array(projTables: _*)).as("tp"))
+        .select(col(id), col("tp.tbl").as("tbl"),
+          probeBucketsFromProjs(col("tp.pj"), planes, probes).as("bs"))
+        .select(col(id), col("tbl"), explode(col("bs")).as("bucket"))
     }
   }
 
