@@ -61,6 +61,7 @@ object LatticeMorphology {
     set(Particle, Verb, 0); set(Verb, Particle, 200)
     set(Noun, Verb, 300); set(Verb, Noun, 300)
     set(Verb, Aux, 0); set(Aux, Particle, 200); set(Aux, Bos, 0)
+    set(Aux, Aux, 200)            // stacked auxiliaries: まし+た, でし+た
     set(Adj, Noun, 100); set(Noun, Adj, 400); set(Particle, Adj, 0)
     // whitespace is transparent glue
     (0 until NumIds).foreach { i => set(i, Space, 0); set(Space, i, 0) }
@@ -121,13 +122,19 @@ object LatticeMorphology {
     * compound-vs-split choices, verbs + auxiliaries, readings that differ
     * from surfaces). NOT a linguistic resource — a full dictionary drops in
     * through the same Entry shape. */
-  val demo: LatticeMorphology = {
-    def n(s: String, r: String, c: Int = 7000) = Entry(s, Noun, Noun, c, "名詞", r)
-    def p(s: String, r: String, c: Int = 4000) = Entry(s, Particle, Particle, c, "助詞", r)
-    def v(s: String, r: String, c: Int = 7000) = Entry(s, Verb, Verb, c, "動詞", r)
-    def a(s: String, r: String, c: Int = 7500) = Entry(s, Adj, Adj, c, "形容詞", r)
-    def x(s: String, r: String, c: Int = 6000) = Entry(s, Aux, Aux, c, "助動詞", r)
-    new LatticeMorphology(Seq(
+  private[analysis] def n(s: String, r: String, c: Int = 7000) =
+    Entry(s, Noun, Noun, c, "名詞", r)
+  private[analysis] def p(s: String, r: String, c: Int = 4000) =
+    Entry(s, Particle, Particle, c, "助詞", r)
+  private[analysis] def v(s: String, r: String, c: Int = 7000) =
+    Entry(s, Verb, Verb, c, "動詞", r)
+  private[analysis] def a(s: String, r: String, c: Int = 7500) =
+    Entry(s, Adj, Adj, c, "形容詞", r)
+  private[analysis] def x(s: String, r: String, c: Int = 6000) =
+    Entry(s, Aux, Aux, c, "助動詞", r)
+
+  private[analysis] val demoEntries: Seq[Entry] = {
+    Seq(
       // the classic lattice ambiguity: すもももももももものうち
       n("すもも", "スモモ"), n("もも", "モモ"), n("うち", "ウチ"),
       // compound vs split: 東京都 must beat 東京+都
@@ -149,8 +156,18 @@ object LatticeMorphology {
       x("ます", "マス"), x("です", "デス"), x("た", "タ", 5000),
       // adjectives
       a("良い", "ヨイ"), a("高い", "タカイ"), a("早い", "ハヤイ")
-    ))
+    )
   }
+
+  val demo: LatticeMorphology = new LatticeMorphology(demoEntries)
+
+  /** Demo entries plus [[CommonJaDict]]'s embedded general-vocabulary list
+    * (hand-typed public dictionary data — readings and parts of speech are
+    * common knowledge, JMdict/IPADIC-style; no external fetch). Same
+    * mechanisms, broader coverage: everyday nouns, verb dictionary +
+    * continuative forms, adjectives, adverbs, auxiliaries, numerals. */
+  lazy val extended: LatticeMorphology =
+    new LatticeMorphology(demoEntries ++ CommonJaDict.entries)
 }
 
 /** See [[LatticeMorphology$]]. Instances are cheap serializable values; the

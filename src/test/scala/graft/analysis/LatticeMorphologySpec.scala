@@ -76,6 +76,82 @@ class LatticeMorphologySpec extends AnyFunSuite {
       Vector("sumomo", "mo", "momo", "mo", "momo", "no", "uchi"))
   }
 
+  // ---- extended dictionary (CommonJaDict): classic segmentation goldens —
+  // each has a cheaper WRONG parse under longest-match or per-char fallback
+  // (conjugated verbs must split stem+auxiliary, adverbs must not shatter
+  // into particle chains, compounds must beat their parts)
+  private val ext = LatticeMorphology.extended
+
+  private def surfaces(s: String): Seq[String] = ext.analyze(s).map(_._1)
+
+  test("extended: the demo goldens still hold (no vocabulary collisions)") {
+    assert(surfaces("すもももももももものうち") ==
+      Seq("すもも", "も", "もも", "も", "もも", "の", "うち"))
+    assert(surfaces("東京都に住む") == Seq("東京都", "に", "住む"))
+    assert(surfaces("京都の人") == Seq("京都", "の", "人"))
+  }
+
+  test("extended: 私は日本語を勉強します") {
+    assert(surfaces("私は日本語を勉強します") ==
+      Seq("私", "は", "日本語", "を", "勉強", "し", "ます"))
+  }
+
+  test("extended: 今日はいい天気です") {
+    assert(surfaces("今日はいい天気です") ==
+      Seq("今日", "は", "いい", "天気", "です"))
+  }
+
+  test("extended: 猫が魚を食べた (verb stem + past auxiliary)") {
+    assert(surfaces("猫が魚を食べた") ==
+      Seq("猫", "が", "魚", "を", "食べ", "た"))
+    assert(ext.analyze("食べた").map(_._2) == Seq("タベ", "タ"))
+  }
+
+  test("extended: 明日は雨が降る") {
+    assert(surfaces("明日は雨が降る") == Seq("明日", "は", "雨", "が", "降る"))
+  }
+
+  test("extended: 彼女は東京から大阪まで行きました (stacked auxiliaries)") {
+    assert(surfaces("彼女は東京から大阪まで行きました") ==
+      Seq("彼女", "は", "東京", "から", "大阪", "まで", "行き", "まし", "た"))
+  }
+
+  test("extended: この本はとても面白い (prenominal + adverb stay whole)") {
+    assert(surfaces("この本はとても面白い") ==
+      Seq("この", "本", "は", "とても", "面白い"))
+  }
+
+  test("extended: 新しい技術を使う") {
+    assert(surfaces("新しい技術を使う") == Seq("新しい", "技術", "を", "使う"))
+  }
+
+  test("extended: 自然言語処理の研究 (kanji compound run splits on entries)") {
+    assert(surfaces("自然言語処理の研究") ==
+      Seq("自然", "言語", "処理", "の", "研究"))
+  }
+
+  test("extended: 水を飲みたい (desiderative auxiliary)") {
+    assert(surfaces("水を飲みたい") == Seq("水", "を", "飲み", "たい"))
+  }
+
+  test("extended: 駅から家まで歩く") {
+    assert(surfaces("駅から家まで歩く") ==
+      Seq("駅", "から", "家", "まで", "歩く"))
+  }
+
+  test("extended: 全文検索は速い, readings flow to the kana filter") {
+    assert(surfaces("全文検索は速い") == Seq("全文", "検索", "は", "速い"))
+    val an = Analyzer(Nil, MorphologicalTokenizer(ext), Seq(KanaReadingformFilter()))
+    assert(an.analyze("全文検索は速い").map(_.term) ==
+      Vector("ゼンブン", "ケンサク", "ハ", "ハヤイ"))
+  }
+
+  test("extended: unknown words still fall through (katakana run + latin)") {
+    assert(surfaces("グーグルで日本語を検索") ==
+      Seq("グーグル", "で", "日本語", "を", "検索"))
+    assert(surfaces("spark で検索") == Seq("spark", "で", "検索"))
+  }
+
   test("deterministic across repeated runs (serializable value)") {
     val bytes = {
       val bo = new java.io.ByteArrayOutputStream()
