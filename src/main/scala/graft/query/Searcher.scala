@@ -98,7 +98,8 @@ object Searcher {
     new Searcher(p.index, analyzer,
       BlockParams(blockSize = p.manifest.blockSize, bucketSpan = p.manifest.bucketSpan,
         k1 = p.manifest.k1, b = p.manifest.b),
-      Some(p.blocks), sortUnranked, dGroupSpan = p.manifest.dGroupSpan)
+      Some(p.blocks), sortUnranked, dGroupSpan = p.manifest.dGroupSpan,
+      preBuiltBlocksByTerm = p.blocksByTerm)
 }
 
 /** Query planning for the inverted index.
@@ -122,9 +123,13 @@ final class Searcher(
     val blockParams: BlockParams = BlockParams(),
     preBuiltBlocks: Option[Dataset[PostingBlockRow]] = None,
     val sortUnranked: Boolean = true,
-    dGroupSpan: Long = -1L // persisted postings doc-range partition span;
-                           // lets single-doc lookups (moreLikeThis) prune on
-                           // d_group. -1 = unknown (in-memory index)
+    dGroupSpan: Long = -1L, // persisted postings doc-range partition span;
+                            // lets single-doc lookups (moreLikeThis) prune on
+                            // d_group. -1 = unknown (in-memory index)
+    // the persisted block table WITH its (t_bucket, d_group) partition
+    // columns (formatVersion 4): per-query WAND reads derive a pruned
+    // Dataset from it instead of scanning the whole block store
+    preBuiltBlocksByTerm: Option[DataFrame] = None
 ) {
 
   private val spark = index.docs.sparkSession
@@ -138,6 +143,28 @@ final class Searcher(
     * loaded from storage, otherwise built once on first use. */
   lazy val blocks: Dataset[PostingBlockRow] =
     preBuiltBlocks.getOrElse(PostingBlocks.build(index, blockParams).cache())
+
+  @volatile private var blocksPinned = false
+
+  /** The block table a single WAND query should scan: when the persisted
+    * layout carries the (t_bucket, d_group) partition level and the blocks
+    * are NOT pinned in memory (serving mode), directory-prune to the query
+    * terms' buckets — a cold per-query read is then proportional to the
+    * terms' block leaves, not the store (the unpruned read listed and
+    * footer-scanned every leaf: measured 23.6 s vs 5.5 s exhaustive for 8
+    * cold queries at 10^6 turns). Pinned or in-memory blocks scan the
+    * cached table — the term_id filter inside BlockMaxWand prunes there. */
+  private def blocksFor(rts: Seq[ResolvedTerm]): Dataset[PostingBlockRow] =
+    preBuiltBlocksByTerm match {
+      case Some(raw) if !blocksPinned && rts.nonEmpty && rts.forall(_.bucket >= 0) =>
+        raw.filter(col("t_bucket").isin(rts.map(_.bucket).distinct: _*) &&
+            col("term_id").isin(rts.map(_.termId): _*))
+          .select(col("term_id"), col("bucket").cast("long"), col("min_doc"),
+            col("max_doc"), col("n"), col("max_tf"), col("min_dl"),
+            col("docs"), col("tfs"), col("dls"))
+          .as[PostingBlockRow]
+      case _ => blocks
+    }
 
   // --------------------------------------------------------- serving mode
 
@@ -176,6 +203,7 @@ final class Searcher(
     if (pinBlocks) {
       blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       blocks.count() // materialize now: first query should not pay the scan
+      blocksPinned = true
     }
     if (pinDocs) {
       index.docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -211,6 +239,7 @@ final class Searcher(
 
   /** Release serving-mode pins (blocks/docs persist + driver dictionary). */
   def unpin(): Unit = {
+    blocksPinned = false
     blocks.unpersist()
     index.docs.unpersist()
     fullLocalDict = None
@@ -1326,7 +1355,8 @@ final class Searcher(
     val rts = resolve(qTerms)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
     val weights = rts.map(rt => rt.termId -> bm25Idf(rt.df)).toMap
-    val top = BlockMaxWand.topK(blocks, weights, k, blockParams, index.avgDocLen, metrics)
+    val top = BlockMaxWand.topK(blocksFor(rts), weights, k, blockParams,
+      index.avgDocLen, metrics)
     index.docs.join(top, "doc_ord").orderBy(desc("score"), asc("doc_ord"))
   }
 
@@ -1381,7 +1411,8 @@ final class Searcher(
       .flatMap { case (qi, t) => byTerm.get(t).map(rt => (qi, rt.termId, bm25Idf(rt.df))) }
       .groupBy(_._1)
       .map { case (qi, rows) => qi -> rows.map(r => r._2 -> r._3).toMap }
-    BlockMaxWand.topKBatch(blocks, queries, k, blockParams, index.avgDocLen, metrics)
+    BlockMaxWand.topKBatch(blocksFor(rts), queries, k, blockParams,
+      index.avgDocLen, metrics)
   }
 
   /** The batch scoring aggregation shared by [[bm25TopKBatch]] and the

@@ -291,8 +291,14 @@ class ParquetIndexStorageSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$path/docs/d_bucket=1")),
       "emptied docs partition must be deleted, not left stale")
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$path/blocks/bucket=1")))
+    // blocks are (t_bucket, d_group)-partitioned: every leaf of the
+    // emptied doc group must be gone
+    val blockLeaves = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$path/blocks")).iterator()
+    blockLeaves.forEachRemaining { tb =>
+      assert(!java.nio.file.Files.exists(tb.resolve("d_group=1")),
+        s"stale block leaf $tb/d_group=1")
+    }
     val s = Searcher(ParquetIndexStorage.read(spark, path), analyzer)
     val got = ids(s.matchAll()).toSet
     assert(got.intersect((64L until 128L).toSet).isEmpty)
@@ -424,7 +430,7 @@ class ParquetIndexStorageSpec extends SparkSpec {
     // untouched group 1: postings d_group=1, docs/doc_stats/blocks buckets 2-3
     val before = (leafMtimes("postings").filter(_._1.contains("d_group=1")),
       leafMtimes("docs").filter(_._1.contains("d_bucket=2")),
-      leafMtimes("blocks").filter(_._1.contains("bucket=3")))
+      leafMtimes("blocks").filter(_._1.contains("d_group=1")))
     assert(before._1.nonEmpty && before._2.nonEmpty && before._3.nonEmpty)
 
     val mfPG = ParquetIndexStorage.compactGroups(spark, path, "pg0", sparse)
@@ -432,7 +438,7 @@ class ParquetIndexStorageSpec extends SparkSpec {
 
     val after = (leafMtimes("postings").filter(_._1.contains("d_group=1")),
       leafMtimes("docs").filter(_._1.contains("d_bucket=2")),
-      leafMtimes("blocks").filter(_._1.contains("bucket=3")))
+      leafMtimes("blocks").filter(_._1.contains("d_group=1")))
     assert(after == before, "untouched-group leaves were rewritten")
 
     // the compacted store == a FRESH build over the survivors with the
