@@ -686,6 +686,18 @@ object SparkEntry {
         portable = true).orderBy("q_id", "rank")
     }),
 
+    "ann_lsh_mp_topk" -> ((s, d) => { // multiprobe LSH (Lv et al., VLDB'07):
+      // same portable planes/index as ann_lsh_topk; the query side
+      // additionally probes the 2 nearest-boundary single-bit-flip buckets
+      // per (query, table) — the oracle replicates the probe-set derivation
+      // (|projection| ranking, ties by plane index asc) and ranks the
+      // expanded candidate set, so the recall-raising bucket expansion is
+      // itself oracled end-to-end, not just recall-tested
+      val emb = embTable(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5, planes = 4,
+        portable = true, probes = 2).orderBy("q_id", "rank")
+    }),
+
     "ann_ivf_topk" -> ((s, d) => { // nprobe == nlist probes every list: exact,
       // so the brute-force oracle applies; partial-probe recall is in OpsSpec
       val emb = embTable(s, d)
@@ -2190,6 +2202,49 @@ object SparkEntry {
          |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank,
          |  id, cosine
          |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ann_lsh_mp_topk" -> { // multiprobe: corpus side keeps base buckets
+      // only; the query side derives base + the 2 single-bit flips on the
+      // planes with smallest |projection| (Similarity.probeBucketsFromProjs
+      // — ties break by plane index asc, which struct field order gives
+      // both engines). Candidates = any shared (table, bucket) with the
+      // expanded query probe set; exact-cosine rank within candidates.
+      val projCols = (0 until 4).map(p =>
+        s"${projSql("tt.t", p, "e.embedding")} AS pj$p").mkString(",\n         |    ")
+      val baseSql = (0 until 4).map(p =>
+        s"(CASE WHEN pj$p >= 0 THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)")
+        .mkString("(", " + ", ")")
+      val rankedSql = (0 until 4).map(p => s"{'a': abs(pj$p), 'p': $p}")
+        .mkString("list_sort([", ", ", "])")
+      s"""WITH tt AS (SELECT unnest(range(0, 4)) AS t),
+         |bk AS (
+         |  SELECT e.vec_id, tt.t, ${bucketSql("tt.t", "e.embedding", 4)} AS bucket
+         |  FROM embeddings e CROSS JOIN tt
+         |), qp AS (
+         |  SELECT e.vec_id, tt.t,
+         |    $projCols
+         |  FROM embeddings e CROSS JOIN tt WHERE e.vec_id < 5
+         |), qd AS (
+         |  SELECT vec_id, t, $baseSql AS base, $rankedSql AS ranked FROM qp
+         |), qb AS (
+         |  SELECT vec_id, t, unnest([base,
+         |    xor(base, (1::BIGINT << (ranked[1].p))),
+         |    xor(base, (1::BIGINT << (ranked[2].p)))]) AS bucket FROM qd
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS id
+         |  FROM bk c JOIN qb q
+         |    ON c.t = q.t AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |), scored AS (
+         |  SELECT c.q_id, c.id,
+         |    round(${cosineSql("ec.embedding", "eq.embedding")}, 6) AS cosine
+         |  FROM cand c
+         |  JOIN embeddings ec ON ec.vec_id = c.id
+         |  JOIN embeddings eq ON eq.vec_id = c.q_id
+         |)
+         |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank,
+         |  id, cosine
+         |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
 
     "ev_window_counts" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,

@@ -280,6 +280,30 @@ class MainSpec extends SparkSpec {
         o.contains("\"analyzer\":")), out3.mkString("\n"))
   }
 
+  test("per-d_group compaction through the CLI: --groups auto selects sparse" +
+      " groups, queries unaffected, permissive threshold is an explicit no-op") {
+    import spark.implicits._
+    val gidx = s"$root/idx_groups"
+    val (cb, _) = captured("build", "--input", s"$root/turns", "--index", gidx,
+      "--term-buckets", "4", "--write-groups", "2",
+      "--block-size", "8", "--bucket-span", "64")
+    assert(cb == 0)
+    Seq(("c1", 0)).toDF("conv_id", "turn_idx").write.parquet(s"$root/gkeys")
+    assert(captured("remove", "--input", s"$root/gkeys", "--index", gidx)._1 == 0)
+    // the removal leaves the group at density 0.75 — below 0.99, so auto
+    // selects it and the incremental rewrite applies
+    val (cg, outg) = captured("compact", "--index", gidx,
+      "--groups", "auto", "--min-density", "0.99")
+    assert(cg == 0 && outg.exists(_.contains("\"numDocs\":3")), outg.mkString("\n"))
+    // queries unaffected by the group remap (same docs, same matches)
+    val (cq, q) = captured("search", "--index", gidx, "--query", "shuffle", "--mode", "or")
+    assert(cq == 0 && q.drop(1).length == 2, q.mkString("\n"))
+    // nothing below a permissive threshold: explicit {"groups":[]} no-op
+    val (cn, outn) = captured("compact", "--index", gidx,
+      "--groups", "auto", "--min-density", "0.01")
+    assert(cn == 0 && outn.exists(_.contains("\"groups\":[]")), outn.mkString("\n"))
+  }
+
   test("bad invocations return exit code 2 with usage") {
     assert(captured()._1 == 2)
     assert(captured("frobnicate")._1 == 2)
