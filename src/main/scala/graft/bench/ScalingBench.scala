@@ -347,10 +347,21 @@ object ScalingBench {
     val calibEff = stageEff(_.calib)
     val cacheEff = stageEff(_.cacheScan)
     // the ceiling a stage can be held to: CPU-bound stages the hash-fold
-    // calibration, posting-cache-rescan stages the cache-scan calibration
+    // calibration, posting-cache-streaming stages the cache-scan
+    // calibration. The fused analyze+dict job is MIXED: its pure-compute
+    // fraction is measured directly by the uncached probe (the identical
+    // analyze pass with no cache write); the remainder — building the
+    // cached columnar batches + the vocab agg on top of them — streams
+    // every posting batch through the same memory bus the calibration
+    // scan does. Hold each measured fraction to its own calibration,
+    // the same time-weighted composition the whole-build ceiling uses.
+    val dictT8 = bestStage(8, _.analyzeDict)
+    val dictComputeT8 = math.min(bestStage(8, _.analyzeNoCache), dictT8)
+    val dictCeil =
+      dictT8 / (dictComputeT8 / calibEff + (dictT8 - dictComputeT8) / cacheEff)
     val stageCeils: Seq[(String, StageTimes => Double, Double)] = Seq(
       ("ordinals", _.ordinals, calibEff),
-      ("analyzeDict", _.analyzeDict, calibEff),
+      ("analyzeDict", _.analyzeDict, dictCeil),
       ("blocks", _.blocks, cacheEff))
     // time-weighted ceiling for the whole build: if every stage ran exactly
     // at its ceiling, raw build efficiency would equal this number
@@ -392,7 +403,7 @@ object ScalingBench {
          || index build wall (sec) | ${r8.buildSec}%.1f | ${r32.buildSec}%.1f | — | — | — |
          || · stage: dense ordinals (verified-sorted fast path, no shuffle) | ${bestStage(8, _.ordinals)}%.1f s | ${bestStage(32, _.ordinals)}%.1f s | ${stageEff(_.ordinals)}%.2f | $calibEff%.2f | ${stageEff(_.ordinals) / calibEff}%.2f |
          || · stage: analyze+group, uncached probe | ${bestStage(8, _.analyzeNoCache)}%.1f s | ${bestStage(32, _.analyzeNoCache)}%.1f s | ${stageEff(_.analyzeNoCache)}%.2f | $calibEff%.2f | ${stageEff(_.analyzeNoCache) / calibEff}%.2f |
-         || · stage: analyze+group+dictionary, ONE fused job (cache write + vocab agg + single collect) | ${bestStage(8, _.analyzeDict)}%.1f s | ${bestStage(32, _.analyzeDict)}%.1f s | ${stageEff(_.analyzeDict)}%.2f | $calibEff%.2f | ${stageEff(_.analyzeDict) / calibEff}%.2f |
+         || · stage: analyze+group+dictionary, ONE fused job (cache write + vocab agg + single collect; mixed compute/bus ceiling) | ${bestStage(8, _.analyzeDict)}%.1f s | ${bestStage(32, _.analyzeDict)}%.1f s | ${stageEff(_.analyzeDict)}%.2f | $dictCeil%.2f | ${stageEff(_.analyzeDict) / dictCeil}%.2f |
          || · stage: WAND block table (no-exchange InternalRow pack) | ${bestStage(8, _.blocks)}%.1f s | ${bestStage(32, _.blocks)}%.1f s | ${stageEff(_.blocks)}%.2f | $cacheEff%.2f | ${stageEff(_.blocks) / cacheEff}%.2f |
          || BM25 top-10 batch throughput ($batchN queries, one plan) | $q8%.1f QPS | $q32%.1f QPS | $qpsEff%.2f | $calibEff%.2f | ${qpsEff / calibEff}%.2f |
          || single-stream latency mix (8 ref queries) | $l8%.2f QPS | $l32%.2f QPS | ${l32 / (4 * l8)}%.2f | — | — |
@@ -425,6 +436,15 @@ object ScalingBench {
          |  timed a full warm-cache re-scan (measured 0.41 raw scaling) that
          |  the shipped build does not perform; build wall and raw build
          |  efficiency in this table exclude that phantom stage.
+         |- The fused stage's ceiling ($dictCeil%.2f) is a measured
+         |  compute/bus mix, not a guess: its pure-compute fraction is the
+         |  uncached probe's ${bestStage(8, _.analyzeNoCache)}%.1f s of its
+         |  ${bestStage(8, _.analyzeDict)}%.1f s at local[8] (held to the
+         |  CPU calibration); the remaining ${bestStage(8, _.analyzeDict) - math.min(bestStage(8, _.analyzeNoCache), bestStage(8, _.analyzeDict))}%.1f s
+         |  builds the cached columnar batches and aggregates on top of
+         |  them — memory-bus streaming of the same posting store the
+         |  cache-scan calibration reads, held to that calibration. Same
+         |  time-weighted composition as the whole-build ceiling.
          |- The two big build shuffles are gone: ordinals verify the input's
          |  existing sort (one narrow pass) and assign over its partitions;
          |  WAND blocks stream-pack doc-ascending postings partitions in a
@@ -434,17 +454,23 @@ object ScalingBench {
          |  one JVM's memory bus. The only remaining exchange is the
          |  map-side-combined, vocab-sized dictionary agg.
          |
-         |WAND demo reading (the `wand_demo` block in BENCH_r*.json): since
-         |the long-keyed (term_h) postings probe landed, the per-query
-         |EXHAUSTIVE baseline got ~1.7x faster, so at the demo's 135k-doc
-         |corpus BOTH single-query paths are fixed-cost-bound (~0.5 s/query
-         |of driver, plan, and file-listing latency that pruning cannot
-         |touch) and their wall times cross over — `q_bm25_wand_syn` can
-         |read slower than `q_bm25_exhaustive_syn` while the measured block
-         |skip rate stays ~0.36. The capacity comparison, where pruning
-         |shows through undiluted, is the BATCH pair on the same corpus:
-         |`q_bm25_batch_wand_syn` vs `q_bm25_batch_exh_syn` (~11 ms vs
-         |~40 ms per query across a 20-query set, batch skip rate ~0.30).
+         |WAND demo reading (the `wand_demo` block in BENCH_r*.json,
+         |round-4 numbers): the demo corpus is ~10^6 turns
+         |(SPARK_GRAFT_WAND_CONVS=222000) — large enough that block-max
+         |pruning shows through even per query. Cold per-query WAND edges
+         |out cold exhaustive (4.5 s vs 5.0 s for the 8-query set, skip
+         |rate 0.37) despite the shared ~0.5 s/query cold floor (driver,
+         |plan, blocks-parquet re-read); the `*_syn_pinned` serving pair
+         |(Searcher.serving(): blocks persisted MEMORY_AND_DISK +
+         |driver-resident dictionary) removes that floor — 1.7 s vs 4.1 s,
+         |per-query WAND 2.4x faster at the same skip rate, resolving the
+         |r3 crossover finding (at r3's 135k-doc corpus both cold paths
+         |were fixed-cost-bound and their wall times crossed). The
+         |capacity comparison stays the BATCH pair on the same corpus:
+         |`q_bm25_batch_wand_syn` 1.4 s vs `q_bm25_batch_exh_syn` 22.4 s
+         |across a 120-query set (~12 ms vs ~187 ms per query, batch skip
+         |rate 0.31); `serving_mix_qps` reports single-stream mixed-surface
+         |latency in the pinned shape.
          |
          |Reading BENCH_r04 vs r03: headline `queries` reps are now
          |INTERLEAVED round-robin across queries instead of back-to-back
@@ -452,13 +478,14 @@ object ScalingBench {
          |vs 0.27 s in r2, and the contiguous program-order span through
          |q_dismax) were one host steal episode poisoning whole best-of-k
          |blocks; round-robin bounds an episode's damage to one rep of
-         |each query. The wand_demo block adds `*_pinned` serving-mode
-         |pairs (blocks persisted MEMORY_AND_DISK + driver-resident
-         |dictionary — Searcher.serving()): with the ~0.5 s/query cold
-         |floor (blocks-parquet re-read + dictionary job) removed,
-         |per-query WAND beats per-query exhaustive on the same corpus
-         |where the cold pair crosses over, and `serving_mix_qps` reports
-         |the single-stream mixed-surface latency in that shape.
+         |each query (measured r4: q_bm25_wand_warm back to 0.21 s). The
+         |bench also gains a `queries_sf1` block — the full query surface
+         |against the ~10^6-turn corpus, where engine work dominates the
+         |per-query number instead of fixed latency: every indexed-query
+         |surface reads within ~2.3x of q_match_and (no hidden corpus
+         |scans; percolation, measured per 50k-doc ingest batch, is its
+         |own denominator), vs the 500-doc sf0.1 table where all surfaces
+         |are latency-floor-bound.
          |
          |Environment: single JVM local mode (this sandbox has no multi-node
          |cluster); local[N] = N executor threads. Spark ${org.apache.spark.SPARK_VERSION}.
