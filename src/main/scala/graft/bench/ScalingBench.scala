@@ -427,7 +427,16 @@ object ScalingBench {
          |  latency (not capacity) number.
          |- The uncached analyze probe separates raw compute scaling from
          |  the cache-write memory-bus penalty: one JVM's threads share a
-         |  memory bus that a real multi-node cluster does not.
+         |  memory bus that a real multi-node cluster does not. The probe
+         |  is measurement apparatus (excluded from the build wall); its
+         |  own sub-CPU-ceiling reading blends compute with reading the
+         |  cached input and with allocator/GC state shared by all
+         |  executor threads in one JVM — three more shared resources a
+         |  multi-node cluster multiplies.
+         |- The ordinals stage at this corpus is a ~0.1 s fixed-latency
+         |  pass (two codegen'd jobs over the already-sorted cached input)
+         |  — BELOW the per-job scheduling floor, so its efficiency cell
+         |  is scheduling noise, at <1%% of the build wall.
          |- The analyze+dictionary stage is timed as the ONE fused job the
          |  shipped IndexBuilder.build(materialize=true) actually runs: the
          |  dictionary collect is the action that materializes the posting
