@@ -92,7 +92,9 @@ object Main {
       |          collapse: best doc per --collapse-field value;
       |          mlt: --query is a doc_ord; suggest: --query is a term prefix;
       |          comma-separated --index paths federate independently built
-      |          slices — global stats merged, modes and|or|phrase|bm25|wand)
+      |          slices — global stats merged, modes and|or|phrase|bm25|wand|
+      |          prefix|fuzzy|suggest|dym; expansion modes use the merged
+      |          global vocabulary)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
@@ -415,15 +417,36 @@ object Main {
     val fed = graft.query.Federation.ofPersisted(slices, analyzer, keyCols)
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     val limit = opts.get("limit").map(_.toInt).getOrElse(20)
-    val (df, ranked): (DataFrame, Boolean) = opts.getOrElse("mode", "wand") match {
+    val mode = opts.getOrElse("mode", "wand")
+    if (mode == "suggest") { // merged-vocabulary autocomplete: (term, Σ df)
+      out(Seq("term", "df").mkString("\t"))
+      fed.suggest(query, n = k).collect()
+        .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}"))
+      return
+    }
+    if (mode == "dym") { // merged-vocabulary spell correction
+      out(Seq("term", "df", "distance").mkString("\t"))
+      fed.didYouMean(query,
+        maxEdits = opts.get("max-edits").map(_.toInt).getOrElse(2), n = k)
+        .collect()
+        .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getInt(2)}"))
+      return
+    }
+    val (df, ranked): (DataFrame, Boolean) = mode match {
       case "and"    => (fed.matchQuery(query, And).limit(limit), false)
       case "or"     => (fed.matchQuery(query, Or).limit(limit), false)
       case "phrase" => (fed.phraseQuery(query,
         slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
       case "bm25"   => (fed.bm25TopK(query, k), true)
       case "wand"   => (fed.bm25TopKWand(query, k), true)
+      // global-vocabulary expansion: the expansion set and df ordering come
+      // from the MERGED slice dictionaries, matching a monolithic index
+      case "prefix" => (fed.prefixQuery(query).limit(limit), false)
+      case "fuzzy"  => (fed.fuzzyQuery(query,
+        opts.get("max-edits").map(_.toInt).getOrElse(1)).limit(limit), false)
       case other => throw new IllegalArgumentException(
-        s"mode '$other' is not federated; use and|or|phrase|bm25|wand with comma-separated --index")
+        s"mode '$other' is not federated; use and|or|phrase|bm25|wand|" +
+          "prefix|fuzzy|suggest|dym with comma-separated --index")
     }
     val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
       Seq("text").filter(df.columns.contains)

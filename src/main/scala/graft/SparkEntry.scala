@@ -392,6 +392,14 @@ object SparkEntry {
       // top-n — a slice-exclusive completion still surfaces
       federation(s, d).suggest("s", 10)),
 
+    "ft_federated_dym" -> ((s, d) => // spell correction over merged slice
+      // dictionaries: Σ slice df == monolithic df and the edit distance is
+      // a pure term function, so the (distance, df desc, term) correction
+      // list is identical to the monolithic ft_dym ranking
+      federation(s, d).didYouMean("sprak", maxEdits = 2, n = 5)
+        .select(col("term"), col("df"),
+          col("distance").cast("long").as("distance"))),
+
     "ft_bm25_topk_wand" -> ((s, d) => // oracled against the EXHAUSTIVE top-k
       // SQL — the rank-identity claim itself (WAND pruning is lossless);
       // boundary safety: the rank-20/21 score gap at sf0.01 is ~7e-4,
@@ -1477,6 +1485,17 @@ object SparkEntry {
          |SELECT term, count(DISTINCT doc_id) AS df FROM toks
          |WHERE term LIKE 's%' GROUP BY term
          |ORDER BY df DESC, term LIMIT 10""".stripMargin,
+
+    "ft_federated_dym" -> // MONOLITHIC spell correction: corpus-wide df,
+      // (distance asc, df desc, term asc) — the exact ft_dym ranking the
+      // federated merge must reproduce
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents
+         |), dict AS (SELECT term, count(*) AS df FROM dt GROUP BY term)
+         |SELECT term, df, levenshtein(term, 'sprak')::BIGINT AS distance
+         |FROM dict
+         |WHERE term <> 'sprak' AND levenshtein(term, 'sprak') <= 2
+         |ORDER BY distance, df DESC, term LIMIT 5""".stripMargin,
 
     "ft_bm25_batch_wand" -> // exhaustive batch top-20 == the batch WAND plan
       s"""WITH toks AS (

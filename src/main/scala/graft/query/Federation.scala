@@ -331,6 +331,34 @@ final class Federation private (
       .limit(n)
   }
 
+  /** Federated spell correction — [[Searcher.didYouMean]] over the union
+    * corpus: per-slice length-windowed dictionary scans merged with Σ df
+    * (the edit distance is a pure function of the term, so the per-term
+    * merge is exact), then ONE global (distance asc, df desc, term asc)
+    * top-n. A slice-exclusive candidate still surfaces, ranked by its true
+    * corpus-wide frequency — per-slice correction lists would diverge
+    * whenever candidates' local df ordering differs from the global one. */
+  def didYouMean(term: String, maxEdits: Int = 2, n: Int = 5): DataFrame = {
+    val normed = analyzer.terms(term).headOption
+    if (normed.isEmpty)
+      return sliceSearchers.head.index.termDict
+        .select(col("term"), col("df")).withColumn("distance", lit(0)).limit(0)
+    val t = normed.get
+    val parts = sliceSearchers.map(
+      _.index.termDict
+        .filter(length(col("term"))
+          .between(t.length - maxEdits, t.length + maxEdits) &&
+          col("term") =!= t)
+        .select(col("term"), col("df")))
+    unionAll(parts).get
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("distance", levenshtein(col("term"), lit(t)))
+      .filter(col("distance") <= maxEdits)
+      .select(col("term"), col("df"), col("distance"))
+      .orderBy(asc("distance"), desc("df"), asc("term"))
+      .limit(n)
+  }
+
   /** Federated MatchQuery (AND/OR), unranked. Slice-local evaluation is
     * already globally correct: a term absent from a slice's dictionary is
     * absent from the slice's corpus, so AND yields nothing there and OR

@@ -350,6 +350,22 @@ class MainSpec extends SparkSpec {
     assert(cp == 0 && fedPhrase.drop(1).length == 2)
     // federated count parity comes free: all wand hits == mono row count
     assert(fed.length == mono.length)
+    // merged-vocabulary expansion modes through the federated CLI: term
+    // rows (suggest/dym) and doc rows (fuzzy) match the monolithic CLI
+    val (cs, fedSug) = captured("search", "--index", s"$s1,$s2",
+      "--query", "s", "--mode", "suggest", "--k", "5")
+    val (_, monoSug) = captured("search", "--index", m1,
+      "--query", "s", "--mode", "suggest", "--k", "5")
+    assert(cs == 0 && fedSug == monoSug, s"fed=$fedSug mono=$monoSug")
+    val (cd, fedDym) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spork", "--mode", "dym", "--k", "3")
+    val (_, monoDym) = captured("search", "--index", m1,
+      "--query", "spork", "--mode", "dym", "--k", "3")
+    assert(cd == 0 && fedDym == monoDym, s"fed=$fedDym mono=$monoDym")
+    val (cz, fedFuzzy) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spork", "--mode", "fuzzy", "--max-edits", "1")
+    assert(cz == 0 && fedFuzzy.drop(1).length == 2 &&
+      fedFuzzy.drop(1).forall(_.contains("spark")), fedFuzzy.mkString("\n"))
     // modes without a federated plan are refused loudly
     assert(captured("search", "--index", s"$s1,$s2",
       "--query", "spark", "--mode", "mlt")._1 == 2)

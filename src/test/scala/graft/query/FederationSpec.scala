@@ -268,6 +268,18 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("didYouMean: federated == monolithic (merged global df ranks the" +
+      " corrections; slice-exclusive candidates included)") {
+    def dym(res: DataFrame): Seq[(String, Long, Int)] =
+      res.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    // 'qq' corrects to slice-exclusive 'zz' among others — a per-slice list
+    // would miss it or rank it by a slice-local df
+    for (t <- Seq("sprak", "scam", "qq", "")) {
+      assert(dym(fed.didYouMean(t, maxEdits = 2, n = 5)) ==
+        dym(mono.didYouMean(t, maxEdits = 2, n = 5)), s"dym '$t'")
+    }
+  }
+
   test("maxExpansions cap keeps the GLOBAL top-df expansion, not a slice-local one") {
     // 'aa': df 1 in EACH slice (global df 3). 'ab': df 2, both docs in
     // slice 0. Slice-0's local df order is ab(2) > aa(1); globally
