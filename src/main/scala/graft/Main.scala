@@ -93,8 +93,8 @@ object Main {
       |          mlt: --query is a doc_ord; suggest: --query is a term prefix;
       |          comma-separated --index paths federate independently built
       |          slices — global stats merged, modes and|or|phrase|bm25|wand|
-      |          prefix|fuzzy|suggest|dym; expansion modes use the merged
-      |          global vocabulary)
+      |          prefix|fuzzy|suggest|dym|facets|sigterms; expansion and
+      |          dictionary modes use the merged global vocabulary)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
@@ -432,6 +432,24 @@ object Main {
         .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getInt(2)}"))
       return
     }
+    if (mode == "facets") { // per-slice facet partials re-aggregated
+      val field = opts.getOrElse("facet-field", "role")
+      out(Seq(field, "n_docs").mkString("\t"))
+      fed.facetCounts(query, Or, field)
+        .orderBy(col("n_docs").desc, col(field)).collect()
+        .foreach(r => out(s"${r.get(0)}\t${r.getLong(1)}"))
+      return
+    }
+    if (mode == "sigterms") { // merged matched-set term frequencies,
+      // lift from global df/N — identical to the monolithic list
+      out(Seq("term", "df_in", "df", "lift").mkString("\t"))
+      fed.significantTerms(query, Or, topN = k,
+        minDocCount = opts.get("min-doc-count").map(_.toLong).getOrElse(3L))
+        .collect()
+        .foreach(r => out(
+          f"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getDouble(3)}%.4f"))
+      return
+    }
     val (df, ranked): (DataFrame, Boolean) = mode match {
       case "and"    => (fed.matchQuery(query, And).limit(limit), false)
       case "or"     => (fed.matchQuery(query, Or).limit(limit), false)
@@ -446,7 +464,7 @@ object Main {
         opts.get("max-edits").map(_.toInt).getOrElse(1)).limit(limit), false)
       case other => throw new IllegalArgumentException(
         s"mode '$other' is not federated; use and|or|phrase|bm25|wand|" +
-          "prefix|fuzzy|suggest|dym with comma-separated --index")
+          "prefix|fuzzy|suggest|dym|facets|sigterms with comma-separated --index")
     }
     val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
       Seq("text").filter(df.columns.contains)

@@ -400,6 +400,14 @@ object SparkEntry {
         .select(col("term"), col("df"),
           col("distance").cast("long").as("distance"))),
 
+    "ft_federated_sigterms" -> ((s, d) => // merged matched-set term stats:
+      // Σ slice df_in and Σ slice matched counts, lift recomputed from the
+      // merged global df and N — the list must be identical to the
+      // monolithic ft_sigterms ranking over the union corpus
+      federation(s, d).significantTerms("spark join", And, topN = 15, minDocCount = 5)
+        .select(col("term"), col("df_in"), col("df"), round(col("lift"), 6).as("lift"))
+        .orderBy(desc("lift"), asc("term"))),
+
     "ft_bm25_topk_wand" -> ((s, d) => // oracled against the EXHAUSTIVE top-k
       // SQL — the rank-identity claim itself (WAND pruning is lossless);
       // boundary safety: the rank-20/21 score gap at sf0.01 is ~7e-4,
@@ -1496,6 +1504,25 @@ object SparkEntry {
          |FROM dict
          |WHERE term <> 'sprak' AND levenshtein(term, 'sprak') <= 2
          |ORDER BY distance, df DESC, term LIMIT 5""".stripMargin,
+
+    "ft_federated_sigterms" -> // MONOLITHIC significant_terms over the
+      // union corpus — the exact ft_sigterms list the federated merge must
+      // reproduce (lift from corpus-wide df/N and the full matched set)
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents
+         |), m AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join')
+         |), nm AS (SELECT count(*) AS n_matched FROM m),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |gdf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |mdf AS (SELECT dt.term, count(*) AS df_in FROM dt JOIN m USING (doc_id) GROUP BY dt.term)
+         |SELECT mdf.term, mdf.df_in, gdf.df,
+         |  round((mdf.df_in::DOUBLE / nm.n_matched) / (gdf.df::DOUBLE / n.n), 6) AS lift
+         |FROM mdf JOIN gdf USING (term) CROSS JOIN nm CROSS JOIN n
+         |WHERE mdf.df_in >= 5
+         |ORDER BY (mdf.df_in::DOUBLE / nm.n_matched) / (gdf.df::DOUBLE / n.n) DESC, term
+         |LIMIT 15""".stripMargin,
 
     "ft_bm25_batch_wand" -> // exhaustive batch top-20 == the batch WAND plan
       s"""WITH toks AS (

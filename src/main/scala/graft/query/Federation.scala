@@ -390,6 +390,38 @@ final class Federation private (
       .groupBy(col(facetCol)).agg(sum("n_docs").as("n_docs"))
   }
 
+  /** Federated significant_terms — [[Searcher.significantTerms]] over the
+    * union corpus: per-slice `(term, df_in)` matched-set aggregations merge
+    * by Σ (slices are disjoint, so df_in and n_matched sum losslessly), and
+    * lift is recomputed from the MERGED global df and the global N —
+    * float-exact to monolithic because the double divisions run on
+    * identical integer inputs in the identical order. The gather merges
+    * vocab-bounded partials, never doc rows; each slice keeps
+    * significantTerms' documented matched-set-proportional scan cost. */
+  def significantTerms(keyword: String, logic: Logic, topN: Int = 10,
+      minDocCount: Long = 3): DataFrame = {
+    val spark = sliceSearchers.head.index.termDict.sparkSession
+    def empty = spark.emptyDataFrame
+      .withColumn("term", lit("")).withColumn("df_in", lit(0L))
+      .withColumn("df", lit(0L)).withColumn("lift", lit(0.0)).limit(0)
+    val parts = sliceSearchers.flatMap(_.matchedDfIn(keyword, logic))
+    val nMatched = parts.map(_._2).sum
+    if (parts.isEmpty || nMatched == 0) return empty
+    val dfIn = unionAll(parts.map(_._1)).get
+      .groupBy(col("term")).agg(sum(col("df_in")).as("df_in"))
+    val gdf = unionAll(sliceSearchers.map(
+      _.index.termDict.select(col("term"), col("df")))).get
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    dfIn.join(gdf, "term")
+      .filter(col("df_in") >= minDocCount)
+      .withColumn("lift",
+        (col("df_in").cast("double") / lit(nMatched.toDouble)) /
+          (col("df").cast("double") / lit(numDocs.toDouble)))
+      .select("term", "df_in", "df", "lift")
+      .orderBy(desc("lift"), asc("term"))
+      .limit(topN)
+  }
+
   /** Global corpus stats (what the slices' scoring runs on). */
   def numDocs: Long = sliceSearchers.head.index.numDocs
   def avgDocLen: Double = sliceSearchers.head.index.avgDocLen

@@ -798,6 +798,23 @@ final class Searcher(
     }
   }
 
+  /** The slice-mergeable core of [[significantTerms]]: per-term matched-set
+    * document frequencies `(term, df_in)` plus the matched-doc count. Both
+    * SUM losslessly across disjoint corpus slices (a doc lives in exactly
+    * one slice); lift needs the GLOBAL df/N, so a federation recomputes it
+    * after the merge. None when the query is statically empty against this
+    * index's vocabulary — the same gate [[significantTerms]] applies. */
+  private[query] def matchedDfIn(keyword: String, logic: Logic): Option[(DataFrame, Long)] =
+    matchedAgg(keyword, logic, ranked = false).map { matched =>
+      val m = matched.select("doc_ord")
+      val dfIn = index.postings.select("term_id", "doc_ord")
+        .join(m, Seq("doc_ord"), "left_semi")
+        .groupBy(col("term_id")).agg(count(lit(1)).as("df_in"))
+        .join(index.termDict.select("term_id", "term"), "term_id")
+        .select("term", "df_in")
+      (dfIn, m.count())
+    }
+
   /** Stats facet over the matched set — Elasticsearch's stats aggregation:
     * count / min / max / sum / avg of the numeric `valueCol` across matched
     * docs, in one facet-sized aggregation after the matched-ordinal join.

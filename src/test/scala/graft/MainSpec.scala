@@ -366,6 +366,17 @@ class MainSpec extends SparkSpec {
       "--query", "spork", "--mode", "fuzzy", "--max-edits", "1")
     assert(cz == 0 && fedFuzzy.drop(1).length == 2 &&
       fedFuzzy.drop(1).forall(_.contains("spark")), fedFuzzy.mkString("\n"))
+    // matched-set aggregations: per-slice partials re-merged == monolithic
+    val (cg, fedSig) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark", "--mode", "sigterms", "--k", "8", "--min-doc-count", "1")
+    val (_, monoSig) = captured("search", "--index", m1,
+      "--query", "spark", "--mode", "sigterms", "--k", "8", "--min-doc-count", "1")
+    assert(cg == 0 && fedSig == monoSig, s"fed=$fedSig mono=$monoSig")
+    val (cfc, fedFac) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark join", "--mode", "facets", "--facet-field", "role")
+    val (_, monoFac) = captured("search", "--index", m1,
+      "--query", "spark join", "--mode", "facets", "--facet-field", "role")
+    assert(cfc == 0 && fedFac == monoFac, s"fed=$fedFac mono=$monoFac")
     // modes without a federated plan are refused loudly
     assert(captured("search", "--index", s"$s1,$s2",
       "--query", "spark", "--mode", "mlt")._1 == 2)

@@ -268,6 +268,29 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("significantTerms: federated == monolithic (merged df_in/n_matched," +
+      " lift float-exact from global df/N)") {
+    def sig(res: DataFrame): Seq[(String, Long, Long, Double)] =
+      res.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // OR with a slice-exclusive term ('zz' lives only in slice 0) and an AND
+    // whose matched set spans slices; minDocCount 1 keeps rare terms visible
+    for ((q, lg) <- Seq(("spark zz", Or), ("spark join", And), ("go", Or))) {
+      val m = sig(mono.significantTerms(q, lg, topN = 20, minDocCount = 1))
+      val f = sig(fed.significantTerms(q, lg, topN = 20, minDocCount = 1))
+      assert(f.map(t => (t._1, t._2, t._3)) == m.map(t => (t._1, t._2, t._3)),
+        s"'$q': fed=$f mono=$m")
+      f.zip(m).foreach { case (a, b) =>
+        assert(java.lang.Double.compare(a._4, b._4) == 0, s"'$q' lift ${a._1}")
+      }
+    }
+    // statically-empty query and AND with an unknown term: empty, same shape
+    assert(fed.significantTerms("nosuchterm", Or).collect().isEmpty)
+    assert(fed.significantTerms("spark nosuchterm", And).collect().isEmpty)
+    assert(fed.significantTerms("nosuchterm", Or).columns.toSeq ==
+      mono.significantTerms("nosuchterm", Or).columns.toSeq)
+  }
+
   test("didYouMean: federated == monolithic (merged global df ranks the" +
       " corrections; slice-exclusive candidates included)") {
     def dym(res: DataFrame): Seq[(String, Long, Int)] =
