@@ -93,8 +93,8 @@ object Main {
       |          mlt: --query is a doc_ord; suggest: --query is a term prefix;
       |          comma-separated --index paths federate independently built
       |          slices — global stats merged, modes and|or|phrase|bm25|wand|
-      |          prefix|fuzzy|suggest|dym|facets|sigterms; expansion and
-      |          dictionary modes use the merged global vocabulary)
+      |          qs|qs-ranked|prefix|fuzzy|suggest|dym|facets|sigterms;
+      |          expansion/dictionary modes use the merged global vocabulary)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |  vacuum --index <path>
@@ -457,14 +457,19 @@ object Main {
         slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
       case "bm25"   => (fed.bm25TopK(query, k), true)
       case "wand"   => (fed.bm25TopKWand(query, k), true)
+      // boolean trees: membership is per-doc (union); ranked mode scores
+      // with the merged global df injected per slice
+      case "qs"        => (fed.queryString(query).limit(limit), false)
+      case "qs-ranked" => (fed.queryString(query, ranked = true).limit(k), true)
       // global-vocabulary expansion: the expansion set and df ordering come
       // from the MERGED slice dictionaries, matching a monolithic index
       case "prefix" => (fed.prefixQuery(query).limit(limit), false)
       case "fuzzy"  => (fed.fuzzyQuery(query,
         opts.get("max-edits").map(_.toInt).getOrElse(1)).limit(limit), false)
       case other => throw new IllegalArgumentException(
-        s"mode '$other' is not federated; use and|or|phrase|bm25|wand|" +
-          "prefix|fuzzy|suggest|dym|facets|sigterms with comma-separated --index")
+        s"mode '$other' is not federated; use and|or|phrase|bm25|wand|qs|" +
+          "qs-ranked|prefix|fuzzy|suggest|dym|facets|sigterms with " +
+          "comma-separated --index")
     }
     val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
       Seq("text").filter(df.columns.contains)

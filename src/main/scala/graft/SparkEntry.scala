@@ -400,6 +400,21 @@ object SparkEntry {
         .select(col("term"), col("df"),
           col("distance").cast("long").as("distance"))),
 
+    "ft_federated_bool" -> ((s, d) => // boolean tree over the slices: leaf
+      // membership is per-doc, so the union must equal the monolithic
+      // ft_bool set — including the NOT branch evaluated per slice
+      federation(s, d).boolQuery(
+        (BTerm("spark") && BTerm("join")) || (BTerm("group") && !BTerm("window")))
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_bool_ranked" -> ((s, d) => // ranked tree with the merged
+      // global df injected into each slice's positive-leaf BM25 weights —
+      // scores must be float-exact to the monolithic ft_bool_ranked SQL
+      federation(s, d).boolQueryRanked(
+        BTerm("spark join", Or) && !BTerm("window"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_federated_sigterms" -> ((s, d) => // merged matched-set term stats:
       // Σ slice df_in and Σ slice matched counts, lift recomputed from the
       // merged global df and N — the list must be identical to the
@@ -1504,6 +1519,36 @@ object SparkEntry {
          |FROM dict
          |WHERE term <> 'sprak' AND levenshtein(term, 'sprak') <= 2
          |ORDER BY distance, df DESC, term LIMIT 5""".stripMargin,
+
+    "ft_federated_bool" -> // MONOLITHIC tree membership over the union corpus
+      s"""SELECT doc_id FROM documents
+         |WHERE (list_contains($toksSql, 'spark') AND list_contains($toksSql, 'join'))
+         |   OR (list_contains($toksSql, 'group') AND NOT list_contains($toksSql, 'window'))
+         |ORDER BY doc_id""".stripMargin,
+
+    "ft_federated_bool_ranked" -> // MONOLITHIC ranked tree (corpus-global
+      // df/N/avgdl) — the exact ft_bool_ranked scores the federated
+      // global-df injection must reproduce
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |matched AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE (list_contains($toksSql, 'spark') OR list_contains($toksSql, 'join'))
+         |    AND NOT list_contains($toksSql, 'window'))
+         |SELECT tf.doc_id,
+         |  round(sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |    / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))), 6) AS score
+         |FROM tf JOIN matched USING (doc_id) JOIN tc USING (doc_id)
+         |JOIN df USING (term) CROSS JOIN stats
+         |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_federated_sigterms" -> // MONOLITHIC significant_terms over the
       // union corpus — the exact ft_sigterms list the federated merge must

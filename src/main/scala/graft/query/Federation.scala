@@ -390,6 +390,61 @@ final class Federation private (
       .groupBy(col(facetCol)).agg(sum("n_docs").as("n_docs"))
   }
 
+  /** Federated boolean query tree — [[Searcher.boolQuery]] over the union
+    * corpus. Leaf membership is a per-document decision, so slice results
+    * union losslessly: a term or phrase slot unknown to a slice's
+    * dictionary is absent from every document of that slice, which is
+    * exactly the static fold the slice compiler applies. Fuzzy leaves
+    * expand against each slice's own vocabulary — identical to monolithic
+    * whenever the expansion fits `maxExpansions` (the usual case); a
+    * super-cap expansion truncates per slice instead of globally. Ordered
+    * by `tieCols`. */
+  def boolQuery(q: BoolQuery): DataFrame = {
+    val parts = sliceSearchers.map(_.boolQuery(q).drop("doc_ord"))
+    unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
+  /** Federated ranked tree — [[Searcher.boolQueryRanked]] over the union
+    * corpus: each slice compiles the SAME tree with the GLOBAL document
+    * frequencies injected into its positive-leaf BM25 weights (slices
+    * already carry the global N/avgdl), so scores are float-exact to a
+    * monolithic index. Fuzzy leaves are refused in ranked mode — their
+    * dictionary expansion (and the expansion's df weights) would derive
+    * from each slice's local vocabulary; use [[fuzzyQuery]](ranked = true)
+    * for federated fuzzy ranking. */
+  def boolQueryRanked(q: BoolQuery): DataFrame = {
+    def hasFuzzy(n: BoolQuery): Boolean = n match {
+      case BAnd(cs)  => cs.exists(hasFuzzy)
+      case BOr(cs)   => cs.exists(hasFuzzy)
+      case BNot(c)   => hasFuzzy(c)
+      case _: BFuzzy => true
+      case _         => false
+    }
+    require(!hasFuzzy(q),
+      "federated ranked trees do not support fuzzy leaves (per-slice " +
+        "expansion would diverge); use fuzzyQuery(ranked = true) instead")
+    def treeTerms(n: BoolQuery): Seq[String] = n match {
+      case BAnd(cs)         => cs.flatMap(treeTerms)
+      case BOr(cs)          => cs.flatMap(treeTerms)
+      case BNot(c)          => treeTerms(c)
+      case BTerm(kw, _, _)  => analyzer.terms(kw)
+      case BPhrase(p, _, _) => analyzer.terms(p)
+      case other => throw new IllegalArgumentException(s"not a leaf: $other")
+    }
+    val dfOverride = resolveGlobal(treeTerms(q).distinct)
+      .flatten.map(rt => rt.term -> rt.df).toMap
+    val parts = sliceSearchers.map(
+      _.boolQueryRankedGlobal(q, dfOverride).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*)
+  }
+
+  /** Federated query string — [[Searcher.queryString]]: parsed ONCE on the
+    * driver, then dispatched to the federated tree paths. */
+  def queryString(s: String, ranked: Boolean = false): DataFrame = {
+    val tree = QueryString.parse(s)
+    if (ranked) boolQueryRanked(tree) else boolQuery(tree)
+  }
+
   /** Federated significant_terms — [[Searcher.significantTerms]] over the
     * union corpus: per-slice `(term, df_in)` matched-set aggregations merge
     * by Σ (slices are disjoint, so df_in and n_matched sum losslessly), and

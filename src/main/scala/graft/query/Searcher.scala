@@ -1571,7 +1571,16 @@ final class Searcher(
     * score once — the distinct-term contract). One extra pruned postings
     * aggregation over the positive terms joined to the matched ordinal set. */
   def boolQueryRanked(q: BoolQuery): DataFrame =
-    compileBool(q) match {
+    boolQueryRankedGlobal(q, Map.empty)
+
+  /** [[boolQueryRanked]] with externally supplied per-term document
+    * frequencies for the BM25 weights — the federation hook: a slice scores
+    * with the corpus-wide df (and its injected global N/avgdl) while its
+    * postings pruning stays slice-local. Terms absent from the override
+    * keep this index's own df. */
+  private[query] def boolQueryRankedGlobal(q: BoolQuery,
+      dfOverride: Map[String, Long]): DataFrame =
+    compileBool(q, dfOverride) match {
       case Left(false) => emptyDocs(withScore = true)
       case Left(true) =>
         index.docs.withColumn("score", lit(0.0)).orderBy(asc("doc_ord"))
@@ -1598,7 +1607,9 @@ final class Searcher(
     * (single `doc_ord` column) plus the distinct resolved terms of POSITIVE
     * live leaves, each with its effective query-time boost (for scoring). */
   private def compileBool(
-      q: BoolQuery): Either[Boolean, (DataFrame, Seq[(ResolvedTerm, Double)])] = {
+      q: BoolQuery,
+      dfOverride: Map[String, Long] = Map.empty
+  ): Either[Boolean, (DataFrame, Seq[(ResolvedTerm, Double)])] = {
     // ---- driver-side: analyze leaves, resolve the term union ONCE
     val leafBuf = scala.collection.mutable.ArrayBuffer.empty[(BoolQuery, Boolean)]
     def collectLeaves(n: BoolQuery, pos: Boolean): Unit = n match {
@@ -1614,7 +1625,10 @@ final class Searcher(
       case (_: BFuzzy, _)        => Nil // expanded against the dictionary below
       case (other, _) => throw new IllegalArgumentException(s"not a leaf: $other")
     }
-    val byTerm = resolve(leafTerms.flatten.distinct).map(rt => rt.term -> rt).toMap
+    val byTerm = resolve(leafTerms.flatten.distinct)
+      .map(rt => rt.term ->
+        dfOverride.get(rt.term).fold(rt)(d => rt.copy(df = d)))
+      .toMap
 
     var nextId = 0
     val plans: Seq[(LeafPlan, Boolean)] = leafBuf.toSeq.zip(leafTerms).map {

@@ -366,6 +366,20 @@ class MainSpec extends SparkSpec {
       "--query", "spork", "--mode", "fuzzy", "--max-edits", "1")
     assert(cz == 0 && fedFuzzy.drop(1).length == 2 &&
       fedFuzzy.drop(1).forall(_.contains("spark")), fedFuzzy.mkString("\n"))
+    // query-string trees through the federated CLI: unranked membership and
+    // ranked global-df scores == monolithic
+    val (cq1, fedQs) = captured("search", "--index", s"$s1,$s2",
+      "--query", "join AND NOT broadcast", "--mode", "qs")
+    assert(cq1 == 0 && fedQs.drop(1).length == 2, fedQs.mkString("\n"))
+    val (cq2, fedQsr) = captured("search", "--index", s"$s1,$s2",
+      "--query", "join -broadcast", "--mode", "qs-ranked", "--k", "5")
+    val (_, monoQsr) = captured("search", "--index", m1,
+      "--query", "join -broadcast", "--mode", "qs-ranked", "--k", "5")
+    val fq = fedQsr.drop(1).map { l => val f = l.split("\t"); (f(0), f(1), f(2).toDouble) }
+    val mq = monoQsr.drop(1).map { l => val f = l.split("\t"); (f(2), f(3), f(1).toDouble) }
+    assert(cq2 == 0 && fq.map(t => (t._1, t._2)) == mq.map(t => (t._1, t._2)),
+      s"fed=$fq mono=$mq")
+    fq.zip(mq).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-9) }
     // matched-set aggregations: per-slice partials re-merged == monolithic
     val (cg, fedSig) = captured("search", "--index", s"$s1,$s2",
       "--query", "spark", "--mode", "sigterms", "--k", "8", "--min-doc-count", "1")

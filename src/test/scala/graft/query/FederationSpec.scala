@@ -268,6 +268,39 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("boolean trees + query strings: federated == monolithic (unranked" +
+      " union; ranked float-exact with global df; ranked fuzzy leaf refused)") {
+    val trees = Seq(
+      (BTerm("spark") && BTerm("join")) || (BTerm("go") && !BTerm("ruby")),
+      !BTerm("zz"),                          // pure negation: complement branch
+      BPhrase("spark join") && !BTerm("qq"), // phrase leaf + slice-exclusive NOT
+      BTerm("zz") || BTerm("qq"))            // slice-exclusive leaves both ways
+    for (t <- trees)
+      assert(idSet(fed.boolQuery(t)) == idSet(mono.boolQuery(t)), s"tree $t")
+    // ranked: boosted tree with a slice-exclusive positive leaf — per-slice
+    // df would mis-weight 'zz'; the injected global df must make scores
+    // float-exact to the monolithic compiler
+    val rt = (BTerm("spark", boost = 2.0) && BTerm("join")) ||
+      BTerm("zz") || (BTerm("go") && !BTerm("ruby"))
+    val m = scoresOf(mono.boolQueryRanked(rt))
+    val f = scoresOf(fed.boolQueryRanked(rt))
+    assert(f.keySet == m.keySet)
+    f.foreach { case (id, s) => assert(math.abs(s - m(id)) < 1e-12, s"doc $id") }
+    // query string end-to-end through the federated parser dispatch
+    assert(idSet(fed.queryString("spark AND join OR (go AND NOT ruby)")) ==
+      idSet(mono.queryString("spark AND join OR (go AND NOT ruby)")))
+    val fr = scoresOf(fed.queryString("spark^2 join -ruby", ranked = true))
+    val mr = scoresOf(mono.queryString("spark^2 join -ruby", ranked = true))
+    assert(fr.keySet == mr.keySet)
+    fr.foreach { case (id, s) => assert(math.abs(s - mr(id)) < 1e-12, s"doc $id") }
+    // unranked fuzzy leaves union per slice; ranked mode refuses them loudly
+    assert(idSet(fed.boolQuery(BFuzzy("spork", 1) && BTerm("join"))) ==
+      idSet(mono.boolQuery(BFuzzy("spork", 1) && BTerm("join"))))
+    val e = intercept[IllegalArgumentException](
+      fed.boolQueryRanked(BFuzzy("spork", 1)))
+    assert(e.getMessage.contains("fuzzy"))
+  }
+
   test("significantTerms: federated == monolithic (merged df_in/n_matched," +
       " lift float-exact from global df/N)") {
     def sig(res: DataFrame): Seq[(String, Long, Long, Double)] =
