@@ -415,6 +415,11 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_federated_cardinality" -> ((s, d) => // a source value matched in
+      // SEVERAL slices must count ONCE — per-slice distinct counts cannot
+      // be summed; the federated agg spans the union of slice matches
+      federation(s, d).facetCardinality("spark join", Or, "source")),
+
     "ft_federated_sigterms" -> ((s, d) => // merged matched-set term stats:
       // Σ slice df_in and Σ slice matched counts, lift recomputed from the
       // merged global df and N — the list must be identical to the
@@ -1549,6 +1554,15 @@ object SparkEntry {
          |FROM tf JOIN matched USING (doc_id) JOIN tc USING (doc_id)
          |JOIN df USING (term) CROSS JOIN stats
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_federated_cardinality" -> // distinct sources over the union corpus
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark','join')
+         |)
+         |SELECT count(DISTINCT d.source) AS n_distinct
+         |FROM documents d JOIN m USING (doc_id)""".stripMargin,
 
     "ft_federated_sigterms" -> // MONOLITHIC significant_terms over the
       // union corpus — the exact ft_sigterms list the federated merge must

@@ -3,7 +3,7 @@ package graft.query
 import graft.analysis.Analyzer
 import graft.index.{BlockParams, TextIndex}
 import graft.storage.PersistedIndex
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scatter-gather search over a set of INDEPENDENTLY built index slices —
@@ -475,6 +475,110 @@ final class Federation private (
       .select("term", "df_in", "df", "lift")
       .orderBy(desc("lift"), asc("term"))
       .limit(topN)
+  }
+
+  /** Federated minimum_should_match, unranked: the quota is decided per
+    * document (distinct matched terms), so slice results union losslessly —
+    * a slice resolving fewer than `minShouldMatch` of the query terms
+    * short-circuits to empty there, which is exactly right (none of its
+    * docs can contain terms absent from its whole corpus slice). For ranked
+    * msm semantics compose [[bm25TopK]]-style global scoring. */
+  def matchQueryMsm(keyword: String, minShouldMatch: Int): DataFrame = {
+    val parts = sliceSearchers.map(
+      _.matchQueryMsm(keyword, minShouldMatch).drop("doc_ord"))
+    unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
+  /** Federated stats facet: count/min/max/sum are lossless partial merges
+    * over disjoint slices; avg is recomputed as Σsum / Σcount. The sum (and
+    * hence avg) can differ from monolithic in the last ulp — double
+    * summation order differs — which is the same caveat any two partition
+    * layouts of one cluster carry. */
+  def facetStats(keyword: String, logic: Logic, valueCol: String): DataFrame = {
+    val parts = sliceSearchers.map(_.facetStats(keyword, logic, valueCol))
+    unionAll(parts).get
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"),
+        sum(col("vsum")).as("vsum"))
+      .withColumn("vavg",
+        when(col("n_docs") === 0, lit(null).cast("double"))
+          .otherwise(col("vsum") / col("n_docs").cast("double")))
+  }
+
+  /** Federated histogram facet: per-slice bucket partials re-aggregated —
+    * the gather merges bucket-sized rows, never docs. */
+  def facetHistogram(keyword: String, logic: Logic, valueCol: String,
+      binWidth: Long): DataFrame = {
+    val parts = sliceSearchers.map(
+      _.facetHistogram(keyword, logic, valueCol, binWidth))
+    unionAll(parts).get
+      .groupBy(col("bucket")).agg(sum(col("n_docs")).as("n_docs"))
+  }
+
+  /** Federated date-histogram facet: the timestamp expression evaluates per
+    * slice; calendar buckets merge by Σ. */
+  def facetDateHistogram(keyword: String, logic: Logic, ts: Column,
+      interval: String): DataFrame = {
+    val parts = sliceSearchers.map(
+      _.facetDateHistogram(keyword, logic, ts, interval))
+    unionAll(parts).get
+      .groupBy(col("bucket")).agg(sum(col("n_docs")).as("n_docs"))
+  }
+
+  /** Federated cardinality facet, exact: per-slice matched rows project to
+    * the ONE facet column and a single distinct-count aggregation spans the
+    * union — map-side partials dedupe per partition, so the gather carries
+    * at most one row per distinct value per partition, never the matched
+    * set. A value present in several slices counts once (cross-slice
+    * partials cannot be summed — this is why counts don't merge). */
+  def facetCardinality(keyword: String, logic: Logic, facetCol: String): DataFrame = {
+    val parts = sliceSearchers.map(_.matchedValues(keyword, logic, facetCol))
+    unionAll(parts).get.agg(count_distinct(col(facetCol)).as("n_distinct"))
+  }
+
+  /** Federated cardinality, HLL++ flavor: the same union, one
+    * `approx_count_distinct` — sketch partials merge across union branches
+    * exactly as across partitions, so the estimate is the same algorithm a
+    * monolithic index runs (sketch-sized shuffle at any cardinality). */
+  def facetCardinalityApprox(keyword: String, logic: Logic, facetCol: String,
+      rsd: Double = 0.05): DataFrame = {
+    val parts = sliceSearchers.map(_.matchedValues(keyword, logic, facetCol))
+    unionAll(parts).get
+      .agg(approx_count_distinct(col(facetCol), rsd).as("n_distinct"))
+  }
+
+  /** Federated percentiles facet, exact flavor: one `percentile`
+    * interpolation over the UNION of per-slice matched values — exact
+    * percentiles are order-insensitive, so the result is identical to
+    * monolithic. One (fraction, value) row per requested fraction; empty
+    * matched set yields (fraction, null) rows, the monolithic contract. */
+  def facetPercentiles(keyword: String, logic: Logic, valueCol: String,
+      fractions: Seq[Double]): DataFrame =
+    percentileMerge(keyword, logic, valueCol, fractions,
+      v => percentile(v, typedLit(fractions)))
+
+  /** Federated percentiles, t-digest flavor: sketch partials merge across
+    * the union branches — constant memory at web-scale matched sets. */
+  def facetPercentilesApprox(keyword: String, logic: Logic, valueCol: String,
+      fractions: Seq[Double], accuracy: Int = 10000): DataFrame =
+    percentileMerge(keyword, logic, valueCol, fractions,
+      v => percentile_approx(v, typedLit(fractions), lit(accuracy))
+        .cast("array<double>"))
+
+  private def percentileMerge(keyword: String, logic: Logic, valueCol: String,
+      fractions: Seq[Double], agg: Column => Column): DataFrame = {
+    require(fractions.nonEmpty, "at least one percentile fraction required")
+    require(fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1], got $fractions")
+    val slots = fractions.zipWithIndex.map { case (f, i) =>
+      struct(lit(f).as("fraction"), lit(i + 1).as("_i"))
+    }
+    val parts = sliceSearchers.map(_.matchedValues(keyword, logic, valueCol))
+    unionAll(parts).get
+      .agg(agg(col(valueCol).cast("double")).as("_ps"))
+      .select(explode(array(slots: _*)).as("_f"), col("_ps"))
+      .select(col("_f.fraction").as("fraction"),
+        element_at(col("_ps"), col("_f._i")).as("value"))
   }
 
   /** Global corpus stats (what the slices' scoring runs on). */

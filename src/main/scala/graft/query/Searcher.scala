@@ -798,6 +798,15 @@ final class Searcher(
     }
   }
 
+  /** Matched-set projection to one docs column — the slice-mergeable core
+    * of the value facets (cardinality, percentiles): a federation unions
+    * these single-column frames and runs ONE aggregation whose map-side
+    * partials (distinct dedupe / HLL++ sketch / t-digest) merge across the
+    * union branches exactly as they merge across partitions. */
+  private[query] def matchedValues(keyword: String, logic: Logic,
+      valueCol: String): DataFrame =
+    matchedDocs(keyword, logic).select(col(valueCol))
+
   /** The slice-mergeable core of [[significantTerms]]: per-term matched-set
     * document frequencies `(term, df_in)` plus the matched-doc count. Both
     * SUM losslessly across disjoint corpus slices (a doc lives in exactly

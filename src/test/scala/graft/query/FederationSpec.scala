@@ -5,6 +5,7 @@ import graft.analysis.Analyzer
 import graft.index.{BlockParams, IndexBuilder}
 import graft.storage.{ParquetIndexStorage, StorageParams}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, timestamp_seconds}
 
 /** Federation == monolithic: every federated query over independently
   * built slices must be rank-identical (scores float-exact) to the same
@@ -266,6 +267,51 @@ class FederationSpec extends SparkSpec {
     for (p <- Seq("j", "s", "q", "")) {
       assert(sug(fed.suggest(p, 5)) == sug(mono.suggest(p, 5)), s"suggest '$p'")
     }
+  }
+
+  test("facet family + msm: federated == monolithic (bucket/stats partials" +
+      " merge; distinct and sketch aggregations span the union)") {
+    for (m <- 1 to 3)
+      assert(idSet(fed.matchQueryMsm("spark join go", m)) ==
+        idSet(mono.matchQueryMsm("spark join go", m)), s"msm $m")
+    // stats: count/min/max lossless; sum/avg to summation-order tolerance
+    val ms = mono.facetStats("spark", Or, "doc_id").head
+    val fs = fed.facetStats("spark", Or, "doc_id").head
+    assert(fs.getLong(0) == ms.getLong(0))
+    assert(fs.getDouble(1) == ms.getDouble(1) && fs.getDouble(2) == ms.getDouble(2))
+    assert(math.abs(fs.getDouble(3) - ms.getDouble(3)) < 1e-9)
+    assert(math.abs(fs.getDouble(4) - ms.getDouble(4)) < 1e-9)
+    def hist(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist(fed.facetHistogram("spark", Or, "doc_id", 7L)) ==
+      hist(mono.facetHistogram("spark", Or, "doc_id", 7L)))
+    val ts = timestamp_seconds(col("doc_id") * 3000000L) // spans months
+    def dhist(df: DataFrame): Map[java.sql.Timestamp, Long] =
+      df.collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(dhist(fed.facetDateHistogram("spark", Or, ts, "month")) ==
+      dhist(mono.facetDateHistogram("spark", Or, ts, "month")))
+    // cardinality: a text value matched in SEVERAL slices must count once
+    assert(fed.facetCardinality("spark join", Or, "text").head.getLong(0) ==
+      mono.facetCardinality("spark join", Or, "text").head.getLong(0))
+    assert(fed.facetCardinalityApprox("spark join", Or, "text").head.getLong(0) ==
+      mono.facetCardinalityApprox("spark join", Or, "text").head.getLong(0))
+    // exact percentiles: identical interpolation over the same multiset
+    val fr = Seq(0.0, 0.5, 0.9, 1.0)
+    def pct(df: DataFrame): Seq[(Double, Any)] =
+      df.collect().map(r => (r.getDouble(0), r.get(1))).toSeq
+    assert(pct(fed.facetPercentiles("spark", Or, "doc_id", fr)) ==
+      pct(mono.facetPercentiles("spark", Or, "doc_id", fr)))
+    val fa = pct(fed.facetPercentilesApprox("spark", Or, "doc_id", fr))
+      .map(_._2.asInstanceOf[Double])
+    val ex = pct(mono.facetPercentiles("spark", Or, "doc_id", fr))
+      .map(_._2.asInstanceOf[Double])
+    // the sketch returns a nearby DATA VALUE, not an interpolation, and the
+    // matched ids are sparse over ~30 — hold it to a fifth of that span
+    fa.zip(ex).foreach { case (a, e) => assert(math.abs(a - e) <= 6.0, s"$a vs $e") }
+    // empty matched set: stats row count 0, (fraction, null) percentiles
+    assert(fed.facetStats("nosuchterm", Or, "doc_id").head.getLong(0) == 0L)
+    assert(pct(fed.facetPercentiles("nosuchterm", Or, "doc_id", fr))
+      .forall(_._2 == null))
   }
 
   test("boolean trees + query strings: federated == monolithic (unranked" +
