@@ -415,6 +415,13 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_federated_collapse" -> ((s, d) => // field collapsing across slices:
+      // a source group spans slices, so the gather re-collapses per-slice
+      // bests; scores carry the merged global df — must equal ft_collapse
+      federation(s, d).bm25TopKCollapse("spark join", "source", 100)
+        .select(col("doc_id"), col("source"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_federated_cardinality" -> ((s, d) => // a source value matched in
       // SEVERAL slices must count ONCE — per-slice distinct counts cannot
       // be summed; the federated agg spans the union of slice matches
@@ -1554,6 +1561,29 @@ object SparkEntry {
          |FROM tf JOIN matched USING (doc_id) JOIN tc USING (doc_id)
          |JOIN df USING (term) CROSS JOIN stats
          |GROUP BY tf.doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_federated_collapse" -> // MONOLITHIC best-doc-per-source ranking —
+      // the exact ft_collapse list the federated re-collapse must reproduce
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY tf.doc_id)
+         |SELECT s.doc_id, d.source, round(s.score, 6) AS score
+         |FROM scored s JOIN documents d USING (doc_id)
+         |QUALIFY row_number() OVER (PARTITION BY d.source ORDER BY s.score DESC, s.doc_id) = 1
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_federated_cardinality" -> // distinct sources over the union corpus
       s"""WITH toks AS (

@@ -489,6 +489,70 @@ final class Federation private (
     unionAll(parts).get.orderBy(tieAsc: _*)
   }
 
+  /** Federated sort-by-field top-k: per-slice TakeOrdered k-cuts merge —
+    * every global top-k row ranks ≤ k within its own slice — and the
+    * gather re-sorts ≤ slices·k rows. Monolithic tie-break (doc_ord asc)
+    * coincides with `tieCols` under the builder's stable-ordering
+    * contract. */
+  def matchTopKSortBy(keyword: String, logic: Logic, sortCol: String, k: Int,
+      ascending: Boolean = true): DataFrame = {
+    val key = if (ascending) asc(sortCol) else desc(sortCol)
+    val parts = sliceSearchers.map(
+      _.matchTopKSortBy(keyword, logic, sortCol, k, ascending).drop("doc_ord"))
+    unionAll(parts).get.orderBy(key +: tieAsc: _*).limit(k)
+  }
+
+  /** Federated field collapsing with GLOBAL-stats scores: each slice scores
+    * with the merged df ([[resolveGlobal]] — slice-local collapse scoring
+    * would mis-rank), collapses to its slice-best doc per group, and cuts
+    * to k. The cut is lossless: a global top-k group's best doc outranks
+    * all but at most k-1 other groups ANYWHERE, so it survives its own
+    * slice's collapsed top-k. The gather re-collapses groups spanning
+    * slices over ≤ slices·k rows. */
+  def bm25TopKCollapse(keyword: String, groupCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rtss = resolveGlobal(analyzer.terms(keyword).distinct)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty =>
+        val w = Window.partitionBy(col(groupCol))
+          .orderBy(desc("score") +: tieAsc: _*)
+        s.index.docs
+          .join(s.scoredMatches(rts, s.bm25Expr).select("doc_ord", "score"),
+            "doc_ord")
+          .drop("doc_ord")
+          .withColumn("grp_rank", row_number().over(w))
+          .filter(col("grp_rank") === 1).drop("grp_rank")
+          .orderBy(desc("score") +: tieAsc: _*).limit(k)
+    }
+    unionAll(parts) match {
+      case None => emptyDocs(withScore = true).limit(0)
+      case Some(all) =>
+        val w2 = Window.partitionBy(col(groupCol))
+          .orderBy(desc("score") +: tieAsc: _*)
+        all.withColumn("grp_rank", row_number().over(w2))
+          .filter(col("grp_rank") === 1).drop("grp_rank")
+          .orderBy(desc("score") +: tieAsc: _*).limit(k)
+    }
+  }
+
+  /** Federated hit-term highlighting: which query terms each matched doc
+    * contains is a per-document read of the doc's OWN slice postings —
+    * lossless union (a slice-unknown term is absent from its docs, so the
+    * AND fold matches monolithic membership slice by slice). */
+  def highlightTerms(keyword: String, logic: Logic): DataFrame = {
+    val parts = sliceSearchers.map(
+      _.highlightTerms(keyword, logic).drop("doc_ord"))
+    unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
+  /** Federated snippets: first-hit windows are per-document (position from
+    * the doc's own slice posting, text re-analyzed per row) — lossless
+    * union. */
+  def snippet(keyword: String, window: Int = 2): DataFrame = {
+    val parts = sliceSearchers.map(_.snippet(keyword, window).drop("doc_ord"))
+    unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
   /** Federated stats facet: count/min/max/sum are lossless partial merges
     * over disjoint slices; avg is recomputed as Σsum / Σcount. The sum (and
     * hence avg) can differ from monolithic in the last ulp — double

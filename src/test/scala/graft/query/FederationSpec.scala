@@ -269,6 +269,49 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("sortBy / collapse / highlight / snippet: federated == monolithic") {
+    def ids(df: DataFrame) = df.select("doc_id").collect().map(_.getLong(0)).toSeq
+    for (a <- Seq(true, false))
+      assert(ids(fed.matchTopKSortBy("spark", Or, "doc_id", 5, a)) ==
+        ids(mono.matchTopKSortBy("spark", Or, "doc_id", 5, a)), s"asc=$a")
+    def hl(df: DataFrame) = df.select("doc_id", "hit_terms").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    for (lg <- Seq(Or, And))
+      assert(hl(fed.highlightTerms("spark go", lg)) ==
+        hl(mono.highlightTerms("spark go", lg)), s"$lg")
+    def sn(df: DataFrame) = df.select("doc_id", "first_pos", "snippet").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(sn(fed.snippet("spark go", 2)) == sn(mono.snippet("spark go", 2)))
+    // collapse on a group column that SPANS slices: the GLOBAL best doc per
+    // group must represent it, scored with global stats — a slice-local
+    // collapse would both mis-pick and mis-score
+    import spark.implicits._
+    val rows5 = Seq(
+      (0L, 0L, "g0", "spark spark spark"),     // slice 0: global best of g0
+      (1L, 1L, "g0", "spark pad pad pad pad"), // slice 1: weaker g0 doc
+      (2L, 2L, "g1", "spark pad"),             // slice 2
+      (3L, 3L, "g1", "spark spark pad"),       // slice 0: g1's global best
+      (4L, 4L, "g2", "pad pad"))               // never matches
+    def dfc(rs: Seq[(Long, Long, String, String)]) =
+      rs.toDF("doc_ord", "doc_id", "grp", "text")
+    val monoC = new Searcher(IndexBuilder.build(dfc(rows5), analyzer).cache(), analyzer)
+    val slicesC = (0 until 3).map { r =>
+      val s = rows5.filter(_._2 % 3 == r).zipWithIndex
+        .map { case ((_, id, g, t), ord) => (ord.toLong, id, g, t) }
+      IndexBuilder.build(dfc(s), analyzer).cache()
+    }
+    val fedC = Federation(slicesC, analyzer)
+    def coll(df: DataFrame) = df.select("doc_id", "grp", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val mc = coll(monoC.bm25TopKCollapse("spark", "grp", 3))
+    val fc = coll(fedC.bm25TopKCollapse("spark", "grp", 3))
+    assert(fc.map(t => (t._1, t._2)) == mc.map(t => (t._1, t._2)), s"fed=$fc mono=$mc")
+    fc.zip(mc).foreach { case (f, m) =>
+      assert(math.abs(f._3 - m._3) < 1e-12, s"doc ${f._1}")
+    }
+    assert(fedC.bm25TopKCollapse("nosuchterm", "grp", 3).collect().isEmpty)
+  }
+
   test("facet family + msm: federated == monolithic (bucket/stats partials" +
       " merge; distinct and sketch aggregations span the union)") {
     for (m <- 1 to 3)
