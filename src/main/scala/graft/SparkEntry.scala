@@ -427,6 +427,21 @@ object SparkEntry {
       // be summed; the federated agg spans the union of slice matches
       federation(s, d).facetCardinality("spark join", Or, "source")),
 
+    "ft_federated_dismax" -> ((s, d) => // dis_max across slices via the
+      // stats-override hook: per-slice clause scores carry the merged
+      // global df, the gather is the standard top-k merge — must equal the
+      // monolithic ft_dismax list float-exactly
+      federation(s, d).disMaxTopK(Seq("spark join", "vector window"), 10000, 0.3)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_federated_lm" -> ((s, d) => // LM-Dirichlet across slices: global cf
+      // via the stats override, global |C| injected — query-likelihood
+      // scores must equal the monolithic ft_lmdirichlet list
+      federation(s, d).lmDirichletTopK("spark join", 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_federated_sigterms" -> ((s, d) => // merged matched-set term stats:
       // Σ slice df_in and Σ slice matched counts, lift recomputed from the
       // merged global df and N — the list must be identical to the
@@ -1593,6 +1608,52 @@ object SparkEntry {
          |)
          |SELECT count(DISTINCT d.source) AS n_distinct
          |FROM documents d JOIN m USING (doc_id)""".stripMargin,
+
+    "ft_federated_dismax" -> // MONOLITHIC dis_max — clauses ('spark join', 'vector window'), tie 0.3:
+      // greatest(clause scores) + 0.3 * (sum - greatest)
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |stats AS (SELECT count(*) AS n, avg(token_count::DOUBLE) AS avgdl FROM tc),
+         |qterms AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'join'),
+         |                                 (1, 'vector'), (1, 'window')) t(clause_id, term)),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join','vector','window') GROUP BY doc_id, term),
+         |per_clause AS (
+         |  SELECT qt.clause_id, tf.doc_id,
+         |    sum((ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) * (tf.tf * 2.2))
+         |      / (tf.tf + 1.2 * (0.25 + (0.75 * tc.token_count) / stats.avgdl))) AS cscore
+         |  FROM tf JOIN qterms qt USING (term) JOIN tc USING (doc_id)
+         |  JOIN df USING (term) CROSS JOIN stats
+         |  GROUP BY qt.clause_id, tf.doc_id)
+         |SELECT doc_id,
+         |  round(max(cscore) + 0.3 * (sum(cscore) - max(cscore)), 6) AS score
+         |FROM per_clause GROUP BY doc_id ORDER BY score DESC, doc_id""".stripMargin,
+
+    "ft_federated_lm" -> // MONOLITHIC query likelihood, Dirichlet μ=2000: per matched
+      // term ln(1 + tf/(μ·cf/|C|)), plus |q∩d|·ln(μ/(dl+μ)) once per doc
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents
+         |), tc0 AS (SELECT doc_id, count(*) AS token_count FROM toks GROUP BY doc_id),
+         |tc AS (SELECT d.doc_id, coalesce(tc0.token_count, 0) AS token_count
+         |       FROM documents d LEFT JOIN tc0 USING (doc_id)),
+         |ctot AS (SELECT count(*) AS c FROM toks),
+         |cf AS (SELECT term, count(*) AS cf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY term),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       WHERE term IN ('spark','join') GROUP BY doc_id, term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln(1 + tf.tf::DOUBLE / (2000.0 * cf.cf / ctot.c)))
+         |      + count(*) * ln(2000.0 / (tc.token_count + 2000.0)) AS score
+         |  FROM tf JOIN tc USING (doc_id) JOIN cf USING (term) CROSS JOIN ctot
+         |  GROUP BY tf.doc_id, tc.token_count)
+         |SELECT doc_id, round(score, 6) AS score FROM scored
+         |ORDER BY score DESC, doc_id""".stripMargin,
 
     "ft_federated_sigterms" -> // MONOLITHIC significant_terms over the
       // union corpus — the exact ft_sigterms list the federated merge must

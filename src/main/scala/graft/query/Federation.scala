@@ -553,6 +553,87 @@ final class Federation private (
     unionAll(parts).get.orderBy(tieAsc: _*)
   }
 
+  /** Slices re-viewed with the corpus-wide (df, cf) substituted for the
+    * given terms ([[Searcher.withStatsOverride]]): every scoring surface on
+    * the returned searchers weighs with global statistics while postings
+    * pruning and term ids stay slice-local — the general federation hook
+    * behind dis_max / boosting / function_score / grouped / LM. */
+  private def slicesWithGlobalStats(terms: Seq[String]): Seq[Searcher] = {
+    val m = resolveGlobal(terms).flatten
+      .map(rt => rt.term -> (rt.df, rt.cf)).toMap
+    sliceSearchers.map(_.withStatsOverride(m))
+  }
+
+  /** Federated dis_max: per-slice evaluation with global df weights, then
+    * the standard top-k merge — a doc lives in exactly one slice, so its
+    * combined clause score is complete there. */
+  def disMaxTopK(clauses: Seq[String], k: Int,
+      tieBreaker: Double = 0.0): DataFrame = {
+    val parts = slicesWithGlobalStats(clauses.flatMap(analyzer.terms(_)).distinct)
+      .map(_.disMaxTopK(clauses, k, tieBreaker).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
+  }
+
+  /** Federated boosting query: positive BM25 with global weights, negative
+    * demotion decided per document (slice-local membership is globally
+    * correct) — demoted scores are final before each slice's k-cut. */
+  def bm25TopKBoosting(positive: String, negative: String,
+      negativeBoost: Double, k: Int, negLogic: Logic = Or): DataFrame = {
+    val parts = slicesWithGlobalStats(analyzer.terms(positive).distinct)
+      .map(_.bm25TopKBoosting(positive, negative, negativeBoost, k, negLogic)
+        .drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
+  }
+
+  /** Federated function_score: the factor is a per-document docs-column
+    * expression, so the multiplied scores are final per slice. */
+  def bm25TopKFunctionScore(keyword: String, factor: Column, k: Int): DataFrame = {
+    val parts = slicesWithGlobalStats(analyzer.terms(keyword).distinct)
+      .map(_.bm25TopKFunctionScore(keyword, factor, k).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
+  }
+
+  /** Federated LM-Dirichlet: collection statistics merge exactly like
+    * BM25's — global cf via the stats override, global C (Σ tokens) already
+    * injected into every slice — so query-likelihood scores are float-exact
+    * to monolithic. */
+  def lmDirichletTopK(keyword: String, k: Int, mu: Double = 2000.0): DataFrame = {
+    val parts = slicesWithGlobalStats(analyzer.terms(keyword).distinct)
+      .map(_.lmDirichletTopK(keyword, k, mu).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
+  }
+
+  /** Federated grouped relevance (has_child score modes): groups SPAN
+    * slices, so no per-slice k-cut is sound for sum/avg — each slice
+    * returns its group-sized partial aggregate (`sum`/`max`/`min` merge
+    * losslessly; `avg` = Σ slice sums / Σ slice counts) and ONE
+    * group-keyed merge ranks the re-aggregated groups. The gather is
+    * group-bounded, never doc-bounded. */
+  def bm25TopKGrouped(keyword: String, groupCol: String, k: Int,
+      scoreMode: String = "max"): DataFrame = {
+    require(Set("max", "sum", "avg", "min")(scoreMode),
+      s"scoreMode must be one of max, sum, avg, min; got $scoreMode")
+    val slices = slicesWithGlobalStats(analyzer.terms(keyword).distinct)
+    val baseMode = if (scoreMode == "avg") "sum" else scoreMode
+    val parts = slices.map(
+      _.bm25TopKGrouped(keyword, groupCol, Int.MaxValue, baseMode))
+    val agg: Column = scoreMode match {
+      case "max" => max(col("score"))
+      case "min" => min(col("score"))
+      case _     => sum(col("score")) // sum, and avg's numerator
+    }
+    val merged = unionAll(parts).get
+      .groupBy(col(groupCol))
+      .agg(agg.as("_s"), sum(col("n_hits")).as("n_hits"))
+    val scored =
+      if (scoreMode == "avg")
+        merged.withColumn("score", col("_s") / col("n_hits").cast("double"))
+      else merged.withColumn("score", col("_s"))
+    scored.select(col(groupCol), col("score"), col("n_hits"))
+      .orderBy(desc("score"), asc(groupCol))
+      .limit(k)
+  }
+
   /** Federated stats facet: count/min/max/sum are lossless partial merges
     * over disjoint slices; avg is recomputed as Σsum / Σcount. The sum (and
     * hence avg) can differ from monolithic in the last ulp — double

@@ -129,7 +129,10 @@ final class Searcher(
     // the persisted block table WITH its (t_bucket, d_group) partition
     // columns (formatVersion 4): per-query WAND reads derive a pruned
     // Dataset from it instead of scanning the whole block store
-    preBuiltBlocksByTerm: Option[DataFrame] = None
+    preBuiltBlocksByTerm: Option[DataFrame] = None,
+    // per-term (df, cf) substituted into every dictionary resolution — the
+    // federation hook (see withStatsOverride); empty = this index's own stats
+    statsOverride: Map[String, (Long, Long)] = Map.empty
 ) {
 
   private val spark = index.docs.sparkSession
@@ -255,6 +258,25 @@ final class Searcher(
     * with t_bucket-pruned miss lookups; otherwise one vocab-pruned
     * dictionary job per call. */
   def resolve(terms: Seq[String]): Seq[ResolvedTerm] = {
+    val base = resolveOwnStats(terms)
+    if (statsOverride.isEmpty) base
+    else base.map(rt => statsOverride.get(rt.term).fold(rt) {
+      case (d, c) => rt.copy(df = d, cf = c)
+    })
+  }
+
+  /** A view of this slice whose term statistics (df, cf) are REPLACED for
+    * the given terms — the federation hook: every scoring surface that
+    * resolves through the dictionary (BM25, dis_max, boosting,
+    * function_score, grouped relevance, LM-Dirichlet) then weighs with
+    * corpus-wide statistics while term ids, postings pruning, and block
+    * tables stay slice-local. Shares this instance's index and prebuilt
+    * block tables; serving-mode pins are per-instance. */
+  private[query] def withStatsOverride(m: Map[String, (Long, Long)]): Searcher =
+    new Searcher(index, analyzer, blockParams, preBuiltBlocks, sortUnranked,
+      dGroupSpan, preBuiltBlocksByTerm, m)
+
+  private def resolveOwnStats(terms: Seq[String]): Seq[ResolvedTerm] = {
     fullLocalDict match {
       case Some(d) => return terms.flatMap(d.get)
       case None =>

@@ -52,6 +52,27 @@ class FederationSpec extends SparkSpec {
     (0 until 3).map(r => IndexBuilder.build(df(sliceRows(r)), analyzer).cache()),
     analyzer)
 
+  // Small corpus with a GROUP column whose groups span slices (doc_id % 3
+  // slicing): used by the collapse and grouped-relevance federation tests.
+  private lazy val grpRows = Seq(
+    (0L, 0L, "g0", "spark spark spark"),     // slice 0: global best of g0
+    (1L, 1L, "g0", "spark pad pad pad pad"), // slice 1: weaker g0 doc
+    (2L, 2L, "g1", "spark pad"),             // slice 2
+    (3L, 3L, "g1", "spark spark pad"),       // slice 0: g1's global best
+    (4L, 4L, "g2", "pad pad"))               // never matches
+  private def dfg(rs: Seq[(Long, Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rs.toDF("doc_ord", "doc_id", "grp", "text")
+  }
+  private lazy val monoG =
+    new Searcher(IndexBuilder.build(dfg(grpRows), analyzer).cache(), analyzer)
+  private lazy val fedG = Federation(
+    (0 until 3).map { r =>
+      val s = grpRows.filter(_._2 % 3 == r).zipWithIndex
+        .map { case ((_, id, g, t), ord) => (ord.toLong, id, g, t) }
+      IndexBuilder.build(dfg(s), analyzer).cache()
+    }, analyzer)
+
   private def scoresOf(res: DataFrame): Map[Long, Double] =
     res.select("doc_id", "score").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
@@ -285,31 +306,55 @@ class FederationSpec extends SparkSpec {
     // collapse on a group column that SPANS slices: the GLOBAL best doc per
     // group must represent it, scored with global stats — a slice-local
     // collapse would both mis-pick and mis-score
-    import spark.implicits._
-    val rows5 = Seq(
-      (0L, 0L, "g0", "spark spark spark"),     // slice 0: global best of g0
-      (1L, 1L, "g0", "spark pad pad pad pad"), // slice 1: weaker g0 doc
-      (2L, 2L, "g1", "spark pad"),             // slice 2
-      (3L, 3L, "g1", "spark spark pad"),       // slice 0: g1's global best
-      (4L, 4L, "g2", "pad pad"))               // never matches
-    def dfc(rs: Seq[(Long, Long, String, String)]) =
-      rs.toDF("doc_ord", "doc_id", "grp", "text")
-    val monoC = new Searcher(IndexBuilder.build(dfc(rows5), analyzer).cache(), analyzer)
-    val slicesC = (0 until 3).map { r =>
-      val s = rows5.filter(_._2 % 3 == r).zipWithIndex
-        .map { case ((_, id, g, t), ord) => (ord.toLong, id, g, t) }
-      IndexBuilder.build(dfc(s), analyzer).cache()
-    }
-    val fedC = Federation(slicesC, analyzer)
     def coll(df: DataFrame) = df.select("doc_id", "grp", "score").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
-    val mc = coll(monoC.bm25TopKCollapse("spark", "grp", 3))
-    val fc = coll(fedC.bm25TopKCollapse("spark", "grp", 3))
+    val mc = coll(monoG.bm25TopKCollapse("spark", "grp", 3))
+    val fc = coll(fedG.bm25TopKCollapse("spark", "grp", 3))
     assert(fc.map(t => (t._1, t._2)) == mc.map(t => (t._1, t._2)), s"fed=$fc mono=$mc")
     fc.zip(mc).foreach { case (f, m) =>
       assert(math.abs(f._3 - m._3) < 1e-12, s"doc ${f._1}")
     }
-    assert(fedC.bm25TopKCollapse("nosuchterm", "grp", 3).collect().isEmpty)
+    assert(fedG.bm25TopKCollapse("nosuchterm", "grp", 3).collect().isEmpty)
+  }
+
+  test("dis_max / boosting / function_score / LM / grouped: federated ==" +
+      " monolithic through the stats-override hook") {
+    def cmp(f: DataFrame, m: DataFrame, label: String): Unit = {
+      val (fm, mm) = (scoresOf(f), scoresOf(m))
+      assert(fm.keySet == mm.keySet, s"$label: fed=$fm mono=$mm")
+      fm.foreach { case (id, s) =>
+        assert(math.abs(s - mm(id)) < 1e-12, s"$label doc $id") }
+    }
+    cmp(fed.disMaxTopK(Seq("spark join", "go ruby"), 10, 0.3),
+      mono.disMaxTopK(Seq("spark join", "go ruby"), 10, 0.3), "dismax")
+    cmp(fed.disMaxTopK(Seq("zz", "qq"), 10, 0.0), // slice-exclusive clauses
+      mono.disMaxTopK(Seq("zz", "qq"), 10, 0.0), "dismax-exclusive")
+    cmp(fed.bm25TopKBoosting("spark", "ruby", 0.5, 10),
+      mono.bm25TopKBoosting("spark", "ruby", 0.5, 10), "boosting")
+    val factor = col("doc_id").cast("double") * 0.1 + 1.0
+    cmp(fed.bm25TopKFunctionScore("spark", factor, 10),
+      mono.bm25TopKFunctionScore("spark", factor, 10), "funcscore")
+    cmp(fed.lmDirichletTopK("spark go", 10),
+      mono.lmDirichletTopK("spark go", 10), "lm") // needs global cf AND C
+    // grouped relevance: groups span slices — sum/avg partials must merge
+    def gm(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    for (m <- Seq("max", "sum", "avg", "min")) {
+      val fm = gm(fedG.bm25TopKGrouped("spark", "grp", 10, m))
+      val mm = gm(monoG.bm25TopKGrouped("spark", "grp", 10, m))
+      assert(fm.keySet == mm.keySet, s"mode $m")
+      fm.foreach { case (g, (s, n)) =>
+        assert(n == mm(g)._2, s"mode $m n_hits $g")
+        assert(math.abs(s - mm(g)._1) < 1e-9, s"mode $m score $g")
+      }
+    }
+    // max-mode merge is exact (max of slice maxima): full rank parity
+    assert(fedG.bm25TopKGrouped("spark", "grp", 10, "max")
+      .select("grp").collect().map(_.getString(0)).toSeq ==
+      monoG.bm25TopKGrouped("spark", "grp", 10, "max")
+        .select("grp").collect().map(_.getString(0)).toSeq)
+    intercept[IllegalArgumentException](
+      fed.bm25TopKGrouped("spark", "grp", 10, "nope"))
   }
 
   test("facet family + msm: federated == monolithic (bucket/stats partials" +
