@@ -603,6 +603,61 @@ final class Federation private (
     unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
   }
 
+  /** Federated filter context: the predicate restricts per-document rows
+    * (slice-local is globally correct), scores stay global via the stats
+    * override — standard top-k merge. */
+  def bm25TopKFiltered(keyword: String, docFilter: Column, k: Int): DataFrame = {
+    val parts = slicesWithGlobalStats(analyzer.terms(keyword).distinct)
+      .map(_.bm25TopKFiltered(keyword, docFilter, k).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
+  }
+
+  /** Federated cursor pagination (search_after): every slice pages in the
+    * SAME quantized (score, stable-key) order the monolithic cursor uses —
+    * slice ordinals are local, so the federated cursor is (score, tie-key
+    * value) — and the gather re-sorts ≤ slices·k rows. Deep pages stay at
+    * page-one cost per slice. Single-key federations only: the cursor
+    * comparison is a one-column strict inequality. */
+  def bm25TopKFirstPage(keyword: String, k: Int): DataFrame =
+    pageFed(keyword, k, None)
+
+  /** Page following the cursor `(afterScore, afterKey)` — take both from
+    * the previous page's last row (`afterKey` = its tie-key value). */
+  def bm25TopKAfter(keyword: String, k: Int, afterScore: Double,
+      afterKey: Long): DataFrame =
+    pageFed(keyword, k, Some((afterScore, afterKey)))
+
+  private def pageFed(keyword: String, k: Int,
+      cursor: Option[(Double, Long)]): DataFrame = {
+    require(tieCols.size == 1,
+      s"federated search_after needs a single stable key column, got $tieCols")
+    val tieCol = tieCols.head
+    val terms = analyzer.terms(keyword).distinct
+    val slices = slicesWithGlobalStats(terms)
+    val scoreQ = round(col("score"), Searcher.PageGrain)
+    val parts = slices.map { s =>
+      val rts = s.resolve(terms)
+      if (rts.isEmpty) emptyDocs(withScore = true).limit(0)
+      else {
+        val scored0 = s.index.docs
+          .join(s.scoredMatches(rts, s.bm25Expr).select("doc_ord", "score"),
+            "doc_ord")
+          .drop("doc_ord")
+        val scored = cursor match {
+          case None => scored0
+          case Some((afterScore, afterKey)) =>
+            val cursorQ = BigDecimal(afterScore)
+              .setScale(Searcher.PageGrain, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble
+            scored0.filter(scoreQ < cursorQ ||
+              (scoreQ === cursorQ && col(tieCol) > afterKey))
+        }
+        scored.orderBy(scoreQ.desc, col(tieCol).asc).limit(k)
+      }
+    }
+    unionAll(parts).get.orderBy(scoreQ.desc, col(tieCol).asc).limit(k)
+  }
+
   /** Federated grouped relevance (has_child score modes): groups SPAN
     * slices, so no per-slice k-cut is sound for sum/avg — each slice
     * returns its group-sized partial aggregate (`sum`/`max`/`min` merge

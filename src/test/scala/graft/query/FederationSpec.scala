@@ -357,6 +357,51 @@ class FederationSpec extends SparkSpec {
       fed.bm25TopKGrouped("spark", "grp", 10, "nope"))
   }
 
+  test("filtered + search_after: federated == monolithic; pages partition" +
+      " the ranking at page-one cost per slice") {
+    val flt = col("doc_id") % 2 === 0
+    val mf = scoresOf(mono.bm25TopKFiltered("spark", flt, 10))
+    val ff = scoresOf(fed.bm25TopKFiltered("spark", flt, 10))
+    assert(ff.keySet == mf.keySet)
+    ff.foreach { case (id, s) => assert(math.abs(s - mf(id)) < 1e-12, s"doc $id") }
+    // page walk: federated (score, doc_id) cursor vs monolithic
+    // (score, doc_ord) cursor — same order under the stable-key contract
+    def fedWalk(q: String, k: Int): Seq[(Long, Double)] = {
+      var out = Vector.empty[(Long, Double)]
+      var page = fed.bm25TopKFirstPage(q, k).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      while (page.nonEmpty) {
+        out ++= page
+        val last = page.last
+        page = fed.bm25TopKAfter(q, k, last._2, last._1)
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      }
+      out
+    }
+    def monoWalk(q: String, k: Int): Seq[(Long, Double)] = {
+      var out = Vector.empty[(Long, Double)]
+      var page = mono.bm25TopKFirstPage(q, k)
+        .select("doc_ord", "doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      while (page.nonEmpty) {
+        out ++= page.map(t => (t._2, t._3))
+        val last = page.last
+        page = mono.bm25TopKAfter(q, k, last._3, last._1)
+          .select("doc_ord", "doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      }
+      out
+    }
+    for (q <- Seq("go ruby", "spark join")) {
+      val fw = fedWalk(q, 4)
+      val mw = monoWalk(q, 4)
+      assert(fw.map(_._1) == mw.map(_._1), s"'$q' fed=$fw mono=$mw")
+      fw.zip(mw).foreach { case (a, b) => assert(math.abs(a._2 - b._2) < 1e-12) }
+      assert(fw.map(_._1).distinct.size == fw.size, s"'$q' page overlap")
+    }
+  }
+
   test("facet family + msm: federated == monolithic (bucket/stats partials" +
       " merge; distinct and sketch aggregations span the union)") {
     for (m <- 1 to 3)
