@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   * instead of `doc_ord`; ties rank by `tieCols` ascending. The monolithic
   * tie-break (doc_ord asc) coincides with this whenever ordinals were
   * assigned in `tieCols` order — the builder's stable-ordering contract.
+  *
+  * NOT federated (deliberate, each with a composition path): `moreLikeThis`
+  * (the source doc's term selection needs its slice located by key first —
+  * select terms via the slice's `termVectors`, then run the federated
+  * ranked OR), `bm25TopKRescore` (the rescore window is a GLOBAL top-N —
+  * take [[bm25TopK]](windowSize) here, then rescore the window docs on
+  * their home slices), `matchPhrasePrefix` (positional expansion unions are
+  * per-slice plans; use [[prefixQuery]] when position adjacency isn't
+  * required), and `contextWindows` (conversations sliced by time can SPAN
+  * slices — context fetch belongs on the docs store, which federation does
+  * not own). Percolation is index-free and needs no federation.
   */
 final class Federation private (
     val sliceSearchers: Seq[Searcher],
