@@ -90,10 +90,12 @@ object Main {
       |          "a b"~slop, term~edits, term^boost;
       |          phrase: --slop widens to a position window; msm: --min-match terms required;
       |          collapse: best doc per --collapse-field value;
-      |          mlt: --query is a doc_ord; suggest: --query is a term prefix;
+      |          mlt: --query is a doc_ord (federated: comma-separated key
+      |          values); suggest: --query is a term prefix;
       |          comma-separated --index paths federate independently built
       |          slices — global stats merged, modes and|or|phrase|bm25|wand|
-      |          qs|qs-ranked|prefix|fuzzy|suggest|dym|facets|sigterms;
+      |          qs|qs-ranked|prefix|fuzzy|phrase-prefix|mlt|suggest|dym|
+      |          facets|sigterms;
       |          expansion/dictionary modes use the merged global vocabulary)
       |  batch  --index <path> --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
@@ -466,10 +468,16 @@ object Main {
       case "prefix" => (fed.prefixQuery(query).limit(limit), false)
       case "fuzzy"  => (fed.fuzzyQuery(query,
         opts.get("max-edits").map(_.toInt).getOrElse(1)).limit(limit), false)
+      case "phrase-prefix" => (fed.matchPhrasePrefix(query,
+        slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
+      // more-like-this: the source doc is addressed by its stable key
+      // (comma-separated values matching the slices' key columns)
+      case "mlt" =>
+        (fed.moreLikeThis(query.split(",").map(_.trim).toSeq, k = k), true)
       case other => throw new IllegalArgumentException(
         s"mode '$other' is not federated; use and|or|phrase|bm25|wand|qs|" +
-          "qs-ranked|prefix|fuzzy|suggest|dym|facets|sigterms with " +
-          "comma-separated --index")
+          "qs-ranked|prefix|fuzzy|phrase-prefix|mlt|suggest|dym|facets|" +
+          "sigterms with comma-separated --index")
     }
     val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
       Seq("text").filter(df.columns.contains)

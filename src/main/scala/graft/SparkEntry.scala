@@ -450,6 +450,29 @@ object SparkEntry {
         .select(col("term"), col("df_in"), col("df"), round(col("lift"), 6).as("lift"))
         .orderBy(desc("lift"), asc("term"))),
 
+    "ft_federated_mlt" -> ((s, d) => // more-like-this across slices: source
+      // doc located by its stable key, term selection over the MERGED
+      // global df, then the federated ranked OR — must equal the monolithic
+      // ft_mlt list float-exactly
+      federation(s, d).moreLikeThis(Seq(42L), maxQueryTerms = 5, k = 100000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_federated_phrase_prefix" -> ((s, d) => // match_phrase_prefix across
+      // slices: the final-slot expansion runs against the MERGED global
+      // vocabulary (per-slice expansion would diverge like prefix/fuzzy),
+      // positional plans per slice — union must equal the monolithic set
+      federation(s, d).matchPhrasePrefix("the s")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_rescore" -> ((s, d) => // two-phase rescore across slices:
+      // GLOBAL quantized window gather, phrase rescore on each window doc's
+      // HOME slice with merged global df — must equal monolithic ft_rescore
+      federation(s, d).bm25TopKRescore("spark join", "join table",
+        windowSize = 10000, k = 10000, queryWeight = 1.0, rescoreWeight = 0.7)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
     "ft_bm25_topk_wand" -> ((s, d) => // oracled against the EXHAUSTIVE top-k
       // SQL — the rank-identity claim itself (WAND pruning is lossless);
       // boundary safety: the rank-20/21 score gap at sf0.01 is ~7e-4,
@@ -878,7 +901,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "ft_match_all" -> "SELECT doc_id FROM documents ORDER BY doc_id",
 
     "ft_match_and" ->
@@ -2475,4 +2498,13 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
   )
+
+  /** Federated twins whose oracle IS the monolithic SQL, verbatim: the
+    * federation contract (global N/avgdl/df merged across slices) makes
+    * the single-index oracle the exact spec — any slice-local stats leak
+    * fails the float comparison. */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "ft_federated_mlt" -> oracleSqlBase("ft_mlt"),
+    "ft_federated_rescore" -> oracleSqlBase("ft_rescore"),
+    "ft_federated_phrase_prefix" -> oracleSqlBase("ft_phrase_prefix"))
 }

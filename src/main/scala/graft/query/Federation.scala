@@ -39,16 +39,10 @@ import org.apache.spark.sql.functions._
   * tie-break (doc_ord asc) coincides with this whenever ordinals were
   * assigned in `tieCols` order — the builder's stable-ordering contract.
   *
-  * NOT federated (deliberate, each with a composition path): `moreLikeThis`
-  * (the source doc's term selection needs its slice located by key first —
-  * select terms via the slice's `termVectors`, then run the federated
-  * ranked OR), `bm25TopKRescore` (the rescore window is a GLOBAL top-N —
-  * take [[bm25TopK]](windowSize) here, then rescore the window docs on
-  * their home slices), `matchPhrasePrefix` (positional expansion unions are
-  * per-slice plans; use [[prefixQuery]] when position adjacency isn't
-  * required), and `contextWindows` (conversations sliced by time can SPAN
-  * slices — context fetch belongs on the docs store, which federation does
-  * not own). Percolation is index-free and needs no federation.
+  * NOT federated (deliberate): `contextWindows` — conversations sliced by
+  * time can SPAN slices, so context fetch belongs on the docs store, which
+  * federation does not own. Percolation is index-free and needs no
+  * federation. Everything else on the [[Searcher]] surface federates.
   */
 final class Federation private (
     val sliceSearchers: Seq[Searcher],
@@ -562,6 +556,163 @@ final class Federation private (
   def snippet(keyword: String, window: Int = 2): DataFrame = {
     val parts = sliceSearchers.map(_.snippet(keyword, window).drop("doc_ord"))
     unionAll(parts).get.orderBy(tieAsc: _*)
+  }
+
+  /** Federated MoreLikeThis — [[Searcher.moreLikeThis]] over the union
+    * corpus, the source document addressed by its stable tie key (`key`
+    * aligns with `tieCols`; slice ordinals are local, so ordinals can't
+    * address across slices). Three-step, float-exact to monolithic:
+    * (1) locate the home slice by key — concurrent per-slice key probes,
+    * exactly one may match; (2) select the `maxQueryTerms` most
+    * characteristic source terms by tf · tf-idf-weight over the MERGED
+    * global df (ties term asc) — tf comes from the home slice's d_group-
+    * pruned posting rows (a doc lives in exactly one slice, so slice tf is
+    * union tf), df from [[resolveGlobal]], and the weight formula runs on
+    * the injected global N — identical selection to a monolithic union
+    * index; (3) the standard federated ranked OR over the selected terms
+    * with global-df BM25 weights, source doc excluded by key. */
+  def moreLikeThis(key: Seq[Any], maxQueryTerms: Int = 10,
+      k: Int = 10): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    require(key.size == tieCols.size,
+      s"key needs one value per tie column $tieCols, got $key")
+    def keyPred: Column =
+      tieCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    val located: Seq[(Int, Long)] = Await.result(
+      Future.sequence(sliceSearchers.zipWithIndex.map { case (s, i) =>
+        Future(s.index.docs.filter(keyPred).select(col("doc_ord"))
+          .collect().toSeq.map(r => (i, r.getLong(0))))
+      }), Duration.Inf).flatten
+    require(located.size <= 1,
+      s"tie key ${key.mkString(",")} matches ${located.size} documents — " +
+        "moreLikeThis needs a unique source document")
+    if (located.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val (home, docOrd) = located.head
+    val homeS = sliceSearchers(home)
+    val srcTf: Map[String, Long] = homeS.termVectors(docOrd)
+      .select(col("term"), col("tf")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (srcTf.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val rtss = resolveGlobal(srcTf.keys.toSeq.sorted)
+    val globalDf: Map[String, Long] =
+      rtss.flatten.map(rt => rt.term -> rt.df).toMap
+    val top: Set[String] = srcTf.keys.toSeq
+      .map(t => (t, srcTf(t) * homeS.tfIdfWeight(globalDf(t))))
+      .sortBy { case (t, w) => (-w, t) }
+      .take(maxQueryTerms).map(_._1).toSet
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.exists(rt => top(rt.term)) =>
+        slicedScores(s, rts.filter(rt => top(rt.term))).filter(!keyPred)
+    }
+    unionAll(parts) match {
+      case None      => emptyDocs(withScore = true).limit(0)
+      case Some(all) => all.orderBy(desc("score") +: tieAsc: _*).limit(k)
+    }
+  }
+
+  /** Federated match_phrase_prefix — [[Searcher.matchPhrasePrefix]] over
+    * the union corpus: the final-slot expansion runs against the MERGED
+    * global vocabulary with global-df cap ordering ([[expandGlobal]] — a
+    * per-slice expansion would diverge exactly like prefix/fuzzy), then
+    * each slice evaluates the positional plan with its own term ids
+    * ([[Searcher.matchPhrasePrefixResolved]]): expansions unknown to a
+    * slice are dropped there (absent from its whole corpus slice), a slice
+    * missing any exact term contributes nothing — both exactly the
+    * monolithic per-document semantics. `ranked` scores with TF-IDF over
+    * the exact terms + expansions with the merged global df injected —
+    * float-exact to monolithic. */
+  def matchPhrasePrefix(phrase: String, slop: Int = 0,
+      maxExpansions: Int = 128, ranked: Boolean = false): DataFrame = {
+    require(maxExpansions > 0, s"maxExpansions must be > 0, got $maxExpansions")
+    val qTerms = analyzer.terms(phrase)
+    if (qTerms.isEmpty) return emptyDocs(ranked)
+    val exact = qTerms.init
+    val prefix = qTerms.last
+    val expTerms = expandGlobal(col("term").startsWith(prefix), maxExpansions)
+    if (expTerms.isEmpty) return emptyDocs(ranked)
+    val rtss = resolveGlobal((exact ++ expTerms).distinct)
+    val parts = sliceSearchers.zip(rtss).flatMap { case (s, rts) =>
+      val byTerm = rts.map(rt => rt.term -> rt).toMap
+      val exactInOrder = exact.map(byTerm.get)
+      val expRts = expTerms.flatMap(byTerm.get)
+      if (exactInOrder.exists(_.isEmpty) || expRts.isEmpty) None
+      else Some(
+        s.matchPhrasePrefixResolved(exactInOrder.flatten, expRts, slop, ranked)
+          .drop("doc_ord"))
+    }
+    unionAll(parts) match {
+      case None => emptyDocs(ranked)
+      case Some(all) =>
+        if (ranked) all.orderBy(desc("score") +: tieAsc: _*)
+        else all.orderBy(tieAsc: _*)
+    }
+  }
+
+  /** Federated rescore window — [[Searcher.bm25TopKRescore]] over the union
+    * corpus: the window is a GLOBAL top-`windowSize`, so phase one runs the
+    * standard scatter-gather cut (per-slice windowSize cut with global-df
+    * scores, gather re-sorts ≤ slices·windowSize rows) in the SAME
+    * quantized (score, tie-key) order the monolithic window boundary uses —
+    * reduce-order float jitter can't flip window membership. Phase two
+    * rescores each window doc on its HOME slice (slice provenance kept
+    * through the gather): the phrase's positional evaluation and its BM25
+    * rescore weights run per slice with the merged global df injected, with
+    * work window-proportional via the same broadcast-ordinal semi-joins as
+    * the monolithic path. Final scores `queryWeight · bm25 +
+    * rescoreWeight · phraseBm25` merge across ≤ windowSize rows. */
+  def bm25TopKRescore(keyword: String, rescorePhrase: String,
+      windowSize: Int, k: Int, queryWeight: Double = 1.0,
+      rescoreWeight: Double = 1.0, slop: Int = 0,
+      inOrder: Boolean = false): DataFrame = {
+    require(windowSize >= k,
+      s"windowSize ($windowSize) must be >= k ($k): results come from the window")
+    val spark = sliceSearchers.head.index.docs.sparkSession
+    import spark.implicits._
+    val kwTerms = analyzer.terms(keyword).distinct
+    val phTerms = analyzer.terms(rescorePhrase).distinct
+    val slices = slicesWithGlobalStats((kwTerms ++ phTerms).distinct)
+    val scoreQ = round(col("score"), Searcher.PageGrain)
+    val parts = slices.zipWithIndex.flatMap { case (s, i) =>
+      val rts = s.resolve(kwTerms)
+      if (rts.isEmpty) None
+      else Some(
+        s.index.docs.select(col("doc_ord") +: tieCols.map(col): _*)
+          .join(s.scoredMatches(rts, s.bm25Expr).select("doc_ord", "score"),
+            "doc_ord")
+          .withColumn("_slice", lit(i))
+          .orderBy(scoreQ.desc +: tieAsc: _*)
+          .limit(windowSize))
+    }
+    if (parts.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val winRows = unionAll(parts).get
+      .orderBy(scoreQ.desc +: tieAsc: _*)
+      .limit(windowSize)
+      .select(col("_slice"), col("doc_ord"), col("score"))
+      .collect()
+    if (winRows.isEmpty) return emptyDocs(withScore = true).limit(0)
+    val parts2 = winRows.groupBy(_.getInt(0)).toSeq.map { case (i, rows) =>
+      val s = slices(i)
+      val win = rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq
+        .toDF("doc_ord", "score")
+      val winOrds = win.select("doc_ord")
+      val combined =
+        s.phraseMatch(rescorePhrase, slop, inOrder, among = Some(winOrds)) match {
+          case None => win.withColumn("score", col("score") * queryWeight)
+          case Some((matched, prts)) =>
+            val rescored = s.scoredMatches(prts, s.bm25Expr, among = Some(winOrds))
+              .join(matched, Seq("doc_ord"), "left_semi")
+              .select(col("doc_ord"), col("score").as("rescore"))
+            win.join(rescored, Seq("doc_ord"), "left")
+              .withColumn("score", col("score") * queryWeight +
+                coalesce(col("rescore"), lit(0.0)) * rescoreWeight)
+              .drop("rescore")
+        }
+      s.index.docs.join(combined.select("doc_ord", "score"), "doc_ord")
+        .drop("doc_ord")
+    }
+    unionAll(parts2).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
   }
 
   /** Slices re-viewed with the corpus-wide (df, cf) substituted for the

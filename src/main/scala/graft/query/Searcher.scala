@@ -597,13 +597,26 @@ final class Searcher(
     val prefix = qTerms.last
     val exactRts = resolve(exact.distinct).map(rt => rt.term -> rt).toMap
     if (exactRts.size != exact.distinct.size) return emptyDocs(ranked)
-    val expRts = expand(col("term").startsWith(prefix), maxExpansions)
+    matchPhrasePrefixResolved(exact.map(exactRts),
+      expand(col("term").startsWith(prefix), maxExpansions), slop, ranked)
+  }
+
+  /** [[matchPhrasePrefix]] with the final-slot expansion already resolved —
+    * the federation hook: the federated path expands against the MERGED
+    * global vocabulary, re-resolves per slice (global df substituted, term
+    * ids slice-local), and each slice runs this plan. `exactInOrder` carries
+    * one resolved term per non-final phrase slot (duplicate tokens
+    * repeated), `expRts` the final-slot expansion set. */
+  private[query] def matchPhrasePrefixResolved(exactInOrder: Seq[ResolvedTerm],
+      expRts: Seq[ResolvedTerm], slop: Int, ranked: Boolean): DataFrame = {
+    require(slop >= 0 && slop <= Searcher.MaxSlop,
+      s"slop must be in [0, ${Searcher.MaxSlop}], got $slop")
     if (expRts.isEmpty) return emptyDocs(ranked)
 
-    val k = qTerms.size
-    val slots = exact.zipWithIndex.map { case (t, i) => (exactRts(t).termId, i) } ++
+    val k = exactInOrder.size + 1
+    val slots = exactInOrder.zipWithIndex.map { case (rt, i) => (rt.termId, i) } ++
       expRts.map(rt => (rt.termId, k - 1))
-    val allRts = (exactRts.values.toSeq ++ expRts).distinct
+    val allRts = (exactInOrder ++ expRts).distinct
 
     // Per-slot position UNION: several expansions of the final slot can
     // appear in one doc; any of their positions may complete the phrase.

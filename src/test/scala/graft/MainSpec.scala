@@ -391,9 +391,27 @@ class MainSpec extends SparkSpec {
     val (_, monoFac) = captured("search", "--index", m1,
       "--query", "spark join", "--mode", "facets", "--facet-field", "role")
     assert(cfc == 0 && fedFac == monoFac, s"fed=$fedFac mono=$monoFac")
+    // federated more-like-this: the source doc is addressed by its stable
+    // key values; term selection runs over the merged global df — same
+    // docs, ranks, and scores as monolithic mlt of the doc's ordinal
+    val (cml, fedMlt) = captured("search", "--index", s"$s1,$s2",
+      "--query", "c1,0", "--mode", "mlt", "--k", "3")
+    val (_, monoMlt) = captured("search", "--index", m1,
+      "--query", "0", "--mode", "mlt", "--k", "3")
+    val fm = fedMlt.drop(1).map { l => val f = l.split("\t"); (f(0), f(1), f(2).toDouble) }
+    val mm = monoMlt.drop(1).map { l => val f = l.split("\t"); (f(2), f(3), f(1).toDouble) }
+    assert(cml == 0 && fm.nonEmpty &&
+      fm.map(t => (t._1, t._2)) == mm.map(t => (t._1, t._2)),
+      s"fed=$fedMlt mono=$monoMlt")
+    fm.zip(mm).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-9) }
+    // federated phrase-prefix: merged-vocabulary expansion, per-slice
+    // positional plans — only c1/0 has spark immediately before a jo- term
+    val (cpp, fedPp) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark jo", "--mode", "phrase-prefix")
+    assert(cpp == 0 && fedPp.drop(1).length == 1, fedPp.mkString("\n"))
     // modes without a federated plan are refused loudly
     assert(captured("search", "--index", s"$s1,$s2",
-      "--query", "spark", "--mode", "mlt")._1 == 2)
+      "--query", "spark", "--mode", "collapse")._1 == 2)
   }
 
   test("phrase-prefix search mode completes the last token from the dictionary") {

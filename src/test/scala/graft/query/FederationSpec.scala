@@ -536,4 +536,92 @@ class FederationSpec extends SparkSpec {
     assert(m == Set(0L, 1L, 2L)) // the monolithic cap keeps 'aa'
     assert(idSet(fedC.prefixQuery("a", maxExpansions = 1)) == m)
   }
+
+  test("moreLikeThis: federated (key-addressed) == monolithic (ordinal-" +
+      "addressed); slice tf + merged global df select the same terms") {
+    // docOrd o ↔ doc_id o+1 in this corpus; docs 6 and 24 carry the
+    // slice-0-exclusive 'zz', where slice-local df would mis-weight
+    for (o <- Seq(6L, 7L, 24L); q <- Seq(3, 5)) {
+      val m = mono.moreLikeThis(o, maxQueryTerms = q, k = 30)
+      val f = fed.moreLikeThis(Seq(o + 1), maxQueryTerms = q, k = 30)
+      assert(rankedIds(f) == rankedIds(m), s"mlt of ord $o q=$q")
+      val (ms, fs) = (scoresOf(m), scoresOf(f))
+      fs.foreach { case (id, s) =>
+        assert(math.abs(s - ms(id)) < 1e-12, s"mlt score doc $id ord $o")
+      }
+    }
+    assert(fed.moreLikeThis(Seq(999L)).count() == 0) // unknown key
+  }
+
+  test("matchPhrasePrefix: federated == monolithic (global-vocabulary " +
+      "expansion, per-slice positional plans)") {
+    for (p <- Seq("spark jo", "go r", "table s", "ruby p")) {
+      assert(idSet(fed.matchPhrasePrefix(p)) == idSet(mono.matchPhrasePrefix(p)),
+        s"phrase-prefix '$p'")
+      val m = scoresOf(mono.matchPhrasePrefix(p, ranked = true))
+      val f = scoresOf(fed.matchPhrasePrefix(p, ranked = true))
+      assert(f.keySet == m.keySet, s"ranked phrase-prefix set '$p'")
+      f.foreach { case (id, s) =>
+        assert(math.abs(s - m(id)) < 1e-12, s"ranked phrase-prefix doc $id '$p'")
+      }
+      assert(idSet(fed.matchPhrasePrefix(p, slop = 2)) ==
+        idSet(mono.matchPhrasePrefix(p, slop = 2)), s"sloppy '$p'")
+    }
+    assert(fed.matchPhrasePrefix("xx nosuch").count() == 0)
+  }
+
+  test("matchPhrasePrefix cap keeps the GLOBAL top-df expansion") {
+    // same df trap as the prefixQuery cap test, one position later: 'aa'
+    // df 1 per slice (global 3), 'ab' df 2 all in slice 0 — a slice-local
+    // cap at 1 would expand to 'ab' there and match docs 3/6
+    val rows = Seq(
+      (0L, 0L, "x aa pad0"), (1L, 1L, "x aa pad1"), (2L, 2L, "x aa pad2"),
+      (3L, 3L, "x ab pad3"), (4L, 6L, "x ab pad4"))
+    val monoC = new Searcher(
+      IndexBuilder.build(rows.toDF("doc_ord", "doc_id", "text"), analyzer).cache(),
+      analyzer)
+    val slices = (0 until 3).map { r =>
+      val s = rows.filter(_._2 % 3 == r).zipWithIndex
+        .map { case ((_, id, text), ord) => (ord.toLong, id, text) }
+      IndexBuilder.build(s.toDF("doc_ord", "doc_id", "text"), analyzer).cache()
+    }
+    val fedC = Federation(slices, analyzer)
+    val m = idSet(monoC.matchPhrasePrefix("x a", maxExpansions = 1))
+    assert(m == Set(0L, 1L, 2L))
+    assert(idSet(fedC.matchPhrasePrefix("x a", maxExpansions = 1)) == m)
+  }
+
+  test("bm25TopKRescore: federated == monolithic (global window boundary, " +
+      "home-slice phrase rescore with merged df)") {
+    // full window (no boundary) and a tight window that exercises the
+    // quantized global cut across slices
+    for ((w, k) <- Seq((1000, 1000), (6, 4), (3, 3))) {
+      val m = mono.bm25TopKRescore("spark join", "join table", w, k,
+        queryWeight = 1.0, rescoreWeight = 0.7)
+      val f = fed.bm25TopKRescore("spark join", "join table", w, k,
+        queryWeight = 1.0, rescoreWeight = 0.7)
+      assert(rankedIds(f) == rankedIds(m), s"rescore w=$w k=$k")
+      val (ms, fs) = (scoresOf(m), scoresOf(f))
+      fs.foreach { case (id, s) =>
+        assert(math.abs(s - ms(id)) < 1e-12, s"rescore score doc $id w=$w")
+      }
+    }
+    // sloppy + ordered rescore phrases
+    for ((slop, ord) <- Seq((2, false), (2, true))) {
+      val m = mono.bm25TopKRescore("go ruby", "java scan", 1000, 1000,
+        rescoreWeight = 0.5, slop = slop, inOrder = ord)
+      val f = fed.bm25TopKRescore("go ruby", "java scan", 1000, 1000,
+        rescoreWeight = 0.5, slop = slop, inOrder = ord)
+      assert(rankedIds(f) == rankedIds(m), s"rescore slop=$slop inOrder=$ord")
+    }
+    // rescore phrase that matches nowhere (terms live in different slices):
+    // every slice's phraseMatch is None/unmatched — scores stay base · qw
+    val m0 = mono.bm25TopKRescore("spark join", "zz qq", 1000, 1000,
+      queryWeight = 0.9, rescoreWeight = 0.7)
+    val f0 = fed.bm25TopKRescore("spark join", "zz qq", 1000, 1000,
+      queryWeight = 0.9, rescoreWeight = 0.7)
+    assert(rankedIds(f0) == rankedIds(m0))
+    val (m0s, f0s) = (scoresOf(m0), scoresOf(f0))
+    f0s.foreach { case (id, s) => assert(math.abs(s - m0s(id)) < 1e-12) }
+  }
 }
