@@ -97,8 +97,11 @@ object Main {
       |          qs|qs-ranked|prefix|fuzzy|phrase-prefix|mlt|suggest|dym|
       |          facets|sigterms;
       |          expansion/dictionary modes use the merged global vocabulary)
-      |  batch  --index <path> --queries <text file, one query per line>
+      |  batch  --index <path>[,<path>…] --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
+      |         (comma-separated --index paths federate the query-set replay
+      |          across slices — global stats merged, output keyed by the
+      |          slices' stable key columns)
       |  vacuum --index <path>
       |  compact --index <path> [--batch-id <id>]
       |         [--groups auto|g1,g2,… (per-d_group incremental compaction;
@@ -401,8 +404,11 @@ object Main {
     * results are rank-identical to one monolithic index over the union
     * corpus. Results carry the slices' key columns instead of the
     * slice-local doc_ord. */
-  private def fedSearch(spark: SparkSession, paths: Seq[String], query: String,
-      opts: Map[String, String], out: String => Unit): Unit = {
+  /** Shared federation construction for the multi-`--index` search and
+    * batch paths: reads every slice, resolves the common stable key
+    * columns, and merges global statistics ([[graft.query.Federation]]). */
+  private def federationOf(spark: SparkSession, paths: Seq[String],
+      opts: Map[String, String]): (graft.query.Federation, Seq[String]) = {
     require(paths.size >= 2, "federated search needs at least two --index paths")
     val analyzer = paths.map(checkAnalyzer(_, opts)).head
     val slices = paths.map(ParquetIndexStorage.read(spark, _))
@@ -416,7 +422,12 @@ object Main {
       case other => throw new IllegalArgumentException(
         s"slices disagree on key columns: $other")
     }
-    val fed = graft.query.Federation.ofPersisted(slices, analyzer, keyCols)
+    (graft.query.Federation.ofPersisted(slices, analyzer, keyCols), keyCols)
+  }
+
+  private def fedSearch(spark: SparkSession, paths: Seq[String], query: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val (fed, keyCols) = federationOf(spark, paths, opts)
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     val limit = opts.get("limit").map(_.toInt).getOrElse(20)
     val mode = opts.getOrElse("mode", "wand")
@@ -489,13 +500,32 @@ object Main {
 
   private def batchSearch(spark: SparkSession, index: String, queriesFile: String,
       opts: Map[String, String], out: String => Unit): Unit = {
-    val analyzer = checkAnalyzer(index, opts)
     val k = opts.get("k").map(_.toInt).getOrElse(10)
     val queries = scala.io.Source.fromFile(queriesFile, "UTF-8") match {
       case src => try src.getLines().map(_.trim).filter(_.nonEmpty).toSeq
                   finally src.close()
     }
     require(queries.nonEmpty, s"no queries in $queriesFile")
+    if (index.contains(",")) { // --index a,b,c → federated query-set replay:
+      // one slot broadcast + pruned scan + per-query cut PER SLICE with
+      // global idf/avgdl, one gather window — ranks/scores identical to a
+      // monolithic index over the union corpus
+      val paths = index.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val (fed, keyCols) = federationOf(spark, paths, opts)
+      val df = opts.getOrElse("mode", "wand") match {
+        case "wand" => fed.bm25TopKBatchWand(queries, k)
+        case "bm25" => fed.bm25TopKBatch(queries, k)
+        case other  => throw new IllegalArgumentException(s"unknown batch mode '$other'")
+      }
+      out((Seq("q_id", "query", "rank") ++ keyCols :+ "score").mkString("\t"))
+      df.orderBy(col("q_id"), col("rank")).collect().foreach { r =>
+        val key = keyCols.indices.map(i => r.get(2 + i))
+        out((Seq(r.get(0), queries(r.getAs[Number](0).intValue), r.get(1)) ++
+          key :+ r.get(keyCols.size + 2)).map(String.valueOf).mkString("\t"))
+      }
+      return
+    }
+    val analyzer = checkAnalyzer(index, opts)
     val searcher = Searcher(ParquetIndexStorage.read(spark, index), analyzer)
     val df = opts.getOrElse("mode", "wand") match {
       case "wand" => searcher.bm25TopKBatchWand(queries, k)

@@ -465,6 +465,16 @@ object SparkEntry {
       federation(s, d).matchPhrasePrefix("the s")
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_federated_batch_wand" -> ((s, d) => // the offline query-set-replay
+      // shape across slices: ONE slot broadcast + pruned blocks scan +
+      // per-query WAND per slice with global idf/avgdl (bounds stay
+      // lossless), gather window over ≤ slices·queries·k rows — ranks and
+      // scores must equal the monolithic batch list
+      federation(s, d).bm25TopKBatchWand(Seq("spark join", "vector window"), k = 500)
+        .select(col("q_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy("q_id", "rank")),
+
     "ft_federated_rescore" -> ((s, d) => // two-phase rescore across slices:
       // GLOBAL quantized window gather, phrase rescore on each window doc's
       // HOME slice with merged global df — must equal monolithic ft_rescore
@@ -2506,5 +2516,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "ft_federated_mlt" -> oracleSqlBase("ft_mlt"),
     "ft_federated_rescore" -> oracleSqlBase("ft_rescore"),
-    "ft_federated_phrase_prefix" -> oracleSqlBase("ft_phrase_prefix"))
+    "ft_federated_phrase_prefix" -> oracleSqlBase("ft_phrase_prefix"),
+    "ft_federated_batch_wand" -> oracleSqlBase("ft_bm25_batch"))
 }

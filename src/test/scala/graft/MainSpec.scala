@@ -228,6 +228,53 @@ class MainSpec extends SparkSpec {
     }
   }
 
+  test("federated batch over comma-separated slices == monolithic batch") {
+    import spark.implicits._
+    // reuse the federated test's slice fixtures; build on demand so test
+    // ordering doesn't matter
+    val (m1, s1, s2) = (s"$root/idx_mono", s"$root/idx_s1", s"$root/idx_s2")
+    for ((src, flt, in, ix) <- Seq(
+        (s"$root/turns", None, s"$root/turns", m1),
+        (s"$root/turns", Some("c1"), s"$root/turns_s1", s1),
+        (s"$root/turns", Some("c2"), s"$root/turns_s2", s2))) {
+      if (!new java.io.File(ix).exists()) {
+        flt.foreach(c => spark.read.parquet(src)
+          .filter(col("conv_id") === c).write.mode("ignore").parquet(in))
+        assert(captured("build", "--input", in, "--index", ix,
+          "--term-buckets", "2", "--write-groups", "1",
+          "--block-size", "8", "--bucket-span", "64")._1 == 0)
+      }
+    }
+    val qf = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/fed_queries.txt"),
+      "spark join\nshuffle\n".getBytes("UTF-8")).toString
+    val (cf, fed) = captured("batch", "--index", s"$s1,$s2", "--queries", qf, "--k", "3")
+    assert(cf == 0, fed.mkString("\n"))
+    assert(fed.head == Seq("q_id", "query", "rank", "conv_id", "turn_idx", "score").mkString("\t"))
+    val (cm, mono) = captured("batch", "--index", m1, "--queries", qf, "--k", "3")
+    assert(cm == 0)
+    // same (q_id, query, rank) rows with float-exact scores; the monolithic
+    // output keys by doc_ord, the federated one by (conv_id, turn_idx) —
+    // compare via the docs' key identity
+    val fs = fed.drop(1).map { l => val f = l.split("\t")
+      ((f(0), f(1), f(2)), (f(3), f(4)), f(5).toDouble) }
+    // builder assigns dense ordinals in key order
+    val ordToKey = spark.read.parquet(s"$root/turns")
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+      .sorted.zipWithIndex.map { case (k2, i) => i.toLong -> k2 }.toMap
+    val ms = mono.drop(1).map { l => val f = l.split("\t")
+      val k2 = ordToKey(f(3).toLong)
+      ((f(0), f(1), f(2)), (k2._1, k2._2.toString), f(4).toDouble) }
+    assert(fs.map(t => (t._1, t._2)) == ms.map(t => (t._1, t._2)),
+      s"fed=$fs mono=$ms")
+    fs.zip(ms).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-9) }
+    // federated exhaustive batch matches the WAND ranks too
+    val (cb, fedB) = captured("batch", "--index", s"$s1,$s2", "--queries", qf,
+      "--k", "3", "--mode", "bm25")
+    assert(cb == 0 && fedB == fed)
+  }
+
   test("remove deletes documents through the CLI; idempotent per batch id") {
     import spark.implicits._
     // corpus here: 5 docs (after the delta tests). Remove (c2, 0) by key.
@@ -315,17 +362,19 @@ class MainSpec extends SparkSpec {
   test("federated search over comma-separated slice indexes == monolithic") {
     import spark.implicits._
     // two slice inputs split by conversation + a fresh monolithic index
-    // over the union (the shared `idx` is mutated by the delta/remove tests)
+    // over the union (the shared `idx` is mutated by the delta/remove
+    // tests); built on demand — the federated batch test shares them
     spark.read.parquet(s"$root/turns").filter(col("conv_id") === "c1")
-      .write.parquet(s"$root/turns_s1")
+      .write.mode("ignore").parquet(s"$root/turns_s1")
     spark.read.parquet(s"$root/turns").filter(col("conv_id") === "c2")
-      .write.parquet(s"$root/turns_s2")
+      .write.mode("ignore").parquet(s"$root/turns_s2")
     val (m1, s1, s2) = (s"$root/idx_mono", s"$root/idx_s1", s"$root/idx_s2")
     Seq((s"$root/turns", m1), (s"$root/turns_s1", s1), (s"$root/turns_s2", s2))
       .foreach { case (in, ix) =>
-        assert(captured("build", "--input", in, "--index", ix,
-          "--term-buckets", "2", "--write-groups", "1",
-          "--block-size", "8", "--bucket-span", "64")._1 == 0)
+        if (!new java.io.File(ix).exists())
+          assert(captured("build", "--input", in, "--index", ix,
+            "--term-buckets", "2", "--write-groups", "1",
+            "--block-size", "8", "--bucket-span", "64")._1 == 0)
       }
     // wand: federated (conv_id, turn_idx, score, text) vs monolithic
     // (doc_ord, score, conv_id, turn_idx, text)
