@@ -465,6 +465,40 @@ object SparkEntry {
       federation(s, d).matchPhrasePrefix("the s")
         .select("doc_id").orderBy("doc_id")),
 
+    "ft_federated_match_all" -> ((s, d) => // every doc of every slice,
+      // stable-key order — the federated twin of the reference's match-all
+      federation(s, d).matchAll().select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_tfidf" -> ((s, d) => // the reference's TF-IDF sorter
+      // across slices: merged global df in the weights, tf/dl doc-local —
+      // must equal the monolithic ft_tfidf list float-exactly
+      federation(s, d).matchQueryRanked("spark join", Or)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+
+    "ft_federated_regexp" -> ((s, d) => // raw-regex expansion over the
+      // MERGED slice vocabularies, unranked OR-match
+      federation(s, d).regexpQuery("s.*k|j.+n")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_termrange" -> ((s, d) => // lexicographic dictionary slice
+      // [so, sz] of the merged vocabulary
+      federation(s, d).termRangeQuery("so", "sz")
+        .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_termvectors" -> ((s, d) => // one doc's indexed view,
+      // addressed by stable key: tf/positions are doc-local, so the home
+      // slice's read must equal the monolithic _termvectors
+      federation(s, d).termVectors(Seq(42L))),
+
+    "ft_federated_explain" -> ((s, d) => // per-term BM25 breakdown with
+      // FEDERATED stats: idf from merged global df, tf/dl from the home
+      // slice — must equal the monolithic _explain rows float-exactly
+      federation(s, d).explainScore("spark join table", Seq(42L))
+        .select(col("term"), col("tf"), col("df"), round(col("idf"), 6).as("idf"),
+          round(col("tf_factor"), 6).as("tf_factor"),
+          round(col("contribution"), 6).as("contribution"))),
+
     "ft_federated_batch_wand" -> ((s, d) => // the offline query-set-replay
       // shape across slices: ONE slot broadcast + pruned blocks scan +
       // per-query WAND per slice with global idf/avgdl (bounds stay
@@ -2517,5 +2551,11 @@ object SparkEntry {
     "ft_federated_mlt" -> oracleSqlBase("ft_mlt"),
     "ft_federated_rescore" -> oracleSqlBase("ft_rescore"),
     "ft_federated_phrase_prefix" -> oracleSqlBase("ft_phrase_prefix"),
-    "ft_federated_batch_wand" -> oracleSqlBase("ft_bm25_batch"))
+    "ft_federated_batch_wand" -> oracleSqlBase("ft_bm25_batch"),
+    "ft_federated_match_all" -> oracleSqlBase("ft_match_all"),
+    "ft_federated_tfidf" -> oracleSqlBase("ft_tfidf"),
+    "ft_federated_regexp" -> oracleSqlBase("ft_regexp"),
+    "ft_federated_termrange" -> oracleSqlBase("ft_termrange"),
+    "ft_federated_termvectors" -> oracleSqlBase("ft_termvectors"),
+    "ft_federated_explain" -> oracleSqlBase("ft_explain"))
 }

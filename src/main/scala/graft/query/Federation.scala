@@ -364,6 +364,76 @@ final class Federation private (
       .limit(n)
   }
 
+  /** Term vectors of one document addressed by its stable key — tf and
+    * positions are properties of the document alone, so the home slice's
+    * view IS the union-index view; only the home slice is read. */
+  def termVectors(key: Seq[Any]): DataFrame =
+    locate(key) match {
+      case None           => sliceSearchers.head.termVectors(-1L).limit(0)
+      case Some((i, ord)) => sliceSearchers(i).termVectors(ord)
+    }
+
+  /** Per-term BM25 explanation with FEDERATED statistics: idf weighs with
+    * the merged global df (stats override), tf/dl come from the doc's home
+    * slice — the contributions sum to exactly the doc's federated
+    * [[bm25All]] score, the property the monolithic explain carries. */
+  def explainScore(keyword: String, key: Seq[Any]): DataFrame =
+    locate(key) match {
+      case None => sliceSearchers.head.explainScore(keyword, -1L).limit(0)
+      case Some((i, ord)) =>
+        slicesWithGlobalStats(analyzer.terms(keyword).distinct)(i)
+          .explainScore(keyword, ord)
+    }
+
+  /** Federated MatchAllQuery: every document of every slice, `tieCols`
+    * order (the monolithic doc_ord order coincides under the builder's
+    * stable-ordering contract). */
+  def matchAll(): DataFrame =
+    unionAll(sliceSearchers.map(_.matchAll().drop("doc_ord"))).get
+      .orderBy(tieAsc: _*)
+
+  /** Federated ranked MatchQuery (TF-IDF — the reference's sorter): each
+    * slice scores with the merged global df injected into its tf-idf
+    * weights (tf and doc length are doc-local), float-exact to monolithic.
+    * AND with a term unknown to a slice short-circuits to empty THERE
+    * (none of its docs can contain the term) — exactly the monolithic
+    * per-document semantics. */
+  def matchQueryRanked(keyword: String, logic: Logic): DataFrame = {
+    val parts = slicesWithGlobalStats(analyzer.terms(keyword).distinct)
+      .map(_.matchQueryRanked(keyword, logic).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*)
+  }
+
+  /** Federated LM-Dirichlet full ranking ([[lmDirichletTopK]] without the
+    * k-cut): global cf through the stats override, global |C| already
+    * injected into every slice — query-likelihood scores float-exact. */
+  def lmDirichletAll(keyword: String, mu: Double = 2000.0): DataFrame = {
+    val parts = slicesWithGlobalStats(analyzer.terms(keyword).distinct)
+      .map(_.lmDirichletAll(keyword, mu).drop("doc_ord"))
+    unionAll(parts).get.orderBy(desc("score") +: tieAsc: _*)
+  }
+
+  /** Federated RegexpQuery — [[Searcher.regexpQuery]] over the union
+    * corpus: the raw-regex expansion runs against the merged global
+    * vocabulary with global-df cap ordering, like wildcard/prefix/fuzzy. */
+  def regexpQuery(regex: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    if (regex.isEmpty) return emptyDocs(ranked)
+    matchExpandedGlobal(
+      expandGlobal(col("term").rlike("^(?:" + regex + ")$"), maxExpansions),
+      ranked)
+  }
+
+  /** Federated TermRangeQuery: the lexicographic dictionary slice
+    * [lo, hi] (open ends on null/empty) over the merged vocabulary. */
+  def termRangeQuery(lo: String, hi: String, ranked: Boolean = false,
+      maxExpansions: Int = 128): DataFrame = {
+    val loP = Option(lo).filter(_.nonEmpty).map(col("term") >= _)
+    val hiP = Option(hi).filter(_.nonEmpty).map(col("term") <= _)
+    val pred = (loP.toSeq ++ hiP.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+    matchExpandedGlobal(expandGlobal(pred, maxExpansions), ranked)
+  }
+
   /** Federated MatchQuery (AND/OR), unranked. Slice-local evaluation is
     * already globally correct: a term absent from a slice's dictionary is
     * absent from the slice's corpus, so AND yields nothing there and OR
@@ -571,25 +641,38 @@ final class Federation private (
     * the injected global N — identical selection to a monolithic union
     * index; (3) the standard federated ranked OR over the selected terms
     * with global-df BM25 weights, source doc excluded by key. */
-  def moreLikeThis(key: Seq[Any], maxQueryTerms: Int = 10,
-      k: Int = 10): DataFrame = {
+  private def keyPredOf(key: Seq[Any]): Column =
+    tieCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+
+  /** Home-slice lookup by stable key — the addressing step every
+    * single-document federated read shares ([[moreLikeThis]],
+    * [[termVectors]], [[explainScore]]): concurrent per-slice key probes;
+    * at most one slice may hold the key (disjoint slice corpora). Returns
+    * (slice index, slice-local ordinal). */
+  private def locate(key: Seq[Any]): Option[(Int, Long)] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     require(key.size == tieCols.size,
       s"key needs one value per tie column $tieCols, got $key")
-    def keyPred: Column =
-      tieCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    val pred = keyPredOf(key)
     val located: Seq[(Int, Long)] = Await.result(
       Future.sequence(sliceSearchers.zipWithIndex.map { case (s, i) =>
-        Future(s.index.docs.filter(keyPred).select(col("doc_ord"))
+        Future(s.index.docs.filter(pred).select(col("doc_ord"))
           .collect().toSeq.map(r => (i, r.getLong(0))))
       }), Duration.Inf).flatten
     require(located.size <= 1,
       s"tie key ${key.mkString(",")} matches ${located.size} documents — " +
-        "moreLikeThis needs a unique source document")
+        "a stable key must be unique across slices")
+    located.headOption
+  }
+
+  def moreLikeThis(key: Seq[Any], maxQueryTerms: Int = 10,
+      k: Int = 10): DataFrame = {
+    def keyPred: Column = keyPredOf(key)
+    val located = locate(key)
     if (located.isEmpty) return emptyDocs(withScore = true).limit(0)
-    val (home, docOrd) = located.head
+    val (home, docOrd) = located.get
     val homeS = sliceSearchers(home)
     val srcTf: Map[String, Long] = homeS.termVectors(docOrd)
       .select(col("term"), col("tf")).collect()

@@ -624,4 +624,59 @@ class FederationSpec extends SparkSpec {
     val (m0s, f0s) = (scoresOf(m0), scoresOf(f0))
     f0s.foreach { case (id, s) => assert(math.abs(s - m0s(id)) < 1e-12) }
   }
+
+  test("matchAll / ranked match / LM-all / regexp / termRange: federated ==" +
+      " monolithic") {
+    assert(rankedIds(fed.matchAll()) == rankedIds(mono.matchAll()))
+    for (q <- Seq("go ruby", "spark join", "zz go"); lg <- Seq(And, Or)) {
+      val m = scoresOf(mono.matchQueryRanked(q, lg))
+      val f = scoresOf(fed.matchQueryRanked(q, lg))
+      assert(f.keySet == m.keySet, s"ranked match set '$q' $lg")
+      f.foreach { case (id, s) =>
+        assert(math.abs(s - m(id)) < 1e-12, s"tfidf score doc $id '$q' $lg")
+      }
+      assert(rankedIds(fed.matchQueryRanked(q, lg)) ==
+        rankedIds(mono.matchQueryRanked(q, lg)), s"rank order '$q' $lg")
+    }
+    for (q <- Seq("go ruby", "qq go")) {
+      val m = scoresOf(mono.lmDirichletAll(q))
+      val f = scoresOf(fed.lmDirichletAll(q))
+      assert(f.keySet == m.keySet, s"lm set '$q'")
+      f.foreach { case (id, s) =>
+        assert(math.abs(s - m(id)) < 1e-12, s"lm score doc $id '$q'")
+      }
+    }
+    assert(idSet(fed.regexpQuery("g.|ru.y")) == idSet(mono.regexpQuery("g.|ru.y")))
+    assert(idSet(fed.termRangeQuery("p", "s")) == idSet(mono.termRangeQuery("p", "s")))
+    // ranked expansion variants carry the merged global df in the weights
+    val mR = scoresOf(mono.termRangeQuery("p", "s", ranked = true))
+    val fR = scoresOf(fed.termRangeQuery("p", "s", ranked = true))
+    assert(fR.keySet == mR.keySet)
+    fR.foreach { case (id, s) => assert(math.abs(s - mR(id)) < 1e-12) }
+  }
+
+  test("termVectors / explainScore: key-addressed == ordinal-addressed" +
+      " monolithic (explain idf from the merged global df)") {
+    def tv(res: DataFrame): Seq[(String, Long, String)] =
+      res.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    for (o <- Seq(6L, 7L, 24L)) { // 6/24 carry slice-0-exclusive 'zz'
+      assert(tv(fed.termVectors(Seq(o + 1))) == tv(mono.termVectors(o)),
+        s"termVectors of ord $o")
+    }
+    def ex(res: DataFrame): Seq[(String, Long, Long, Double, Double, Double)] =
+      res.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    for (o <- Seq(6L, 7L)) {
+      val m = ex(mono.explainScore("go ruby zz", o))
+      val f = ex(fed.explainScore("go ruby zz", Seq(o + 1)))
+      assert(f.map(t => (t._1, t._2, t._3)) == m.map(t => (t._1, t._2, t._3)),
+        s"explain term/tf/df rows ord $o") // df here is the MERGED global df
+      f.zip(m).foreach { case (a, b) =>
+        assert(math.abs(a._4 - b._4) < 1e-12 && math.abs(a._5 - b._5) < 1e-12 &&
+          math.abs(a._6 - b._6) < 1e-12, s"explain floats ord $o")
+      }
+    }
+    assert(fed.termVectors(Seq(999L)).count() == 0)
+    assert(fed.explainScore("go", Seq(999L)).count() == 0)
+  }
 }
