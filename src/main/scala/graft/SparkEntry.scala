@@ -136,6 +136,24 @@ object SparkEntry {
       })
     }
 
+  // Federated second field: the same doc_id % 3 slicing with per-slice
+  // indexes over `source` — each FIELD federation merges its own global
+  // statistics, the multi-field contract.
+  private val srcFedCache = scala.collection.mutable.HashMap.empty[String, graft.query.Federation]
+  private def srcFederation(spark: SparkSession, dir: String): graft.query.Federation =
+    srcFedCache.synchronized {
+      srcFedCache.getOrElseUpdate(dir, {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("doc_ord", col("doc_id"))
+        graft.query.Federation(
+          (0 until 3).map(r =>
+            graft.index.IndexBuilder.build(
+              docs.filter(col("doc_id") % 3 === r), analyzer,
+              textCol = "source").cache()),
+          analyzer)
+      })
+    }
+
   // Federated searcher: THREE independently built slice indexes over a
   // doc_id % 3 split of the same documents table (slice-local ordinals,
   // dictionaries, dfs, avgdls). Its oracles are the MONOLITHIC BM25 SQL —
@@ -464,6 +482,18 @@ object SparkEntry {
       // positional plans per slice — union must equal the monolithic set
       federation(s, d).matchPhrasePrefix("the s")
         .select("doc_id").orderBy("doc_id")),
+
+    "ft_federated_multifield" -> ((s, d) => { // multi_match most_fields
+      // ACROSS slices: each field is its own federation over the same
+      // doc_id % 3 slicing (per-field global stats merge independently) —
+      // combined scores must equal the monolithic ft_multifield list
+      val docs = docsTable(s, d)
+      graft.query.MultiField.bm25TopKFederated(docs,
+        Seq(federation(s, d) -> 1.0, srcFederation(s, d) -> 2.0),
+        "spark src3", 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
 
     "ft_federated_match_all" -> ((s, d) => // every doc of every slice,
       // stable-key order — the federated twin of the reference's match-all
@@ -2557,5 +2587,6 @@ object SparkEntry {
     "ft_federated_regexp" -> oracleSqlBase("ft_regexp"),
     "ft_federated_termrange" -> oracleSqlBase("ft_termrange"),
     "ft_federated_termvectors" -> oracleSqlBase("ft_termvectors"),
-    "ft_federated_explain" -> oracleSqlBase("ft_explain"))
+    "ft_federated_explain" -> oracleSqlBase("ft_explain"),
+    "ft_federated_multifield" -> oracleSqlBase("ft_multifield"))
 }

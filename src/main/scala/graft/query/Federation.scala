@@ -1026,6 +1026,26 @@ final class Federation private (
         element_at(col("_ps"), col("_f._i")).as("value"))
   }
 
+  /** The stable key columns federated results are keyed by. */
+  private[query] def tieColumns: Seq[String] = tieCols
+
+  /** `(tieCols…, score)` of every doc matching any query term, GLOBAL
+    * stats — the federated twin of [[Searcher.bm25Scores]]: the per-field
+    * building block [[MultiField]] combines across field federations. No
+    * top-k cut (the combiner aggregates across fields first). */
+  private[query] def bm25ScoresByKey(keyword: String): DataFrame = {
+    val rtss = resolveGlobal(analyzer.terms(keyword).distinct)
+    val parts = sliceSearchers.zip(rtss).collect {
+      case (s, rts) if rts.nonEmpty =>
+        s.index.docs.select(col("doc_ord") +: tieCols.map(col): _*)
+          .join(s.scoredMatches(rts, s.bm25Expr).select("doc_ord", "score"),
+            "doc_ord")
+          .drop("doc_ord")
+    }
+    unionAll(parts).getOrElse(
+      emptyDocs(withScore = true).select(tieCols.map(col) :+ col("score"): _*))
+  }
+
   /** Global corpus stats (what the slices' scoring runs on). */
   def numDocs: Long = sliceSearchers.head.index.numDocs
   def avgDocLen: Double = sliceSearchers.head.index.avgDocLen

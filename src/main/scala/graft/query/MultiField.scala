@@ -64,4 +64,52 @@ object MultiField {
     combine(docs, fields, keyword, k)(
       Searcher.disMaxCombine(col("score"), tieBreaker))
   }
+
+  /** Federated combine scaffold: each FIELD is its own [[Federation]] over
+    * the SAME document slicing (per-field dictionaries, dfs, avgdls merge
+    * independently — per-field global statistics by construction, exactly
+    * like the monolithic per-field indexes). Per-field federated score
+    * frames are keyed by the shared stable key ([[Federation]] ordinals
+    * are slice-local), combined under `aggExpr`, joined to the caller's
+    * union docs table, (score desc, key asc) top-k. Scale shape matches
+    * the monolithic combine: per-slice pruned scans per field, one
+    * doc-level aggregation, TakeOrderedAndProject. */
+  private def combineFed(docs: DataFrame, fields: Seq[(Federation, Double)],
+      keyword: String, k: Int)(aggExpr: org.apache.spark.sql.Column): DataFrame = {
+    require(fields.nonEmpty, "multi-field search needs at least one field")
+    fields.foreach { case (_, w) =>
+      require(w > 0, s"field weights must be > 0, got $w") }
+    val keys = fields.map(_._1.tieColumns).distinct
+    require(keys.size == 1, s"field federations disagree on key columns: $keys")
+    val tieCols = keys.head
+    val combined = fields
+      .map { case (f, w) =>
+        f.bm25ScoresByKey(keyword)
+          .select(tieCols.map(col) :+ (col("score") * lit(w)).as("score"): _*)
+      }
+      .reduce(_ unionByName _)
+      .groupBy(tieCols.map(col): _*)
+      .agg(aggExpr.as("score"))
+    docs.join(combined, tieCols)
+      .orderBy(desc("score") +: tieCols.map(asc): _*)
+      .limit(k)
+  }
+
+  /** Federated multi_match most_fields: [[bm25TopK]] across field
+    * federations — scores float-exact to the monolithic multi-field
+    * combine over the union corpus (each field's global stats merge is the
+    * proved single-field one; the cross-field sum is the same plan). */
+  def bm25TopKFederated(docs: DataFrame, fields: Seq[(Federation, Double)],
+      keyword: String, k: Int): DataFrame =
+    combineFed(docs, fields, keyword, k)(sum(col("score")))
+
+  /** Federated best_fields with tie_breaker ([[bm25TopKBestFields]]). */
+  def bm25TopKBestFieldsFederated(docs: DataFrame,
+      fields: Seq[(Federation, Double)], keyword: String, k: Int,
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0,
+      s"tieBreaker must be in [0, 1], got $tieBreaker")
+    combineFed(docs, fields, keyword, k)(
+      Searcher.disMaxCombine(col("score"), tieBreaker))
+  }
 }

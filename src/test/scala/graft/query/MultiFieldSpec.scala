@@ -72,4 +72,43 @@ class MultiFieldSpec extends SparkSpec {
       assert(math.abs(s - want) < 1e-9, s"doc $id: $s vs $want")
     }
   }
+
+  test("federated multi-field == monolithic (per-field federations over the" +
+      " same slicing; most_fields and best_fields)") {
+    // doc_id % 2 slicing, each FIELD rebuilt per slice with fresh local
+    // ordinals — per-field global stats must merge independently
+    def slice(r: Int, field: String) = {
+      val rows = Seq(
+        (1L, "spark tuning guide", "how to tune spark jobs and joins"),
+        (2L, "join strategies", "broadcast and merge joins in spark"),
+        (3L, "kafka intro", "streams and topics"),
+        (4L, "misc notes", "spark spark spark"))
+        .filter(_._1 % 2 == r).zipWithIndex
+        .map { case ((id, t, b), ord) => (ord.toLong, id, t, b) }
+        .toDF("doc_ord", "doc_id", "title", "body")
+      IndexBuilder.build(rows, analyzer, textCol = field).cache()
+    }
+    val titleFed = Federation((0 until 2).map(slice(_, "title")), analyzer)
+    val bodyFed = Federation((0 until 2).map(slice(_, "body")), analyzer)
+    for (q <- Seq("spark", "spark join", "broadcast")) {
+      val m = scores(MultiField.bm25TopK(docs, Seq(title -> 3.0, body -> 1.0), q, 10))
+      val f = scores(MultiField.bm25TopKFederated(
+        docs.drop("doc_ord"), Seq(titleFed -> 3.0, bodyFed -> 1.0), q, 10))
+      assert(f.keySet == m.keySet, s"most_fields set '$q'")
+      f.foreach { case (id, s) =>
+        assert(math.abs(s - m(id)) < 1e-9, s"most_fields doc $id '$q'") }
+      val mB = scores(MultiField.bm25TopKBestFields(
+        docs, Seq(title -> 1.0, body -> 1.0), q, 10, tieBreaker = 0.4))
+      val fB = scores(MultiField.bm25TopKBestFieldsFederated(
+        docs.drop("doc_ord"), Seq(titleFed -> 1.0, bodyFed -> 1.0), q, 10, 0.4))
+      assert(fB.keySet == mB.keySet, s"best_fields set '$q'")
+      fB.foreach { case (id, s) =>
+        assert(math.abs(s - mB(id)) < 1e-9, s"best_fields doc $id '$q'") }
+    }
+    // federations with different key columns are refused
+    val otherKey = Federation((0 until 2).map(slice(_, "title")), analyzer,
+      tieCols = Seq("title"))
+    intercept[IllegalArgumentException](MultiField.bm25TopKFederated(
+      docs, Seq(titleFed -> 1.0, otherKey -> 1.0), "spark", 5))
+  }
 }
