@@ -117,6 +117,14 @@ object Bench {
         docs.filter(col("doc_id") % 2 === r), analyzer).cache()),
       analyzer)
     q("q_federated_bm25")(fed.bm25TopK("spark join table", 10).collect())
+    // federated query-set replay: 8 queries in ONE plan per slice (slot
+    // broadcast + pruned scan + per-(slice, q) cut) + one gather window —
+    // per-query cost amortizes the fan-out that q_federated_bm25 pays per
+    // call (ranks/scores identical to the monolithic batch)
+    q("q_federated_batch")(fed.bm25TopKBatch(
+      Seq("spark join", "vector window", "group data", "slow merge data",
+        "sort merge", "spark join table", "batch stream", "hash filter"),
+      10).collect())
     // hybrid retrieval: BM25 ranks + exact-cosine ranks fused via RRF —
     // each side its own top-100 plan, fusion touches <= 200 rank rows
     val hybQv = emb.filter(col("vec_id") === 7).select("embedding")

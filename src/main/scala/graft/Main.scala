@@ -422,7 +422,10 @@ object Main {
       case other => throw new IllegalArgumentException(
         s"slices disagree on key columns: $other")
     }
-    (graft.query.Federation.ofPersisted(slices, analyzer, keyCols), keyCols)
+    // paths enable the keymap-pruned home-slice key resolution for
+    // single-document modes (mlt): only the hashed key bucket is read
+    (graft.query.Federation.ofPersisted(slices, analyzer, keyCols, paths),
+      keyCols)
   }
 
   private def fedSearch(spark: SparkSession, paths: Seq[String], query: String,

@@ -46,7 +46,12 @@ import org.apache.spark.sql.functions._
   */
 final class Federation private (
     val sliceSearchers: Seq[Searcher],
-    tieCols: Seq[String]
+    tieCols: Seq[String],
+    // keymap-pruned home-slice key resolution (persisted slices built with
+    // a keymap): reads only the hashed key bucket per slice instead of
+    // scanning docs — the web-scale [[locate]] path. None = generic
+    // docs-filter probe.
+    keyLookup: Option[Seq[Any] => Option[(Int, Long)]] = None
 ) {
   require(sliceSearchers.nonEmpty, "federation needs at least one slice")
   require(tieCols.nonEmpty, "federation needs at least one tie-break key column")
@@ -655,6 +660,7 @@ final class Federation private (
     import scala.concurrent.ExecutionContext.Implicits.global
     require(key.size == tieCols.size,
       s"key needs one value per tie column $tieCols, got $key")
+    if (keyLookup.isDefined) return keyLookup.get(key)
     val pred = keyPredOf(key)
     val located: Seq[(Int, Long)] = Await.result(
       Future.sequence(sliceSearchers.zipWithIndex.map { case (s, i) =>
@@ -1078,8 +1084,11 @@ object Federation {
     * differently-analyzed slices' matches and merge df over incomparable
     * term spaces. */
   def ofPersisted(slices: Seq[PersistedIndex], analyzer: Analyzer,
-      tieCols: Seq[String] = Seq("doc_id")): Federation = {
+      tieCols: Seq[String] = Seq("doc_id"),
+      paths: Seq[String] = Nil): Federation = {
     require(slices.nonEmpty, "federation needs at least one slice")
+    require(paths.isEmpty || paths.size == slices.size,
+      s"paths (${paths.size}) must align with slices (${slices.size})")
     val params = slices.map(p => (p.manifest.k1, p.manifest.b)).distinct
     require(params.size == 1,
       s"slices disagree on BM25 params (k1, b): $params — rebuild or rescore")
@@ -1090,6 +1099,38 @@ object Federation {
     val globalN = slices.map(_.index.numDocs).sum
     val totalTokens = slices.map(_.index.exactTotalTokens).sum
     val avgdl = if (globalN == 0) 0.0 else totalTokens.toDouble / globalN
+    // Keymap-pruned key resolution: when slice paths are given and every
+    // slice maintains a keymap over exactly `tieCols`, single-document
+    // reads (moreLikeThis / termVectors / explainScore) locate the home
+    // slice through `ParquetIndexStorage.lookupOrds` — reads ONLY the
+    // hashed key bucket per slice, never the docs table. Probe values are
+    // cast to the docs schema's key types so e.g. CLI string keys hash
+    // into the same bucket the builder wrote.
+    val keyLookup: Option[Seq[Any] => Option[(Int, Long)]] =
+      if (paths.nonEmpty && slices.forall(_.manifest.keyCols == tieCols))
+        Some { key =>
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val spark = slices.head.index.docs.sparkSession
+          val hits: Seq[(Int, Long)] = Await.result(
+            Future.sequence(paths.zipWithIndex.map { case (p, i) =>
+              Future {
+                val schema = slices(i).index.docs.schema
+                val probe = spark.range(1).select(
+                  tieCols.zip(key).map { case (c, v) =>
+                    lit(v).cast(schema(c).dataType).as(c) }: _*)
+                graft.storage.ParquetIndexStorage.lookupOrds(spark, p, probe)
+                  .select("doc_ord").collect().toSeq
+                  .map(r => (i, r.getLong(0)))
+              }
+            }), Duration.Inf).flatten
+          require(hits.size <= 1,
+            s"tie key ${key.mkString(",")} matches ${hits.size} documents — " +
+              "a stable key must be unique across slices")
+          hits.headOption
+        }
+      else None
     new Federation(
       slices.map { p =>
         new Searcher(
@@ -1102,6 +1143,6 @@ object Federation {
           Some(p.blocks), sortUnranked = false,
           dGroupSpan = p.manifest.dGroupSpan)
       },
-      tieCols)
+      tieCols, keyLookup)
   }
 }

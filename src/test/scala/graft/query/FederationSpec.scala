@@ -223,6 +223,35 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("persisted keymapped slices with paths: keymap-pruned locate serves" +
+      " mlt/termVectors/explain identically") {
+    // keymap over doc_id == the federation tie key → lookupOrds path active
+    val dirs = (0 until 3).map { r =>
+      val path = java.nio.file.Files.createTempDirectory("graft_fedkm_").toString + "/idx"
+      ParquetIndexStorage.build(df(sliceRows(r)), analyzer, path,
+        StorageParams(termBuckets = 4, writeGroups = 2, keyCols = Seq("doc_id"),
+          keyBuckets = 4, blockParams = BlockParams(blockSize = 8, bucketSpan = 16)),
+        sourceDesc = "fed keymap spec")
+      path
+    }
+    val pfed = Federation.ofPersisted(
+      dirs.map(ParquetIndexStorage.read(spark, _)), analyzer, paths = dirs)
+    for (o <- Seq(6L, 7L, 24L)) {
+      assert(pfed.termVectors(Seq(o + 1)).collect().map(_.getString(0)).toSeq ==
+        mono.termVectors(o).collect().map(_.getString(0)).toSeq,
+        s"keymap termVectors ord $o")
+      val m = scoresOf(mono.moreLikeThis(o, maxQueryTerms = 4, k = 20))
+      val f = scoresOf(pfed.moreLikeThis(Seq(o + 1), maxQueryTerms = 4, k = 20))
+      assert(f.keySet == m.keySet, s"keymap mlt set ord $o")
+      f.foreach { case (id, s) => assert(math.abs(s - m(id)) < 1e-12) }
+    }
+    assert(pfed.termVectors(Seq(999L)).count() == 0) // unknown key → empty
+    // a STRING key value still hashes into the right bucket (cast to the
+    // docs schema type before the keymap probe — the CLI path)
+    assert(pfed.termVectors(Seq("7")).collect().map(_.getString(0)).toSeq ==
+      mono.termVectors(6L).collect().map(_.getString(0)).toSeq)
+  }
+
   test("mismatched persisted BM25 params are refused") {
     def writeSlice(r: Int, k1: Double): graft.storage.PersistedIndex = {
       val path = java.nio.file.Files.createTempDirectory("graft_fedbad_").toString + "/idx"
