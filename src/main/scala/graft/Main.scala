@@ -93,9 +93,9 @@ object Main {
       |          mlt: --query is a doc_ord (federated: comma-separated key
       |          values); suggest: --query is a term prefix;
       |          comma-separated --index paths federate independently built
-      |          slices — global stats merged, modes and|or|phrase|bm25|wand|
-      |          qs|qs-ranked|prefix|fuzzy|phrase-prefix|mlt|suggest|dym|
-      |          facets|sigterms;
+      |          slices — global stats merged, every mode except context:
+      |          and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|
+      |          all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms;
       |          expansion/dictionary modes use the merged global vocabulary)
       |  batch  --index <path>[,<path>…] --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
@@ -473,6 +473,14 @@ object Main {
         slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
       case "bm25"   => (fed.bm25TopK(query, k), true)
       case "wand"   => (fed.bm25TopKWand(query, k), true)
+      case "all"    => (fed.matchAll().limit(limit), false)
+      case "tfidf"  => (fed.matchQueryRanked(query, Or).limit(k), true)
+      case "lm"     => (fed.lmDirichletTopK(query, k,
+        opts.get("mu").map(_.toDouble).getOrElse(2000.0)), true)
+      case "msm"    => (fed.matchQueryMsm(query,
+        opts.get("min-match").map(_.toInt).getOrElse(2)).limit(limit), false)
+      case "collapse" => (fed.bm25TopKCollapse(query,
+        opts.getOrElse("collapse-field", "conv_id"), k), true)
       // boolean trees: membership is per-doc (union); ranked mode scores
       // with the merged global df injected per slice
       case "qs"        => (fed.queryString(query).limit(limit), false)
@@ -489,9 +497,9 @@ object Main {
       case "mlt" =>
         (fed.moreLikeThis(query.split(",").map(_.trim).toSeq, k = k), true)
       case other => throw new IllegalArgumentException(
-        s"mode '$other' is not federated; use and|or|phrase|bm25|wand|qs|" +
-          "qs-ranked|prefix|fuzzy|phrase-prefix|mlt|suggest|dym|facets|" +
-          "sigterms with comma-separated --index")
+        s"mode '$other' is not federated; use and|or|phrase|phrase-prefix|" +
+          "msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|" +
+          "mlt|suggest|dym|facets|sigterms with comma-separated --index")
     }
     val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
       Seq("text").filter(df.columns.contains)

@@ -458,9 +458,35 @@ class MainSpec extends SparkSpec {
     val (cpp, fedPp) = captured("search", "--index", s"$s1,$s2",
       "--query", "spark jo", "--mode", "phrase-prefix")
     assert(cpp == 0 && fedPp.drop(1).length == 1, fedPp.mkString("\n"))
-    // modes without a federated plan are refused loudly
+    // ranked/scored modes added in the symmetry sweep: tfidf and collapse
+    // scores must equal the monolithic CLI float-exactly
+    for (mode <- Seq("tfidf", "lm", "collapse")) {
+      val (cx, fx) = captured("search", "--index", s"$s1,$s2",
+        "--query", "spark join", "--mode", mode, "--k", "5",
+        "--collapse-field", "conv_id")
+      val (_, mx) = captured("search", "--index", m1,
+        "--query", "spark join", "--mode", mode, "--k", "5",
+        "--collapse-field", "conv_id")
+      assert(cx == 0, fx.mkString("\n"))
+      val fr = fx.drop(1).map { l => val f = l.split("\t"); (f(0), f(1), f(2).toDouble) }
+      val mr = mx.drop(1).map { l => val f = l.split("\t"); (f(2), f(3), f(1).toDouble) }
+      assert(fr.map(t => (t._1, t._2)) == mr.map(t => (t._1, t._2)),
+        s"$mode fed=$fx mono=$mx")
+      fr.zip(mr).foreach { case (a, b) => assert(math.abs(a._3 - b._3) < 1e-9) }
+    }
+    // unranked symmetry modes: msm quota and match-all row parity
+    val (cmsm, fedMsm) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark join table", "--mode", "msm", "--min-match", "2")
+    val (_, monoMsm) = captured("search", "--index", m1,
+      "--query", "spark join table", "--mode", "msm", "--min-match", "2")
+    assert(cmsm == 0 && fedMsm.length == monoMsm.length,
+      s"fed=$fedMsm mono=$monoMsm")
+    val (call, fedAll) = captured("search", "--index", s"$s1,$s2",
+      "--query", "x", "--mode", "all")
+    assert(call == 0 && fedAll.drop(1).length == 4, fedAll.mkString("\n"))
+    // the one mode without a federated plan is refused loudly
     assert(captured("search", "--index", s"$s1,$s2",
-      "--query", "spark", "--mode", "collapse")._1 == 2)
+      "--query", "spark", "--mode", "context")._1 == 2)
   }
 
   test("phrase-prefix search mode completes the last token from the dictionary") {
