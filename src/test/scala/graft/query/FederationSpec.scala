@@ -252,6 +252,68 @@ class FederationSpec extends SparkSpec {
       mono.termVectors(6L).collect().map(_.getString(0)).toSeq)
   }
 
+  test("keymap locate INPUT BYTES: probe buckets only, docs table never read") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions.{hash => sqlHash, pmod, lit => sqlLit}
+    import graft.fixtures.SyntheticTranscripts
+    // a corpus big enough that the docs table dwarfs one keymap bucket:
+    // the same single-doc read through both locate paths must return the
+    // same rows while the keymap path reads a fraction of the bytes
+    val turns = SyntheticTranscripts.df(spark, SyntheticTranscripts.Params(
+      seed = 11L, nConvs = 3000, maxTurnsPerConv = 5, vocabSize = 60,
+      minLen = 20, maxLen = 50, partitions = 4))
+    val dirs = (0 until 2).map { r =>
+      val path = java.nio.file.Files.createTempDirectory("graft_fedbytes_").toString + "/idx"
+      val slice = turns.filter(pmod(sqlHash(col("conv_id")), sqlLit(2)) === r)
+      ParquetIndexStorage.build(
+        IndexBuilder.buildFromTurns(slice, analyzer).docs, analyzer, path,
+        // small dGroupSpan: the shared single-doc postings read prunes to
+        // one doc-range leaf, so the bytes delta isolates the LOCATE step
+        StorageParams(termBuckets = 4, writeGroups = 2,
+          keyCols = Seq("conv_id", "turn_idx"), keyBuckets = 64,
+          dGroupSpan = 256,
+          blockParams = BlockParams(blockSize = 32, bucketSpan = 256)),
+        sourceDesc = s"fed bytes slice $r")
+      path
+    }
+    val slices = dirs.map(ParquetIndexStorage.read(spark, _))
+    val tie = Seq("conv_id", "turn_idx")
+    val fedKm = Federation.ofPersisted(slices, analyzer, tie, paths = dirs)
+    val fedScan = Federation.ofPersisted(slices, analyzer, tie)
+    val key: Seq[Any] = {
+      val r = slices.head.index.docs.select("conv_id", "turn_idx").head
+      Seq(r.get(0), r.get(1))
+    }
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val listener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) counter.addAndGet(m.inputMetrics.bytesRead)
+      }
+    }
+    def measure(body: => Unit): Long = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        Thread.sleep(300); counter.set(0)
+        body
+        var prev = -1L; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val cur = counter.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def rows(res: DataFrame) = res.collect().map(_.toSeq).toSeq
+    assert(rows(fedKm.termVectors(key)) == rows(fedScan.termVectors(key)))
+    val km = measure(fedKm.termVectors(key).collect())
+    val scan = measure(fedScan.termVectors(key).collect())
+    assert(km > 0 && km * 2 < scan,
+      s"keymap locate read $km bytes vs docs-scan probe $scan — expected " +
+        "the bucket-pruned path to read well under half")
+  }
+
   test("mismatched persisted BM25 params are refused") {
     def writeSlice(r: Int, k1: Double): graft.storage.PersistedIndex = {
       val path = java.nio.file.Files.createTempDirectory("graft_fedbad_").toString + "/idx"
