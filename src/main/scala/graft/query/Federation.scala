@@ -633,19 +633,6 @@ final class Federation private (
     unionAll(parts).get.orderBy(tieAsc: _*)
   }
 
-  /** Federated MoreLikeThis — [[Searcher.moreLikeThis]] over the union
-    * corpus, the source document addressed by its stable tie key (`key`
-    * aligns with `tieCols`; slice ordinals are local, so ordinals can't
-    * address across slices). Three-step, float-exact to monolithic:
-    * (1) locate the home slice by key — concurrent per-slice key probes,
-    * exactly one may match; (2) select the `maxQueryTerms` most
-    * characteristic source terms by tf · tf-idf-weight over the MERGED
-    * global df (ties term asc) — tf comes from the home slice's d_group-
-    * pruned posting rows (a doc lives in exactly one slice, so slice tf is
-    * union tf), df from [[resolveGlobal]], and the weight formula runs on
-    * the injected global N — identical selection to a monolithic union
-    * index; (3) the standard federated ranked OR over the selected terms
-    * with global-df BM25 weights, source doc excluded by key. */
   private def keyPredOf(key: Seq[Any]): Column =
     tieCols.zip(key).map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
 
@@ -673,6 +660,19 @@ final class Federation private (
     located.headOption
   }
 
+  /** Federated MoreLikeThis — [[Searcher.moreLikeThis]] over the union
+    * corpus, the source document addressed by its stable tie key (`key`
+    * aligns with `tieCols`; slice ordinals are local, so ordinals can't
+    * address across slices). Three-step, float-exact to monolithic:
+    * (1) locate the home slice by key ([[locate]]); (2) select the
+    * `maxQueryTerms` most characteristic source terms by
+    * tf · tf-idf-weight over the MERGED global df (ties term asc) — tf
+    * comes from the home slice's d_group-pruned posting rows (a doc lives
+    * in exactly one slice, so slice tf is union tf), df from
+    * [[resolveGlobal]], and the weight formula runs on the injected global
+    * N — identical selection to a monolithic union index; (3) the standard
+    * federated ranked OR over the selected terms with global-df BM25
+    * weights, source doc excluded by key. */
   def moreLikeThis(key: Seq[Any], maxQueryTerms: Int = 10,
       k: Int = 10): DataFrame = {
     def keyPred: Column = keyPredOf(key)
