@@ -80,22 +80,26 @@ object Main {
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
       |  search --index <path>[,<path>…] --query <q>
-      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms|context]
+      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|wildcard|regexp|range|rescore|mlt|termvectors|explain|suggest|dym|facets|sigterms|context]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
       |         [--facet-field role] [--min-doc-count 3]
       |         [--window 2 (context: ±turns fetched around each hit)]
       |         [--mu 2000 (lm: Dirichlet smoothing)]
+      |         [--doc 42 (explain: the doc to explain — ordinal, or key
+      |          values for a federated index)]
+      |         [--rescore-phrase "join table"] [--window-size 100]
+      |         [--rescore-weight 1.0 (rescore: phrase re-rank of the
+      |          BM25 top window-size)]
       |         (qs: Lucene-lite string — AND/OR/NOT, -term, parens, "phrases",
       |          "a b"~slop, term~edits, term^boost;
       |          phrase: --slop widens to a position window; msm: --min-match terms required;
       |          collapse: best doc per --collapse-field value;
-      |          mlt: --query is a doc_ord (federated: comma-separated key
-      |          values); suggest: --query is a term prefix;
+      |          mlt/termvectors: --query is a doc_ord (federated:
+      |          comma-separated key values); suggest: --query is a term
+      |          prefix; range: --query is "lo,hi" (empty side = open);
       |          comma-separated --index paths federate independently built
-      |          slices — global stats merged, every mode except context:
-      |          and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|
-      |          all|qs|qs-ranked|prefix|fuzzy|mlt|suggest|dym|facets|sigterms;
+      |          slices — global stats merged, every mode except context;
       |          expansion/dictionary modes use the merged global vocabulary)
       |  batch  --index <path>[,<path>…] --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
@@ -363,6 +367,22 @@ object Main {
         .foreach(r => out(f"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getDouble(3)}%.4f"))
       return
     }
+    if (mode == "termvectors") { // one doc's indexed view (ES _termvectors)
+      out(Seq("term", "tf", "positions").mkString("\t"))
+      searcher.termVectors(query.trim.toLong).collect()
+        .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getString(2)}"))
+      return
+    }
+    if (mode == "explain") { // per-term BM25 breakdown (ES _explain):
+      // --query is the keyword, --doc the ordinal
+      val docOrd = opts.getOrElse("doc",
+        throw new IllegalArgumentException("explain needs --doc <doc_ord>")).toLong
+      out(Seq("term", "tf", "df", "idf", "tf_factor", "contribution").mkString("\t"))
+      searcher.explainScore(query, docOrd).collect().foreach(r =>
+        out(f"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+          f"${r.getDouble(3)}%.6f\t${r.getDouble(4)}%.6f\t${r.getDouble(5)}%.6f"))
+      return
+    }
     val (df, ranked): (DataFrame, Boolean) = mode match {
       case "and"    => (searcher.matchQuery(query, And).limit(limit), false)
       case "or"     => (searcher.matchQuery(query, Or).limit(limit), false)
@@ -370,6 +390,16 @@ object Main {
         slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
       case "phrase-prefix" => (searcher.matchPhrasePrefix(query,
         slop = opts.get("slop").map(_.toInt).getOrElse(0)).limit(limit), false)
+      case "wildcard" => (searcher.wildcardQuery(query).limit(limit), false)
+      case "regexp"   => (searcher.regexpQuery(query).limit(limit), false)
+      case "range"    => // --query "lo,hi"; empty side = open end
+        (searcher.termRangeQuery(rangeLo(query), rangeHi(query)).limit(limit), false)
+      case "rescore" => (searcher.bm25TopKRescore(query,
+        opts.getOrElse("rescore-phrase", throw new IllegalArgumentException(
+          "rescore needs --rescore-phrase")),
+        windowSize = opts.get("window-size").map(_.toInt).getOrElse(100), k = k,
+        rescoreWeight = opts.get("rescore-weight").map(_.toDouble).getOrElse(1.0),
+        slop = opts.get("slop").map(_.toInt).getOrElse(0)), true)
       case "msm"    => (searcher.matchQueryMsm(query,
         opts.get("min-match").map(_.toInt).getOrElse(2)).limit(limit), false)
       case "tfidf"  => (searcher.matchQueryRanked(query, Or).limit(k), true)
@@ -390,8 +420,24 @@ object Main {
       case "mlt"    => (searcher.moreLikeThis(query.trim.toLong, k = k), true)
       case other    => throw new IllegalArgumentException(s"unknown mode '$other'")
     }
-    val cols = Seq("doc_ord") ++ (if (ranked) Seq("score") else Nil) ++
-      Seq("conv_id", "turn_idx", "text").filter(df.columns.contains)
+    printDocs(df, ranked, Seq("doc_ord"), out)
+  }
+
+  /** `lo,hi` range bounds for `--mode range`; an empty side = open end. */
+  private def rangeLo(q: String): String = q.split(",", -1).headOption.getOrElse("")
+  private def rangeHi(q: String): String = {
+    val parts = q.split(",", -1)
+    require(parts.length == 2, s"range query must be 'lo,hi' (got '$q')")
+    parts(1)
+  }
+
+  /** Shared doc-row printer: key columns, then score for ranked modes,
+    * then any of the transcript columns present and not already printed. */
+  private def printDocs(df: DataFrame, ranked: Boolean, keyCols: Seq[String],
+      out: String => Unit): Unit = {
+    val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
+      Seq("conv_id", "turn_idx", "text")
+        .filter(c => df.columns.contains(c) && !keyCols.contains(c))
     out(cols.mkString("\t"))
     df.select(cols.map(col): _*).collect().foreach { r =>
       out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))
@@ -466,6 +512,23 @@ object Main {
           f"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getDouble(3)}%.4f"))
       return
     }
+    if (mode == "termvectors") { // one doc's indexed view, addressed by its
+      // stable key (comma-separated values matching the slices' key cols)
+      out(Seq("term", "tf", "positions").mkString("\t"))
+      fed.termVectors(query.split(",").map(_.trim).toSeq).collect()
+        .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getString(2)}"))
+      return
+    }
+    if (mode == "explain") { // federated _explain: idf from the merged
+      // global df, tf/dl from the doc's home slice — --doc takes the key
+      val key = opts.getOrElse("doc", throw new IllegalArgumentException(
+        "explain needs --doc <key[,key2…]>")).split(",").map(_.trim).toSeq
+      out(Seq("term", "tf", "df", "idf", "tf_factor", "contribution").mkString("\t"))
+      fed.explainScore(query, key).collect().foreach(r =>
+        out(f"${r.getString(0)}\t${r.getLong(1)}\t${r.getLong(2)}\t" +
+          f"${r.getDouble(3)}%.6f\t${r.getDouble(4)}%.6f\t${r.getDouble(5)}%.6f"))
+      return
+    }
     val (df, ranked): (DataFrame, Boolean) = mode match {
       case "and"    => (fed.matchQuery(query, And).limit(limit), false)
       case "or"     => (fed.matchQuery(query, Or).limit(limit), false)
@@ -496,17 +559,23 @@ object Main {
       // (comma-separated values matching the slices' key columns)
       case "mlt" =>
         (fed.moreLikeThis(query.split(",").map(_.trim).toSeq, k = k), true)
+      case "wildcard" => (fed.wildcardQuery(query).limit(limit), false)
+      case "regexp"   => (fed.regexpQuery(query).limit(limit), false)
+      case "range"    =>
+        (fed.termRangeQuery(rangeLo(query), rangeHi(query)).limit(limit), false)
+      case "rescore" => (fed.bm25TopKRescore(query,
+        opts.getOrElse("rescore-phrase", throw new IllegalArgumentException(
+          "rescore needs --rescore-phrase")),
+        windowSize = opts.get("window-size").map(_.toInt).getOrElse(100), k = k,
+        rescoreWeight = opts.get("rescore-weight").map(_.toDouble).getOrElse(1.0),
+        slop = opts.get("slop").map(_.toInt).getOrElse(0)), true)
       case other => throw new IllegalArgumentException(
         s"mode '$other' is not federated; use and|or|phrase|phrase-prefix|" +
           "msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|" +
-          "mlt|suggest|dym|facets|sigterms with comma-separated --index")
+          "wildcard|regexp|range|rescore|mlt|termvectors|explain|suggest|" +
+          "dym|facets|sigterms with comma-separated --index")
     }
-    val cols = keyCols ++ (if (ranked) Seq("score") else Nil) ++
-      Seq("text").filter(df.columns.contains)
-    out(cols.mkString("\t"))
-    df.select(cols.map(col): _*).collect().foreach { r =>
-      out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))
-    }
+    printDocs(df, ranked, keyCols, out)
   }
 
   private def batchSearch(spark: SparkSession, index: String, queriesFile: String,

@@ -228,23 +228,28 @@ class MainSpec extends SparkSpec {
     }
   }
 
-  test("federated batch over comma-separated slices == monolithic batch") {
-    import spark.implicits._
-    // reuse the federated test's slice fixtures; build on demand so test
-    // ordering doesn't matter
+  /** Monolithic + two-slice fixtures shared by the federated CLI tests,
+    * built on demand so test ordering doesn't matter. */
+  private def fedFixtures(): (String, String, String) = {
     val (m1, s1, s2) = (s"$root/idx_mono", s"$root/idx_s1", s"$root/idx_s2")
-    for ((src, flt, in, ix) <- Seq(
-        (s"$root/turns", None, s"$root/turns", m1),
-        (s"$root/turns", Some("c1"), s"$root/turns_s1", s1),
-        (s"$root/turns", Some("c2"), s"$root/turns_s2", s2))) {
+    for ((flt, in, ix) <- Seq(
+        (None, s"$root/turns", m1),
+        (Some("c1"), s"$root/turns_s1", s1),
+        (Some("c2"), s"$root/turns_s2", s2))) {
       if (!new java.io.File(ix).exists()) {
-        flt.foreach(c => spark.read.parquet(src)
+        flt.foreach(c => spark.read.parquet(s"$root/turns")
           .filter(col("conv_id") === c).write.mode("ignore").parquet(in))
         assert(captured("build", "--input", in, "--index", ix,
           "--term-buckets", "2", "--write-groups", "1",
           "--block-size", "8", "--bucket-span", "64")._1 == 0)
       }
     }
+    (m1, s1, s2)
+  }
+
+  test("federated batch over comma-separated slices == monolithic batch") {
+    import spark.implicits._
+    val (m1, s1, s2) = fedFixtures()
     val qf = java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/fed_queries.txt"),
       "spark join\nshuffle\n".getBytes("UTF-8")).toString
@@ -505,5 +510,63 @@ class MainSpec extends SparkSpec {
     val (c2, out2) = captured("search", "--index", m1,
       "--query", "spark jo", "--mode", "phrase-prefix", "--slop", "1")
     assert(c2 == 0 && out2.drop(1).length == 2, out2.mkString("\n"))
+  }
+
+  test("wildcard / regexp / range / rescore / termvectors / explain modes" +
+      " through the CLI, monolithic and federated") {
+    val (m1, s1, s2) = fedFixtures()
+    // wildcard 'sp*k' and regexp match exactly the docs containing 'spark'
+    val (cw, w) = captured("search", "--index", m1, "--query", "sp*k",
+      "--mode", "wildcard")
+    assert(cw == 0 && w.drop(1).length == 2, w.mkString("\n"))
+    val (cr, rx) = captured("search", "--index", m1, "--query", "sp.rk|jo.n",
+      "--mode", "regexp")
+    assert(cr == 0 && rx.drop(1).length == 3, rx.mkString("\n"))
+    // range [spark, spark] = the spark docs; open hi end reaches tuning
+    val (cg, rg) = captured("search", "--index", m1, "--query", "spark,spark",
+      "--mode", "range")
+    assert(cg == 0 && rg.drop(1).length == 2, rg.mkString("\n"))
+    val (cg2, rg2) = captured("search", "--index", m1, "--query", "spark,",
+      "--mode", "range")
+    assert(cg2 == 0 && rg2.drop(1).length == 4, rg2.mkString("\n"))
+    // rescore: 'join table' phrase boosts c1/0 over the shuffle doc
+    val (cs, rs) = captured("search", "--index", m1, "--query", "spark",
+      "--mode", "rescore", "--rescore-phrase", "join table",
+      "--window-size", "10", "--rescore-weight", "2.0")
+    assert(cs == 0 && rs.drop(1).nonEmpty, rs.mkString("\n"))
+    assert(rs(1).split("\t")(0) == "0", rs.mkString("\n")) // doc_ord 0 first
+    // termvectors of doc 0: its three terms with tf 1 and one position each
+    val (ct, tv) = captured("search", "--index", m1, "--query", "0",
+      "--mode", "termvectors")
+    assert(ct == 0 && tv.drop(1).map(_.split("\t")(0)).toSet ==
+      Set("spark", "join", "table"), tv.mkString("\n"))
+    // explain sums to the doc's BM25 contribution rows
+    val (ce, ex) = captured("search", "--index", m1, "--query", "spark join",
+      "--mode", "explain", "--doc", "0")
+    assert(ce == 0 && ex.drop(1).map(_.split("\t")(0)).toSet ==
+      Set("spark", "join"), ex.mkString("\n"))
+    // federated twins: key-addressed termvectors/explain == monolithic
+    val (cft, ftv) = captured("search", "--index", s"$s1,$s2",
+      "--query", "c1,0", "--mode", "termvectors")
+    assert(cft == 0 && ftv == tv, s"fed=$ftv mono=$tv")
+    val (cfe, fex) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark join", "--mode", "explain", "--doc", "c1,0")
+    assert(cfe == 0 && fex == ex, s"fed=$fex mono=$ex")
+    val (cfw, fw) = captured("search", "--index", s"$s1,$s2",
+      "--query", "sp*k", "--mode", "wildcard")
+    assert(cfw == 0 && fw.drop(1).length == 2, fw.mkString("\n"))
+    val (cfr, fr2) = captured("search", "--index", s"$s1,$s2", "--query",
+      "spark", "--mode", "rescore", "--rescore-phrase", "join table",
+      "--window-size", "10", "--rescore-weight", "2.0")
+    assert(cfr == 0 && fr2.drop(1).nonEmpty, fr2.mkString("\n"))
+    // same ranking and scores as the monolithic rescore (key vs ordinal id)
+    val fedScores = fr2.drop(1).map { l => val f = l.split("\t")
+      ((f(0), f(1)), f(2).toDouble) }
+    val monoScores = rs.drop(1).map { l => val f = l.split("\t")
+      ((f(2), f(3)), f(1).toDouble) }
+    assert(fedScores.map(_._1) == monoScores.map(_._1),
+      s"fed=$fr2 mono=$rs")
+    fedScores.zip(monoScores).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) < 1e-9) }
   }
 }
