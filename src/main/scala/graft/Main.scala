@@ -80,7 +80,7 @@ object Main {
       |  remove --input <parquet of doc_ord or key columns> --index <path>
       |         [--batch-id <id>]
       |  search --index <path>[,<path>…] --query <q>
-      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|wildcard|regexp|range|rescore|mlt|termvectors|explain|suggest|dym|facets|sigterms|context]
+      |         [--mode and|or|phrase|phrase-prefix|msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|wildcard|regexp|range|rescore|mlt|termvectors|explain|highlight|snippet|suggest|dym|facets|sigterms|context]
       |         [--k 10] [--limit 20] [--max-edits 1] [--slop 0]
       |         [--min-match 2] [--collapse-field conv_id]
       |         [--facet-field role] [--min-doc-count 3]
@@ -373,6 +373,17 @@ object Main {
         .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getString(2)}"))
       return
     }
+    if (mode == "highlight") { // which query terms each matched doc contains
+      printCols(searcher.highlightTerms(query, Or).limit(limit),
+        Seq("doc_ord", "hit_terms"), out)
+      return
+    }
+    if (mode == "snippet") { // ±window tokens around the first hit
+      printCols(searcher.snippet(query,
+        opts.get("window").map(_.toInt).getOrElse(2)).limit(limit),
+        Seq("doc_ord", "first_pos", "snippet"), out)
+      return
+    }
     if (mode == "explain") { // per-term BM25 breakdown (ES _explain):
       // --query is the keyword, --doc the ordinal
       val docOrd = opts.getOrElse("doc",
@@ -429,6 +440,15 @@ object Main {
     val parts = q.split(",", -1)
     require(parts.length == 2, s"range query must be 'lo,hi' (got '$q')")
     parts(1)
+  }
+
+  /** Fixed-column TSV printer for table-shaped modes. */
+  private def printCols(df: DataFrame, cols: Seq[String],
+      out: String => Unit): Unit = {
+    out(cols.mkString("\t"))
+    df.select(cols.map(col): _*).collect().foreach { r =>
+      out(cols.indices.map(i => String.valueOf(r.get(i))).mkString("\t"))
+    }
   }
 
   /** Shared doc-row printer: key columns, then score for ranked modes,
@@ -519,6 +539,17 @@ object Main {
         .foreach(r => out(s"${r.getString(0)}\t${r.getLong(1)}\t${r.getString(2)}"))
       return
     }
+    if (mode == "highlight") { // per-doc hit terms union losslessly
+      printCols(fed.highlightTerms(query, Or).limit(limit),
+        keyCols :+ "hit_terms", out)
+      return
+    }
+    if (mode == "snippet") { // first-hit windows are per-document
+      printCols(fed.snippet(query,
+        opts.get("window").map(_.toInt).getOrElse(2)).limit(limit),
+        keyCols ++ Seq("first_pos", "snippet"), out)
+      return
+    }
     if (mode == "explain") { // federated _explain: idf from the merged
       // global df, tf/dl from the doc's home slice — --doc takes the key
       val key = opts.getOrElse("doc", throw new IllegalArgumentException(
@@ -572,8 +603,8 @@ object Main {
       case other => throw new IllegalArgumentException(
         s"mode '$other' is not federated; use and|or|phrase|phrase-prefix|" +
           "msm|tfidf|bm25|lm|wand|collapse|all|qs|qs-ranked|prefix|fuzzy|" +
-          "wildcard|regexp|range|rescore|mlt|termvectors|explain|suggest|" +
-          "dym|facets|sigterms with comma-separated --index")
+          "wildcard|regexp|range|rescore|mlt|termvectors|explain|highlight|" +
+          "snippet|suggest|dym|facets|sigterms with comma-separated --index")
     }
     printDocs(df, ranked, keyCols, out)
   }

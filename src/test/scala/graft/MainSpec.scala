@@ -568,5 +568,20 @@ class MainSpec extends SparkSpec {
       s"fed=$fr2 mono=$rs")
     fedScores.zip(monoScores).foreach { case (a, b) =>
       assert(math.abs(a._2 - b._2) < 1e-9) }
+    // highlight + snippet table modes: per-document reads union losslessly
+    val (ch, hl) = captured("search", "--index", m1,
+      "--query", "spark join", "--mode", "highlight")
+    assert(ch == 0 && hl.drop(1).length == 3, hl.mkString("\n"))
+    val (cfh, fhl) = captured("search", "--index", s"$s1,$s2",
+      "--query", "spark join", "--mode", "highlight")
+    assert(cfh == 0 && fhl.drop(1).map(_.split("\t").last).sorted.toSeq ==
+      hl.drop(1).map(_.split("\t").last).sorted.toSeq, s"fed=$fhl mono=$hl")
+    val (cn, sn) = captured("search", "--index", m1,
+      "--query", "shuffle", "--mode", "snippet", "--window", "1")
+    assert(cn == 0 && sn.drop(1).length == 2, sn.mkString("\n"))
+    val (cfn, fsn) = captured("search", "--index", s"$s1,$s2",
+      "--query", "shuffle", "--mode", "snippet", "--window", "1")
+    assert(cfn == 0 && fsn.drop(1).map(_.split("\t").last).sorted.toSeq ==
+      sn.drop(1).map(_.split("\t").last).sorted.toSeq, s"fed=$fsn mono=$sn")
   }
 }
