@@ -252,6 +252,58 @@ class FederationSpec extends SparkSpec {
       mono.termVectors(6L).collect().map(_.getString(0)).toSeq)
   }
 
+  test("randomized corpora: federated == monolithic across the scoring" +
+      " surface for seeded random slicings") {
+    // three seeded random corpora × random slice counts: any slice-local
+    // stats leak in ANY op shows up as a float mismatch somewhere in the
+    // battery — the parity claim beyond handpicked fixtures
+    val vocab = Vector("go", "ruby", "php", "java", "spark", "join", "table",
+      "scan", "merge", "sort", "hash", "window", "batch", "stream", "row")
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(30)
+      val rows = (0 until n).map { i =>
+        val len = 1 + rnd.nextInt(10)
+        (i.toLong, i.toLong,
+          Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val nSlices = 2 + rnd.nextInt(3)
+      val monoR = new Searcher(IndexBuilder.build(df(rows), analyzer).cache(),
+        analyzer)
+      val fedR = Federation(
+        (0 until nSlices).map { r =>
+          val s = rows.filter(_._2 % nSlices == r).zipWithIndex
+            .map { case ((_, id, text), ord) => (ord.toLong, id, text) }
+          IndexBuilder.build(df(s), analyzer).cache()
+        }, analyzer)
+      val queries = Seq.fill(4)(
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      for (q <- queries) {
+        val m = scoresOf(monoR.bm25All(q)); val f = scoresOf(fedR.bm25All(q))
+        assert(f.keySet == m.keySet, s"seed $seed bm25 set '$q'")
+        f.foreach { case (id, s) =>
+          assert(math.abs(s - m(id)) < 1e-12, s"seed $seed bm25 doc $id '$q'") }
+        val mt = scoresOf(monoR.matchQueryRanked(q, Or))
+        val ft = scoresOf(fedR.matchQueryRanked(q, Or))
+        assert(ft.keySet == mt.keySet, s"seed $seed tfidf set '$q'")
+        ft.foreach { case (id, s) =>
+          assert(math.abs(s - mt(id)) < 1e-12, s"seed $seed tfidf doc $id") }
+        assert(idSet(fedR.matchQuery(q, And)) == idSet(monoR.matchQuery(q, And)),
+          s"seed $seed AND '$q'")
+        assert(rankedIds(fedR.bm25TopK(q, 5)) == rankedIds(monoR.bm25TopK(q, 5)),
+          s"seed $seed topk '$q'")
+      }
+      // one dictionary-expansion + one aggregation op per corpus
+      val p = vocab(rnd.nextInt(vocab.size)).take(1)
+      assert(idSet(fedR.prefixQuery(p)) == idSet(monoR.prefixQuery(p)),
+        s"seed $seed prefix '$p'")
+      val st = monoR.facetStats(queries.head, Or, "doc_id").collect().head
+      val sf = fedR.facetStats(queries.head, Or, "doc_id").collect().head
+      assert(sf.getLong(0) == st.getLong(0), s"seed $seed stats n")
+    }
+  }
+
   test("keymap locate INPUT BYTES: probe buckets only, docs table never read") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import org.apache.spark.sql.functions.{hash => sqlHash, pmod, lit => sqlLit}
