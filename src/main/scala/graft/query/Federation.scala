@@ -804,15 +804,21 @@ final class Federation private (
     unionAll(parts2).get.orderBy(desc("score") +: tieAsc: _*).limit(k)
   }
 
-  /** Slices re-viewed with the corpus-wide (df, cf) substituted for the
-    * given terms ([[Searcher.withStatsOverride]]): every scoring surface on
-    * the returned searchers weighs with global statistics while postings
-    * pruning and term ids stay slice-local — the general federation hook
-    * behind dis_max / boosting / function_score / grouped / LM. */
+  /** Slices re-viewed with the corpus-wide statistics substituted for the
+    * given terms: every scoring surface on the returned searchers weighs
+    * with global statistics while postings pruning and term ids stay
+    * slice-local — the general federation hook behind dis_max / boosting /
+    * function_score / grouped / LM / rescore / paging. The views carry the
+    * FULL per-slice resolutions from [[resolveGlobal]]'s one concurrent
+    * pass ([[Searcher.withPreResolved]]), so per-slice query compilation
+    * runs ZERO further dictionary jobs for the covered terms — without
+    * this, every slice re-resolved serially at plan build, stacking a
+    * dictionary job per slice per query at realistic slice counts. */
   private def slicesWithGlobalStats(terms: Seq[String]): Seq[Searcher] = {
-    val m = resolveGlobal(terms).flatten
-      .map(rt => rt.term -> (rt.df, rt.cf)).toMap
-    sliceSearchers.map(_.withStatsOverride(m))
+    val covered = terms.toSet
+    sliceSearchers.zip(resolveGlobal(terms)).map { case (s, rts) =>
+      s.withPreResolved(covered, rts.map(rt => rt.term -> rt).toMap)
+    }
   }
 
   /** Federated dis_max: per-slice evaluation with global df weights, then

@@ -132,7 +132,15 @@ final class Searcher(
     preBuiltBlocksByTerm: Option[DataFrame] = None,
     // per-term (df, cf) substituted into every dictionary resolution — the
     // federation hook (see withStatsOverride); empty = this index's own stats
-    statsOverride: Map[String, (Long, Long)] = Map.empty
+    statsOverride: Map[String, (Long, Long)] = Map.empty,
+    // fully pre-resolved dictionary entries for a COVERED term set — the
+    // federation fast path (see withPreResolved): terms in the covered set
+    // resolve from the map with ZERO dictionary jobs (absence from the map
+    // = known-unknown to this slice); terms outside fall through to the
+    // normal path. The federation resolves all slices CONCURRENTLY once
+    // (resolveGlobal), so per-slice query compilation stops re-running a
+    // serial dictionary job per slice.
+    preResolved: Option[(Set[String], Map[String, ResolvedTerm])] = None
 ) {
 
   private val spark = index.docs.sparkSession
@@ -258,6 +266,20 @@ final class Searcher(
     * with t_bucket-pruned miss lookups; otherwise one vocab-pruned
     * dictionary job per call. */
   def resolve(terms: Seq[String]): Seq[ResolvedTerm] = {
+    preResolved match {
+      case Some((covered, byTerm)) if terms.forall(covered) =>
+        return terms.flatMap(byTerm.get)
+      case Some((covered, byTerm)) =>
+        val restSet = terms.filterNot(covered).distinct
+        val rest = resolveWithStats(restSet).map(rt => rt.term -> rt).toMap
+        return terms.flatMap(t =>
+          if (covered(t)) byTerm.get(t) else rest.get(t))
+      case None =>
+    }
+    resolveWithStats(terms)
+  }
+
+  private def resolveWithStats(terms: Seq[String]): Seq[ResolvedTerm] = {
     val base = resolveOwnStats(terms)
     if (statsOverride.isEmpty) base
     else base.map(rt => statsOverride.get(rt.term).fold(rt) {
@@ -275,6 +297,18 @@ final class Searcher(
   private[query] def withStatsOverride(m: Map[String, (Long, Long)]): Searcher =
     new Searcher(index, analyzer, blockParams, preBuiltBlocks, sortUnranked,
       dGroupSpan, preBuiltBlocksByTerm, m)
+
+  /** [[withStatsOverride]] plus the full pre-resolved entries for the
+    * covered terms: queries over the returned view compile with ZERO
+    * dictionary jobs for those terms — the resolutions (slice-local ids,
+    * global df/cf already substituted) come from the federation's one
+    * concurrent resolveGlobal pass. */
+  private[query] def withPreResolved(covered: Set[String],
+      byTerm: Map[String, ResolvedTerm]): Searcher =
+    new Searcher(index, analyzer, blockParams, preBuiltBlocks, sortUnranked,
+      dGroupSpan, preBuiltBlocksByTerm,
+      byTerm.map { case (t, rt) => t -> (rt.df, rt.cf) },
+      Some((covered, byTerm)))
 
   private def resolveOwnStats(terms: Seq[String]): Seq[ResolvedTerm] = {
     fullLocalDict match {
