@@ -304,6 +304,35 @@ class FederationSpec extends SparkSpec {
     }
   }
 
+  test("stats-override compilation runs ONE dictionary job per slice, not two") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // the withPreResolved fast path: resolveGlobal's concurrent pass (one
+    // job per slice) is the ONLY dictionary work — per-slice query
+    // compilation must trigger zero further jobs before the action
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    fed.numDocs // force lazy federation init outside the counted region
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Thread.sleep(300); jobs.set(0)
+      val df = fed.disMaxTopK(Seq("spark join", "go ruby"), 5) // no action
+      var prev = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(150)
+        val cur = jobs.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      val duringBuild = jobs.get()
+      assert(duringBuild <= 3, // == slice count: resolveGlobal only
+        s"plan build launched $duringBuild jobs for 3 slices — per-slice " +
+          "re-resolution is back")
+      df.collect() // the plan still answers correctly
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("keymap locate INPUT BYTES: probe buckets only, docs table never read") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     import org.apache.spark.sql.functions.{hash => sqlHash, pmod, lit => sqlLit}
