@@ -483,6 +483,83 @@ object SparkEntry {
       federation(s, d).matchPhrasePrefix("the s")
         .select("doc_id").orderBy("doc_id")),
 
+    // ---- federated twins of the remaining per-document / aggregation
+    // surface: each mirrors its monolithic entry's arguments exactly and
+    // reuses the monolithic oracle SQL verbatim — lossless per-doc unions
+    // (phrase/msm/wildcard/highlight/snippet/sortby/querystring), Σ-merged
+    // or union-spanning facet partials, and stats-override scoring
+    // (filtered/funcscore/grouped/boosting) with the merged global df.
+    "ft_federated_phrase" -> ((s, d) =>
+      federation(s, d).phraseQuery("batch batch")
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_phrase_slop" -> ((s, d) =>
+      federation(s, d).phraseQuery("sort merge", slop = 2)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_msm" -> ((s, d) =>
+      federation(s, d).matchQueryMsm("spark join vector window", 2)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_wildcard" -> ((s, d) =>
+      federation(s, d).wildcardQuery("*a*e*")
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_highlight" -> ((s, d) =>
+      federation(s, d).highlightTerms("spark join vector", Or)
+        .select("doc_id", "hit_terms").orderBy("doc_id")),
+    "ft_federated_snippet" -> ((s, d) =>
+      federation(s, d).snippet("vector", window = 2)
+        .select("doc_id", "first_pos", "snippet").orderBy("doc_id")),
+    "ft_federated_count" -> ((s, d) => { // Σ slice counts (disjoint corpora)
+      import s.implicits._
+      Seq((federation(s, d).countMatches("spark join", And),
+        federation(s, d).countMatches("vector window", Or),
+        federation(s, d).countMatches("zzzunknown", Or)))
+        .toDF("n_and", "n_or", "n_unknown")
+    }),
+    "ft_federated_facets" -> ((s, d) =>
+      federation(s, d).facetCounts("spark join", Or, "source")
+        .orderBy("source")),
+    "ft_federated_facet_stats" -> ((s, d) =>
+      federation(s, d).facetStats("spark join", Or, "n_chars")
+        .select(col("n_docs"), col("vmin"), col("vmax"),
+          round(col("vsum"), 6).as("vsum"), round(col("vavg"), 6).as("vavg"))),
+    "ft_federated_facet_hist" -> ((s, d) =>
+      federation(s, d).facetHistogram("spark join", Or, "n_chars", 200L)
+        .select(col("bucket"), col("n_docs")).orderBy("bucket")),
+    "ft_federated_facet_date" -> ((s, d) =>
+      federation(s, d).facetDateHistogram("spark join", Or,
+        date_add(to_date(lit("2025-01-01")), (col("doc_id") % 400).cast("int"))
+          .cast("timestamp"), "month")
+        .select(col("bucket"), col("n_docs")).orderBy("bucket")),
+    "ft_federated_facet_pctl" -> ((s, d) => // exact percentiles are
+      // order-insensitive over the union multiset — identical to monolithic
+      federation(s, d).facetPercentiles("spark join", Or, "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.95))
+        .select(col("fraction"), round(col("value"), 6).as("value"))
+        .orderBy("fraction")),
+    "ft_federated_filtered" -> ((s, d) =>
+      federation(s, d).bm25TopKFiltered("spark join", col("lang") === "en", 10000)
+        .select(col("doc_id"), col("lang"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+    "ft_federated_funcscore" -> ((s, d) =>
+      federation(s, d).bm25TopKFunctionScore("spark join",
+        log(col("n_chars").cast("double") + 1), 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+    "ft_federated_grouped" -> ((s, d) => // sum-mode groups SPAN slices:
+      // per-slice partials re-aggregate before the ranking cut
+      federation(s, d).bm25TopKGrouped("spark join", "source", 10000, "sum")
+        .select(col("source"), round(col("score"), 6).as("score"), col("n_hits"))
+        .orderBy(desc("score"), asc("source"))),
+    "ft_federated_boosting" -> ((s, d) =>
+      federation(s, d).bm25TopKBoosting("spark join", "window", 0.5, 10000)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+    "ft_federated_sortby" -> ((s, d) =>
+      federation(s, d).matchTopKSortBy("spark join", And, "n_chars", 50)
+        .select("doc_id", "n_chars").orderBy("n_chars", "doc_id")),
+    "ft_federated_querystring" -> ((s, d) =>
+      federation(s, d).queryString("spark AND (join OR merge) AND NOT window")
+        .select("doc_id").orderBy("doc_id")),
+
     "ft_federated_multifield" -> ((s, d) => { // multi_match most_fields
       // ACROSS slices: each field is its own federation over the same
       // doc_id % 3 slicing (per-field global stats merge independently) —
@@ -2588,5 +2665,23 @@ object SparkEntry {
     "ft_federated_termrange" -> oracleSqlBase("ft_termrange"),
     "ft_federated_termvectors" -> oracleSqlBase("ft_termvectors"),
     "ft_federated_explain" -> oracleSqlBase("ft_explain"),
-    "ft_federated_multifield" -> oracleSqlBase("ft_multifield"))
+    "ft_federated_multifield" -> oracleSqlBase("ft_multifield"),
+    "ft_federated_phrase" -> oracleSqlBase("ft_phrase"),
+    "ft_federated_phrase_slop" -> oracleSqlBase("ft_phrase_slop"),
+    "ft_federated_msm" -> oracleSqlBase("ft_msm"),
+    "ft_federated_wildcard" -> oracleSqlBase("ft_wildcard"),
+    "ft_federated_highlight" -> oracleSqlBase("ft_highlight"),
+    "ft_federated_snippet" -> oracleSqlBase("ft_snippet"),
+    "ft_federated_count" -> oracleSqlBase("ft_count"),
+    "ft_federated_facets" -> oracleSqlBase("ft_facets"),
+    "ft_federated_facet_stats" -> oracleSqlBase("ft_facet_stats"),
+    "ft_federated_facet_hist" -> oracleSqlBase("ft_facet_hist"),
+    "ft_federated_facet_date" -> oracleSqlBase("ft_facet_date"),
+    "ft_federated_facet_pctl" -> oracleSqlBase("ft_facet_pctl"),
+    "ft_federated_filtered" -> oracleSqlBase("ft_filtered"),
+    "ft_federated_funcscore" -> oracleSqlBase("ft_funcscore"),
+    "ft_federated_grouped" -> oracleSqlBase("ft_grouped"),
+    "ft_federated_boosting" -> oracleSqlBase("ft_boosting"),
+    "ft_federated_sortby" -> oracleSqlBase("ft_sortby"),
+    "ft_federated_querystring" -> oracleSqlBase("ft_querystring"))
 }
