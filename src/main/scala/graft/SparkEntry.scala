@@ -559,6 +559,23 @@ object SparkEntry {
     "ft_federated_querystring" -> ((s, d) =>
       federation(s, d).queryString("spark AND (join OR merge) AND NOT window")
         .select("doc_id").orderBy("doc_id")),
+    "ft_federated_boost" -> ((s, d) => // ^boost weights ride the ranked tree
+      // path with the merged global df — float-exact to monolithic
+      federation(s, d).queryString("spark^2 OR join", ranked = true)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+    "ft_federated_bool_not" -> ((s, d) => // pure negation: each slice's
+      // complement unions to the global complement (disjoint corpora)
+      federation(s, d).boolQuery(!BTerm("spark"))
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_bool_phrase" -> ((s, d) =>
+      federation(s, d).boolQuery(BPhrase("batch batch") && !BTerm("window"))
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_qs_compound" -> ((s, d) => // slop + fuzzy leaves in one
+      // tree; the unranked fuzzy expansion fits the cap at this vocab, so
+      // per-slice expansion == monolithic (the documented condition)
+      federation(s, d).queryString("\"sort merge\"~2 AND sport~2")
+        .select("doc_id").orderBy("doc_id")),
 
     "ft_federated_multifield" -> ((s, d) => { // multi_match most_fields
       // ACROSS slices: each field is its own federation over the same
@@ -2683,5 +2700,9 @@ object SparkEntry {
     "ft_federated_grouped" -> oracleSqlBase("ft_grouped"),
     "ft_federated_boosting" -> oracleSqlBase("ft_boosting"),
     "ft_federated_sortby" -> oracleSqlBase("ft_sortby"),
-    "ft_federated_querystring" -> oracleSqlBase("ft_querystring"))
+    "ft_federated_querystring" -> oracleSqlBase("ft_querystring"),
+    "ft_federated_boost" -> oracleSqlBase("ft_boost"),
+    "ft_federated_bool_not" -> oracleSqlBase("ft_bool_not"),
+    "ft_federated_bool_phrase" -> oracleSqlBase("ft_bool_phrase"),
+    "ft_federated_qs_compound" -> oracleSqlBase("ft_qs_compound"))
 }
