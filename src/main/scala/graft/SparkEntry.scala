@@ -498,6 +498,43 @@ object SparkEntry {
     "ft_federated_msm" -> ((s, d) =>
       federation(s, d).matchQueryMsm("spark join vector window", 2)
         .select("doc_id").orderBy("doc_id")),
+    "ft_federated_phrase3" -> ((s, d) =>
+      federation(s, d).phraseQuery("row column sort")
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_phrase_ranked" -> ((s, d) => // TF-IDF over phrase terms
+      // with the merged global df — float-exact to monolithic
+      federation(s, d).phraseQuery("batch batch", ranked = true)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))),
+    "ft_federated_phrase_slop3" -> ((s, d) =>
+      federation(s, d).phraseQuery("row column sort", slop = 3)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_phrase_slop_ord" -> ((s, d) =>
+      federation(s, d).phraseQuery("sort merge", slop = 2, inOrder = true)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_phrase_slop3_ord" -> ((s, d) =>
+      federation(s, d).phraseQuery("row column sort", slop = 3, inOrder = true)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_match_and" -> ((s, d) =>
+      federation(s, d).matchQuery("Spark JOIN", And)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_match_or" -> ((s, d) =>
+      federation(s, d).matchQuery("vector window", Or)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_match_and_unknown" -> ((s, d) => // a term in NO slice
+      // dictionary: every slice's AND short-circuits — empty like monolithic
+      federation(s, d).matchQuery("spark zzzunknownterm", And)
+        .select("doc_id").orderBy("doc_id")),
+    "ft_federated_search_after" -> ((s, d) => { // federated cursor walk:
+      // page 2 from page 1's (score, tie-key) cursor — ranks 21-40
+      val fr = federation(s, d)
+      val page1 = fr.bm25TopKFirstPage("spark join table", 20)
+        .select("score", "doc_id").collect()
+      val cur = page1.last
+      fr.bm25TopKAfter("spark join table", 20, cur.getDouble(0), cur.getLong(1))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
     "ft_federated_wildcard" -> ((s, d) =>
       federation(s, d).wildcardQuery("*a*e*")
         .select("doc_id").orderBy("doc_id")),
@@ -2704,5 +2741,14 @@ object SparkEntry {
     "ft_federated_boost" -> oracleSqlBase("ft_boost"),
     "ft_federated_bool_not" -> oracleSqlBase("ft_bool_not"),
     "ft_federated_bool_phrase" -> oracleSqlBase("ft_bool_phrase"),
-    "ft_federated_qs_compound" -> oracleSqlBase("ft_qs_compound"))
+    "ft_federated_qs_compound" -> oracleSqlBase("ft_qs_compound"),
+    "ft_federated_phrase3" -> oracleSqlBase("ft_phrase3"),
+    "ft_federated_phrase_ranked" -> oracleSqlBase("ft_phrase_ranked"),
+    "ft_federated_phrase_slop3" -> oracleSqlBase("ft_phrase_slop3"),
+    "ft_federated_phrase_slop_ord" -> oracleSqlBase("ft_phrase_slop_ord"),
+    "ft_federated_phrase_slop3_ord" -> oracleSqlBase("ft_phrase_slop3_ord"),
+    "ft_federated_match_and" -> oracleSqlBase("ft_match_and"),
+    "ft_federated_match_or" -> oracleSqlBase("ft_match_or"),
+    "ft_federated_match_and_unknown" -> oracleSqlBase("ft_match_and_unknown"),
+    "ft_federated_search_after" -> oracleSqlBase("ft_search_after"))
 }

@@ -453,13 +453,21 @@ final class Federation private (
   def countMatches(keyword: String, logic: Logic): Long =
     sliceSearchers.map(_.countMatches(keyword, logic)).sum
 
-  /** Federated PhraseQuery, unranked: positional matching is per-doc, so
-    * slice results union losslessly. Ordered by `tieCols`. */
-  def phraseQuery(phrase: String, slop: Int = 0,
+  /** Federated PhraseQuery: positional matching is per-doc, so slice
+    * results union losslessly. `ranked` scores the matched docs with
+    * TF-IDF over the phrase terms carrying the MERGED global df (the
+    * stats-override views) — float-exact to monolithic. Ordered by
+    * (score desc,)? `tieCols`. */
+  def phraseQuery(phrase: String, ranked: Boolean = false, slop: Int = 0,
       inOrder: Boolean = false): DataFrame = {
-    val parts = sliceSearchers.map(
-      _.phraseQuery(phrase, ranked = false, slop, inOrder).drop("doc_ord"))
-    unionAll(parts).get.orderBy(tieAsc: _*)
+    val slices =
+      if (ranked) slicesWithGlobalStats(analyzer.terms(phrase).distinct)
+      else sliceSearchers
+    val parts = slices.map(
+      _.phraseQuery(phrase, ranked, slop, inOrder).drop("doc_ord"))
+    val all = unionAll(parts).get
+    if (ranked) all.orderBy(desc("score") +: tieAsc: _*)
+    else all.orderBy(tieAsc: _*)
   }
 
   /** Federated facet counts: per-slice facet aggregations re-aggregated —

@@ -170,8 +170,16 @@ class FederationSpec extends SparkSpec {
   test("phraseQuery: positional matching unions losslessly across slices") {
     for ((p, slop) <- Seq(("go ruby", 0), ("go ruby", 2), ("spark join", 0),
         ("ruby go", 1), ("nosuch phrase", 0))) {
-      assert(idSet(fed.phraseQuery(p, slop)) ==
+      assert(idSet(fed.phraseQuery(p, slop = slop)) ==
         idSet(mono.phraseQuery(p, slop = slop)), s"'$p' slop=$slop")
+    }
+    // ranked phrase: TF-IDF with the merged global df — float-exact
+    for (p <- Seq("go ruby", "spark join")) {
+      val m = scoresOf(mono.phraseQuery(p, ranked = true))
+      val f = scoresOf(fed.phraseQuery(p, ranked = true))
+      assert(f.keySet == m.keySet, s"ranked phrase set '$p'")
+      f.foreach { case (id, s) =>
+        assert(math.abs(s - m(id)) < 1e-12, s"ranked phrase doc $id '$p'") }
     }
   }
 
