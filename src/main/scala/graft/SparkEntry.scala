@@ -1089,18 +1089,34 @@ object SparkEntry {
       graft.streaming.EventAggregates.sessionize(evTable(s, d), "30 minutes")
         .orderBy("user_id", "session_start")),
 
-    // ---- multimodal plumbing (stub decoder, real Spark contract). The
-    // DECODE is a sandbox stub (no codec libs — feature VALUES cannot be
-    // oracled; determinism is spec-tested), but the PLUMBING is oracled:
-    // one row per doc through the batched mapPartitions extraction, the
-    // declared feature width, and the exact binary payload the media
-    // column carried (sha256-derived, byte-identical in the oracle) -------
+    // ---- multimodal with REAL pure-JDK decode: even docs carry a genuine
+    // PNG (javax.imageio), odd docs a genuine RIFF/WAVE PCM16 payload, both
+    // synthesized deterministically from doc_id. The oracle is a decode
+    // ROUND-TRIP: the decoder must parse the actual byte stream and recover
+    // the dimensions/sample counts the generator encoded — DuckDB recomputes
+    // those from the generator formulas. Float pixel/amplitude stats are
+    // golden-tested in OpsSpec (hand-computed 2x2 PNG / constant WAV). ------
     "mm_features" -> ((s, d) => {
+      val withMedia = Multimodal.withRealMedia(docsTable(s, d))
+      Multimodal.extractFeatures(withMedia, new Multimodal.JdkMediaDecoder(12))
+        .select(col("doc_id"), size(col("features")).cast("long").as("dim"),
+          element_at(col("features"), 1).cast("long").as("dec_a"),
+          element_at(col("features"), 2).cast("long").as("dec_b"),
+          element_at(col("features"), 11).cast("long").as("decoded"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal plumbing contract on an OPAQUE payload (sha256 bytes —
+    // intentionally not a decodable stream): one row per doc through the
+    // batched mapPartitions extraction, declared width, decode-failure flag
+    // 0, and the exact binary payload byte-identical in the oracle ---------
+    "mm_plumbing" -> ((s, d) => {
       val withMedia = Multimodal.withSyntheticMedia(docsTable(s, d))
-      Multimodal.extractFeatures(withMedia, new Multimodal.StubDecoder(8))
+      Multimodal.extractFeatures(withMedia, new Multimodal.JdkMediaDecoder(12))
         .join(withMedia.select(col("doc_id"),
           lower(hex(col("media"))).as("media_sha")), "doc_id")
         .select(col("doc_id"), size(col("features")).cast("long").as("dim"),
+          element_at(col("features"), 11).cast("long").as("decoded"),
           col("media_sha"))
         .orderBy("doc_id")
     })
@@ -2675,9 +2691,21 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "mm_features" -> // plumbing oracle: row cardinality through the batched
-      // extraction, feature width, and the media column's exact bytes
-      """SELECT doc_id, 8::BIGINT AS dim,
+    "mm_features" -> // decode round-trip oracle: the decoder must parse the
+      // real PNG/WAV byte stream and recover exactly what the deterministic
+      // generator encoded (dims for images; sample rate/count for audio)
+      """SELECT doc_id, 12::BIGINT AS dim,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 17
+        |        ELSE 8000 END)::BIGINT AS dec_a,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 16 + (doc_id // 17) % 13
+        |        ELSE 256 + doc_id % 256 END)::BIGINT AS dec_b,
+        |  1::BIGINT AS decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_plumbing" -> // plumbing oracle: row cardinality through the batched
+      // extraction, feature width, decode-failure flag on an opaque payload,
+      // and the media column's exact bytes
+      """SELECT doc_id, 12::BIGINT AS dim, 0::BIGINT AS decoded,
         |  sha256('media' || doc_id::VARCHAR) AS media_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 

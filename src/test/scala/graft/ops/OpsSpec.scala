@@ -709,15 +709,88 @@ class OpsSpec extends SparkSpec {
     assert(gotSeq.nonEmpty && gotSeq.toSet.subsetOf(Set(3L, 4L, 5L)))
   }
 
-  test("multimodal plumbing: schema, determinism, stub features") {
-    val withMedia = Multimodal.withSyntheticMedia(docs)
+  test("multimodal plumbing: schema, determinism under repartitioning") {
+    val withMedia = Multimodal.withRealMedia(docs)
     assert(withMedia.schema("media").dataType.typeName == "binary")
-    val dec = new Multimodal.StubDecoder(8)
+    val dec = new Multimodal.JdkMediaDecoder(12)
     val f1 = Multimodal.extractFeatures(withMedia, dec).orderBy("doc_id").collect()
     val f2 = Multimodal.extractFeatures(withMedia.repartition(5), dec).orderBy("doc_id").collect()
     assert(f1.length == 9)
     assert(f1.map(_.getSeq[Float](1)).zip(f2.map(_.getSeq[Float](1))).forall { case (a, b) => a == b },
       "features must be deterministic under repartitioning")
-    assert(f1.head.getSeq[Float](1).size == 8)
+    assert(f1.head.getSeq[Float](1).size == 12)
+  }
+
+  test("ImageIoDecoder: real PNG decode with hand-computed channel goldens") {
+    // 2x2 PNG: pure red, pure green, pure blue, white — channel means are
+    // exactly (255+0+0+255)/4/255 = 0.5 for each of R, G, B.
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = new Multimodal.ImageIoDecoder(12).features(bos.toByteArray, "image", 0, 0)
+    assert(f(0) == 2f && f(1) == 2f, "decoded dimensions")
+    assert(f(2) == 3f, "RGB channel count")
+    assert(math.abs(f(3) - 0.5f) < 1e-6 && math.abs(f(4) - 0.5f) < 1e-6 &&
+      math.abs(f(5) - 0.5f) < 1e-6, s"channel means ${f.toSeq}")
+    // luminance: red .299, green .587, blue .114, white 1.0 → mean 0.5
+    assert(math.abs(f(6) - 0.5f) < 1e-6, "mean luminance")
+    assert(math.abs(f(8) - 0.114f) < 1e-4 && math.abs(f(9) - 1.0f) < 1e-6, "min/max luminance")
+    assert(f(10) == 1f, "decoded flag")
+    assert(f(11) == 0f, "zero padding")
+  }
+
+  test("WavDecoder: real RIFF parse with hand-computed amplitude goldens") {
+    // constant +16384 (= 0.5 full-scale) mono at 8 kHz, 100 samples:
+    // rms = peak = mean|s| = 0.5 exactly; zero crossings = 0.
+    val n = 100
+    val data = new Array[Byte](44 + 2 * n)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0, 0x46464952); bb.putInt(4, 36 + 2 * n); bb.putInt(8, 0x45564157)
+    bb.putInt(12, 0x20746d66); bb.putInt(16, 16); bb.putShort(20, 1); bb.putShort(22, 1)
+    bb.putInt(24, 8000); bb.putInt(28, 16000); bb.putShort(32, 2); bb.putShort(34, 16)
+    bb.putInt(36, 0x61746164); bb.putInt(40, 2 * n)
+    (0 until n).foreach(i => bb.putShort(44 + 2 * i, 16384))
+    val f = new Multimodal.WavDecoder(12).features(data, "audio", 0, 0)
+    assert(f(0) == 8000f && f(1) == 100f && f(2) == 1f, "header fields")
+    assert(math.abs(f(3) - 0.5f) < 1e-6 && math.abs(f(4) - 0.5f) < 1e-6 &&
+      math.abs(f(6) - 0.5f) < 1e-6, s"rms/peak/mean ${f.toSeq}")
+    assert(f(5) == 0f, "no zero crossings in a constant signal")
+    assert(math.abs(f(7) - 0.0125f) < 1e-6, "duration 100/8000 s")
+    assert(f(10) == 1f, "decoded flag")
+    // alternating +/-16384 → a crossing at every sample after the first
+    (0 until n).foreach(i => bb.putShort(44 + 2 * i, if (i % 2 == 0) 16384 else -16384))
+    val g = new Multimodal.WavDecoder(12).features(data, "audio", 0, 0)
+    assert(math.abs(g(5) - (n - 1).toFloat / n) < 1e-6, "zero-crossing rate")
+  }
+
+  test("synthetic payloads round-trip through the real decoders") {
+    val dec = new Multimodal.JdkMediaDecoder(12)
+    (0L to 40L).foreach { id =>
+      if (id % 2 == 0) {
+        val (w, h) = Multimodal.imageDims(id)
+        val f = dec.features(Multimodal.syntheticPng(id), "image", 0, 0)
+        assert(f(0) == w.toFloat && f(1) == h.toFloat && f(10) == 1f,
+          s"id=$id decoded dims (${f(0)},${f(1)}) != generated ($w,$h)")
+      } else {
+        val (rate, nSamp) = Multimodal.wavParams(id)
+        val f = dec.features(Multimodal.syntheticWav(id), "audio", 0, 0)
+        assert(f(0) == rate.toFloat && f(1) == nSamp.toFloat && f(10) == 1f,
+          s"id=$id decoded (${f(0)},${f(1)}) != generated ($rate,$nSamp)")
+        // 0.5-amplitude sine: rms ≈ 0.5/√2, peak ≤ 0.5
+        assert(math.abs(f(3) - 0.3535f) < 0.02 && f(4) <= 0.5f + 1e-4, s"id=$id sine stats ${f.toSeq}")
+      }
+    }
+  }
+
+  test("malformed payloads degrade to the zero vector, never throw") {
+    val dec = new Multimodal.JdkMediaDecoder(12)
+    val junk = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    assert(dec.features(junk, "image", 0, 0).forall(_ == 0f))
+    assert(dec.features(junk, "audio", 0, 0).forall(_ == 0f))
+    assert(dec.features(Multimodal.syntheticPng(2L), "video", 0, 0).forall(_ == 0f),
+      "undecodable kind yields zeros")
+    assert(dec.features(Array.emptyByteArray, "audio", 0, 0).forall(_ == 0f))
   }
 }
