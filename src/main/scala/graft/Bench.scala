@@ -222,9 +222,15 @@ object Bench {
       // per-ingest-batch (docs arrive, standing queries match), so corpus
       // size is batch size, not index size.
       if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
-        val percDocs = synSearcher.index.docs.filter(col("doc_ord") < 50000)
-          .select(col("doc_ord").as("doc_id"), col("text")).cache()
-        percDocs.count()
+        // 3-point batch-size sweep: percolation cost must be ∝ batch size
+        // (flat per-doc cost) — the standing-query broadcast is shared, so
+        // a super-linear trend would mean the match plan hides a
+        // corpus-size dependence
+        val percSlices = Seq(10000, 50000, 200000).map { nn =>
+          nn -> synSearcher.index.docs.filter(col("doc_ord") < nn)
+            .select(col("doc_ord").as("doc_id"), col("text")).cache()
+        }
+        percSlices.foreach(_._2.count())
         val percQs = (0 until 200).map(i => graft.query.Percolator.StoredQuery(
           i.toLong,
           if (i % 2 == 0) "hot0 t005000" else "hot1 t009999 t003333",
@@ -246,15 +252,16 @@ object Bench {
         q1("q_collapse")(synSearcher.bm25TopKCollapse("hot0 t005000", "conv_id", 10).collect())
         q1("q_dismax")(synSearcher.disMaxTopK(
           Seq("hot0 t005000", "hot1 t009999"), 10, 0.3).collect())
-        q1("q_percolate_50k")(
-          graft.query.Percolator.matches(percDocs, percQs, analyzer).count())
+        for ((nn, dfp) <- percSlices)
+          q1(s"q_percolate_${nn / 1000}k")(
+            graft.query.Percolator.matches(dfp, percQs, analyzer).count())
         for (_ <- 0 until reps; (name, thunk) <- sf1) {
           val t0 = System.nanoTime()
           thunk()
           val dt = (System.nanoTime() - t0) / 1e9
           sf1Queries(name) = math.min(sf1Queries.getOrElse(name, Double.MaxValue), dt)
         }
-        percDocs.unpersist()
+        percSlices.foreach(_._2.unpersist())
         sf1Queries("n_turns") = synSearcher.index.numDocs.toDouble
       }
 
@@ -263,7 +270,7 @@ object Bench {
       // ~0.5 s/query floor (blocks-parquet re-read + dictionary job) that
       // made cold per-query WAND read slower than exhaustive above. Same
       // queries, same skip logic; pruning now shows through per query.
-      synSearcher.serving(pinDocs = true)
+      synSearcher.serving(pinDocs = true, pinPostings = true)
       timedBest("q_bm25_exhaustive_syn_pinned", reps)(
         wandQueries.foreach(q => synSearcher.bm25TopK(q, 10).collect()))
       timedBest("q_bm25_wand_syn_pinned", reps)(

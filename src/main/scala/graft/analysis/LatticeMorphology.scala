@@ -63,6 +63,8 @@ object LatticeMorphology {
     set(Verb, Aux, 0); set(Aux, Particle, 200); set(Aux, Bos, 0)
     set(Aux, Aux, 200)            // stacked auxiliaries: まし+た, でし+た
     set(Adj, Noun, 100); set(Noun, Adj, 400); set(Particle, Adj, 0)
+    set(Adj, Aux, 0)              // 高かっ+た, 面白く+ない(aux reading)
+    set(Adj, Particle, 200)       // 高けれ+ば, 高く+て
     // whitespace is transparent glue
     (0 until NumIds).foreach { i => set(i, Space, 0); set(Space, i, 0) }
     c
@@ -163,11 +165,14 @@ object LatticeMorphology {
 
   /** Demo entries plus [[CommonJaDict]]'s embedded general-vocabulary list
     * (hand-typed public dictionary data — readings and parts of speech are
-    * common knowledge, JMdict/IPADIC-style; no external fetch). Same
-    * mechanisms, broader coverage: everyday nouns, verb dictionary +
-    * continuative forms, adjectives, adverbs, auxiliaries, numerals. */
+    * common knowledge, JMdict/IPADIC-style; no external fetch) plus
+    * [[JaInflection]]'s generated conjugation rows (godan/ichidan verb
+    * paradigms, i-adjective forms, irregular する/来る — the same expansion
+    * a real MeCab dictionary precomputes). Same mechanisms, broader
+    * coverage: everyday nouns, full verb/adjective inflection, adverbs,
+    * auxiliaries, numerals. */
   lazy val extended: LatticeMorphology =
-    new LatticeMorphology(demoEntries ++ CommonJaDict.entries)
+    new LatticeMorphology(demoEntries ++ CommonJaDict.entries ++ JaInflection.entries)
 }
 
 /** See [[LatticeMorphology$]]. Instances are cheap serializable values; the

@@ -97,10 +97,33 @@ object DictProbe {
           require(hRows.forall(r => r.getAs[String]("term") == r.getAs[String]("term_mx")),
             "unexpected 64-bit term_h collision in probe corpus")
 
+          // (f) string-FREE vocab agg: the shuffle carries only longs
+          // (term_h -> df, cf); surface strings resolve in a SEPARATE
+          // shuffle-free pass (per-partition-distinct (term_h, term) pairs
+          // collected straight to the driver and deduped there — map-side
+          // payload is Σ per-partition distinct terms, bounded by
+          // vocab × partitions, and the pass itself scales with cores).
+          // If the dict stage's scaling floor were the string shuffle
+          // payload, this variant would scale where (b)/(d) do not.
+          val ((fStats, fStrings), tLongOnly) = t {
+            val stats = byTermDoc.groupBy(col("term_h"))
+              .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+              .limit(IndexBuilder.SmallVocabMax + 1).collect()
+            val strings = byTermDoc.select(col("term_h"), col("term")).rdd
+              .mapPartitions { it =>
+                val seen = new java.util.HashMap[Long, String]()
+                it.foreach(r => seen.putIfAbsent(r.getLong(0), r.getString(1)))
+                scala.jdk.CollectionConverters.MapHasAsScala(seen).asScala.iterator
+              }.collect().toMap
+            (stats, strings)
+          }
+          require(fStats.length == fStrings.size,
+            s"string-free agg: ${fStats.length} hashes vs ${fStrings.size} strings")
+
           println(f"PROBE cpus=$cpus rep=$rep docsCache=$tDocsCache%.2f " +
             f"ids(count+collect)=$tIds%.2f outCache+agg=$tOutCache%.2f " +
             f"bcastCached=$tBcast%.2f :: fusedLocal=$tFused%.2f bcastLocal=$tBcastLocal%.2f " +
-            f"fusedHashed=$tHashed%.2f (vocab=$cnt)")
+            f"fusedHashed=$tHashed%.2f longOnly=$tLongOnly%.2f (vocab=$cnt)")
           out.unpersist(); d.unpersist()
         }
         ordCleanup()

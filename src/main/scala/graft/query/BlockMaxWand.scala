@@ -90,6 +90,45 @@ object BlockMaxWand {
       .limit(k)
   }
 
+  /** Serving-mode single-query top-k: the same per-bucket WAND as [[topK]],
+    * run inside `mapPartitions` over a block table that is hash-partitioned
+    * by `bucket` (the serving pin repartitions once at pin time, so every
+    * bucket's rows sit wholly in one cached partition), with the
+    * ≤ k-per-bucket candidates merged on the driver. Per query this is ONE
+    * shuffle-free job over the cached blocks plus a k×buckets-row collect —
+    * versus [[topK]]'s groupByKey exchange + global sort-limit, whose
+    * multi-stage scheduling dominates interactive latency. Rank-identical
+    * to [[topK]]: same wand core, same (score desc, doc_ord asc) ordering.
+    */
+  def topKLocal(
+      blocks: Dataset[PostingBlockRow],
+      weights: Map[Long, Double],
+      k: Int,
+      params: BlockParams,
+      avgdl: Double,
+      metrics: Option[WandMetrics] = None
+  ): Array[(Long, Double)] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    require(k > 0, "k must be positive")
+    if (weights.isEmpty) return Array.empty
+    val ids = weights.keys.toSeq
+    val bw = spark.sparkContext.broadcast((weights, params, avgdl))
+    val cands = blocks
+      .filter(col("term_id").isin(ids: _*))
+      .mapPartitions { it =>
+        val (w, p, adl) = bw.value
+        it.toVector.groupBy(_.bucket).iterator.flatMap { case (_, rows) =>
+          val cursors = rows.groupBy(_.term_id).iterator.map {
+            case (tid, bs) => new Cursor(w(tid), bs.sortBy(_.min_doc), p, adl, metrics)
+          }.toArray
+          wand(cursors, k)
+        }
+      }
+      .collect()
+    cands.sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).take(k)
+  }
+
   /** BATCH top-k over the block table: evaluate a whole QUERY SET with one
     * plan — the realistic offline shape at 10^12 docs (per-query plans pay
     * fixed driver costs that do not shrink with cluster size; exhaustive

@@ -2,8 +2,9 @@ package graft.query
 
 import graft.analysis.Analyzer
 import graft.index.{BlockParams, PostingBlockRow, PostingBlocks, TextIndex}
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField}
 
 sealed trait Logic
 case object And extends Logic // `/root/reference/query.go:13-18` Logic=AND
@@ -156,6 +157,12 @@ final class Searcher(
     preBuiltBlocks.getOrElse(PostingBlocks.build(index, blockParams).cache())
 
   @volatile private var blocksPinned = false
+  /** Serving-mode block table, hash-repartitioned by doc bucket ONCE at pin
+    * time so every bucket's rows sit wholly in one cached partition — the
+    * precondition for the shuffle-free per-query [[BlockMaxWand.topKLocal]]
+    * path (one job, no exchange, k×buckets-row collect). */
+  @volatile private var servingByBucket: Option[Dataset[PostingBlockRow]] = None
+  @volatile private var postingsPinned = false
 
   /** The block table a single WAND query should scan: when the persisted
     * layout carries the (t_bucket, d_group) partition level and the blocks
@@ -167,6 +174,7 @@ final class Searcher(
     * cached table — the term_id filter inside BlockMaxWand prunes there. */
   private def blocksFor(rts: Seq[ResolvedTerm]): Dataset[PostingBlockRow] =
     preBuiltBlocksByTerm match {
+      case _ if servingByBucket.isDefined => servingByBucket.get
       case Some(raw) if !blocksPinned && rts.nonEmpty && rts.forall(_.bucket >= 0) =>
         raw.filter(col("t_bucket").isin(rts.map(_.bucket).distinct: _*) &&
             col("term_id").isin(rts.map(_.termId): _*))
@@ -210,15 +218,31 @@ final class Searcher(
     * Idempotent; returns this searcher. Pin lifetime = the index snapshot's:
     * call `unpin()` before dropping the searcher if the session lives on. */
   def serving(pinBlocks: Boolean = true, pinDocs: Boolean = true,
-      localDictMax: Int = 1000000): Searcher = {
-    if (pinBlocks) {
-      blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      blocks.count() // materialize now: first query should not pay the scan
+      localDictMax: Int = 1000000, pinPostings: Boolean = false): Searcher = {
+    if (pinBlocks && servingByBucket.isEmpty) {
+      // pin the blocks PRE-CLUSTERED by doc bucket: one shuffle at pin
+      // time buys every subsequent per-query WAND a shuffle-free plan
+      // (BlockMaxWand.topKLocal runs each bucket's heap inside its own
+      // cached partition and collects only k rows per bucket)
+      val byBucket = blocks.repartition(col("bucket"))
+      byBucket.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      byBucket.count() // materialize now: first query should not pay the scan
+      servingByBucket = Some(byBucket)
       blocksPinned = true
     }
     if (pinDocs) {
       index.docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       index.docs.count()
+    }
+    if (pinPostings && !postingsPinned) {
+      // the match/phrase/boolean surfaces read postings per query; a
+      // serving shard that fits its postings slice in storage memory
+      // removes that parquet re-read the same way the block pin does.
+      // Off by default: at 10^12 docs postings dwarf the block summaries —
+      // pin only when the shard's slice fits (the caller knows its shard).
+      index.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.postings.count()
+      postingsPinned = true
     }
     if (fullLocalDict.isEmpty && resolveLru.isEmpty) {
       // ONE driver count decides the shape; vocab-sized either way
@@ -248,11 +272,14 @@ final class Searcher(
     this
   }
 
-  /** Release serving-mode pins (blocks/docs persist + driver dictionary). */
+  /** Release serving-mode pins (blocks/docs/postings + driver dictionary). */
   def unpin(): Unit = {
     blocksPinned = false
+    servingByBucket.foreach(_.unpersist())
+    servingByBucket = None
     blocks.unpersist()
     index.docs.unpersist()
+    if (postingsPinned) { index.postings.unpersist(); postingsPinned = false }
     fullLocalDict = None
     resolveLru = None
   }
@@ -1450,9 +1477,39 @@ final class Searcher(
     val rts = resolve(qTerms)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
     val weights = rts.map(rt => rt.termId -> bm25Idf(rt.df)).toMap
-    val top = BlockMaxWand.topK(blocksFor(rts), weights, k, blockParams,
-      index.avgDocLen, metrics)
-    index.docs.join(top, "doc_ord").orderBy(desc("score"), asc("doc_ord"))
+    servingByBucket match {
+      case Some(pinned) =>
+        // serving fast path: one shuffle-free job over the bucket-pinned
+        // blocks collects the k winners, then ONE filter-fetch of exactly
+        // those docs (d_bucket-pruned when the layout carries it) — two
+        // cached-scan jobs per query, no exchange anywhere. The returned
+        // frame is a LocalRelation: the caller's collect costs zero jobs.
+        val local = BlockMaxWand.topKLocal(pinned, weights, k, blockParams,
+          index.avgDocLen, metrics)
+        if (local.isEmpty) return emptyDocs(withScore = true).limit(0)
+        val span = blockParams.bucketSpan
+        val docsSide =
+          if (index.docs.columns.contains("d_bucket") && span > 0)
+            index.docs.filter(col("d_bucket")
+              .isin(local.map(_._1 / span).distinct.toSeq: _*))
+          else index.docs
+        val cols = "doc_ord" +: docsSide.columns.filterNot(_ == "doc_ord").toSeq
+        val fetchDf = docsSide.select(cols.map(col): _*)
+          .filter(col("doc_ord").isin(local.map(_._1).toSeq: _*))
+        val byOrd = fetchDf.collect().map(r => r.getLong(0) -> r).toMap
+        val outRows: java.util.List[Row] = new java.util.ArrayList[Row]()
+        local.foreach { case (ord, score) =>           // already (score desc,
+          byOrd.get(ord).foreach { r =>                //  doc_ord asc)-sorted
+            outRows.add(Row.fromSeq(r.toSeq :+ score))
+          }
+        }
+        spark.createDataFrame(outRows,
+          fetchDf.schema.add(StructField("score", DoubleType, nullable = false)))
+      case None =>
+        val top = BlockMaxWand.topK(blocksFor(rts), weights, k, blockParams,
+          index.avgDocLen, metrics)
+        index.docs.join(top, "doc_ord").orderBy(desc("score"), asc("doc_ord"))
+    }
   }
 
   /** BATCH BM25 top-k: evaluate many queries in ONE DataFrame plan.

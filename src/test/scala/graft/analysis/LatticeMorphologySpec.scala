@@ -152,6 +152,64 @@ class LatticeMorphologySpec extends AnyFunSuite {
     assert(surfaces("spark で検索") == Seq("spark", "で", "検索"))
   }
 
+  // ---- inflection-table goldens (JaInflection generated rows) ------------
+
+  test("inflected: 昨日は寒かった (adjective タ接続 + past)") {
+    assert(surfaces("昨日は寒かった") == Seq("昨日", "は", "寒かっ", "た"))
+    assert(ext.analyze("寒かった").map(_._2) == Seq("サムカッ", "タ"))
+  }
+
+  test("inflected: この映画は面白くない (adjective plain negative)") {
+    assert(surfaces("この映画は面白くない") ==
+      Seq("この", "映画", "は", "面白くない"))
+  }
+
+  test("inflected: 本を読んで音楽を聞いた (godan euphonic stems ん/い)") {
+    assert(surfaces("本を読んで音楽を聞いた") ==
+      Seq("本", "を", "読ん", "で", "音楽", "を", "聞い", "た"))
+  }
+
+  test("inflected: 朝早く起きた (adjective 連用 + ichidan stem)") {
+    assert(surfaces("朝早く起きた") == Seq("朝", "早く", "起き", "た"))
+  }
+
+  test("inflected: 日本へ行かない (godan 未然 + negative auxiliary)") {
+    assert(surfaces("日本へ行かない") == Seq("日本", "へ", "行か", "ない"))
+  }
+
+  test("inflected: 新しい家を買った (godan っ euphonic stem)") {
+    assert(surfaces("新しい家を買った") == Seq("新しい", "家", "を", "買っ", "た"))
+  }
+
+  test("inflected: 友達と話しましょう (volitional polite)") {
+    assert(surfaces("友達と話しましょう") ==
+      Seq("友達", "と", "話し", "ましょう"))
+  }
+
+  test("inflected: 天気が良ければ散歩する (adjective 仮定 + ば)") {
+    assert(surfaces("天気が良ければ散歩する") ==
+      Seq("天気", "が", "良けれ", "ば", "散歩", "する"))
+  }
+
+  test("inflected: 魚を食べなかった (negative past stack)") {
+    assert(surfaces("魚を食べなかった") ==
+      Seq("魚", "を", "食べ", "なかっ", "た"))
+  }
+
+  test("inflected: 値段が高くて買えない (adjective 連用テ + potential-shaped stem)") {
+    assert(surfaces("値段が高くて買えない") ==
+      Seq("値段", "が", "高くて", "買え", "ない"))
+  }
+
+  test("inflected: 電車に乗って帰りました (て conjunction + curated 連用形)") {
+    assert(surfaces("電車に乗って帰りました") ==
+      Seq("電車", "に", "乗っ", "て", "帰り", "まし", "た"))
+  }
+
+  test("inflected: 行きません (polite negative ませ+ん)") {
+    assert(surfaces("行きません") == Seq("行き", "ませ", "ん"))
+  }
+
   test("deterministic across repeated runs (serializable value)") {
     val bytes = {
       val bo = new java.io.ByteArrayOutputStream()

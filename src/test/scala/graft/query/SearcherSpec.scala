@@ -653,6 +653,43 @@ class SearcherSpec extends SparkSpec {
     assert(s.resolve(Seq("ruby", "go", "nope", "php")) == coldResolve)
   }
 
+  test("serving mode: multi-bucket WAND fast path is rank-identical and runs ≤ 2 jobs/query") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // 24 docs over 6 doc buckets (bucketSpan=4) so the serving path's
+    // per-partition bucket heaps + driver merge actually merge, including
+    // score ties (repeated identical docs)
+    val bodies = (0 until 24).map { i =>
+      val extra = if (i % 3 == 0) " go" else if (i % 3 == 1) " ruby go" else ""
+      s"doc common$extra term$i"
+    }
+    val bp = graft.index.BlockParams(blockSize = 2, bucketSpan = 4)
+    val s = new Searcher(index(bodies, Analyzer.standard()), Analyzer.standard(), bp)
+    val queries = Seq("go ruby", "common term7", "go common", "nosuchterm", "term3")
+    val cold = queries.map(q => s.bm25TopKWand(q, 5)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    s.serving()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // warm one query first (first call may plan lazily), then count
+      s.bm25TopKWand(queries.head, 5).collect()
+      Thread.sleep(300); jobs.set(0)
+      val served = queries.map(q => s.bm25TopKWand(q, 5)
+        .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      assert(served == cold, "serving fast path must be bit-identical to the cold plan")
+      Thread.sleep(500)
+      val n = jobs.get()
+      // 4 resolvable queries × (1 wand job + 1 fetch job); the unknown-term
+      // query must run ZERO jobs (driver dictionary answers it)
+      assert(n <= 8, s"serving ran $n jobs for ${queries.size} queries — " +
+        "the shuffle-free 2-jobs-per-query contract regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    s.unpin()
+  }
+
   test("serving mode: LRU miss-through path (vocab > localDictMax) parity") {
     val s = new Searcher(
       index(Seq("Ruby PHP JS", "Go Ruby", "Ruby Go PHP", "Go PHP"),
