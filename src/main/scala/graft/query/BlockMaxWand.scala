@@ -129,6 +129,76 @@ object BlockMaxWand {
     cands.sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).take(k)
   }
 
+  /** Serving-mode match COUNT over the bucket-pinned block table (the
+    * `_count` / track_total_hits serving surface): per bucket, each term's
+    * blocks decode to doc-ascending lists (blocks are doc-disjoint, so
+    * concatenation in min_doc order is sorted) and a k-way sorted merge
+    * counts the intersection (AND) or union (OR) — one shuffle-free job,
+    * per-bucket partial counts summed on the driver. Count-identical to
+    * `matchQuery(...).count()` (spec-asserted): same postings content, set
+    * semantics independent of evaluation order. */
+  def matchCountLocal(
+      blocks: Dataset[PostingBlockRow],
+      termIds: Seq[Long],
+      requireAll: Boolean
+  ): Long = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    if (termIds.isEmpty) return 0L
+    val ids = termIds.distinct
+    val need = ids.size
+    blocks
+      .filter(col("term_id").isin(ids: _*))
+      .mapPartitions { it =>
+        var count = 0L
+        it.toVector.groupBy(_.bucket).iterator.foreach { case (_, rows) =>
+          val lists: Array[Array[Long]] = rows.groupBy(_.term_id).valuesIterator.map { bs =>
+            val sorted = bs.sortBy(_.min_doc)
+            val total = sorted.iterator.map(_.n).sum
+            val out = new Array[Long](total)
+            var o = 0
+            sorted.foreach { b =>
+              val d = PostingBlocks.decodeDocs(b)
+              System.arraycopy(d, 0, out, o, d.length); o += d.length
+            }
+            out
+          }.toArray
+          if (requireAll && lists.length < need) ()
+          else if (lists.length == 1) count += lists(0).length
+          else {
+            // k-way sorted merge: count docs present in all lists (AND) or
+            // in any list (OR)
+            val idx = new Array[Int](lists.length)
+            var live = true
+            while (live) {
+              var minDoc = Long.MaxValue
+              var present = 0
+              var i = 0
+              while (i < lists.length) {
+                if (idx(i) < lists(i).length) {
+                  val d = lists(i)(idx(i))
+                  if (d < minDoc) { minDoc = d; present = 1 }
+                  else if (d == minDoc) present += 1
+                }
+                i += 1
+              }
+              if (minDoc == Long.MaxValue) live = false
+              else {
+                if (!requireAll || present == need) count += 1
+                i = 0
+                while (i < lists.length) {
+                  if (idx(i) < lists(i).length && lists(i)(idx(i)) == minDoc) idx(i) += 1
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+        Iterator.single(count)
+      }
+      .collect().sum
+  }
+
   /** BATCH top-k over the block table: evaluate a whole QUERY SET with one
     * plan — the realistic offline shape at 10^12 docs (per-query plans pay
     * fixed driver costs that do not shrink with cluster size; exhaustive

@@ -162,6 +162,10 @@ final class Searcher(
     * precondition for the shuffle-free per-query [[BlockMaxWand.topKLocal]]
     * path (one job, no exchange, k×buckets-row collect). */
   @volatile private var servingByBucket: Option[Dataset[PostingBlockRow]] = None
+  /** Serving-mode postings view, re-clustered (t_bucket, term_id) and
+    * pinned — the term-major layout the per-query match/phrase probes
+    * want, versus the doc-range-major parquet layout deltas want. */
+  @volatile private var servingPostings: Option[DataFrame] = None
   @volatile private var postingsPinned = false
 
   /** The block table a single WAND query should scan: when the persisted
@@ -224,7 +228,11 @@ final class Searcher(
       // time buys every subsequent per-query WAND a shuffle-free plan
       // (BlockMaxWand.topKLocal runs each bucket's heap inside its own
       // cached partition and collects only k rows per bucket)
+      // term_id-sorted within each bucket partition: the cache's per-batch
+      // min/max stats then PRUNE the per-query term filter to the touched
+      // batches instead of decoding the whole pinned table per query
       val byBucket = blocks.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col("term_id"), col("min_doc"))
       byBucket.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       byBucket.count() // materialize now: first query should not pay the scan
       servingByBucket = Some(byBucket)
@@ -234,14 +242,24 @@ final class Searcher(
       index.docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       index.docs.count()
     }
-    if (pinPostings && !postingsPinned) {
+    if (pinPostings && servingPostings.isEmpty) {
       // the match/phrase/boolean surfaces read postings per query; a
       // serving shard that fits its postings slice in storage memory
-      // removes that parquet re-read the same way the block pin does.
+      // removes that parquet re-read the same way the block pin does —
+      // re-clustered by (t_bucket, term_id) at pin time so the cache's
+      // per-batch stats prune each query's term probe to the touched
+      // batches (the parquet layout is doc-range-major for delta locality;
+      // serving reads are term-major, so the pin re-sorts once).
       // Off by default: at 10^12 docs postings dwarf the block summaries —
       // pin only when the shard's slice fits (the caller knows its shard).
-      index.postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      index.postings.count()
+      val byTerm =
+        if (index.termBuckets > 0 && index.postings.columns.contains("t_bucket"))
+          index.postings.repartition(col("t_bucket"))
+            .sortWithinPartitions(col("t_bucket"), col("term_id"), col("doc_ord"))
+        else index.postings
+      byTerm.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      byTerm.count()
+      servingPostings = Some(byTerm)
       postingsPinned = true
     }
     if (fullLocalDict.isEmpty && resolveLru.isEmpty) {
@@ -279,7 +297,9 @@ final class Searcher(
     servingByBucket = None
     blocks.unpersist()
     index.docs.unpersist()
-    if (postingsPinned) { index.postings.unpersist(); postingsPinned = false }
+    servingPostings.foreach(_.unpersist())
+    servingPostings = None
+    postingsPinned = false
     fullLocalDict = None
     resolveLru = None
   }
@@ -396,7 +416,8 @@ final class Searcher(
     * (the Spark analogue of `GetInvertedIndexByTokenIDs`,
     * `/root/reference/storage_rdb_Impl.go:151-172`). */
   private def postingsFor(rts: Seq[ResolvedTerm]): DataFrame = {
-    val byId = index.postings.filter(col("term_id").isin(rts.map(_.termId): _*))
+    val src = servingPostings.getOrElse(index.postings)
+    val byId = src.filter(col("term_id").isin(rts.map(_.termId): _*))
     if (index.termBuckets > 0)
       byId.filter(col("t_bucket").isin(rts.map(_.bucket).distinct: _*))
     else byId
@@ -510,11 +531,25 @@ final class Searcher(
     * ordinal aggregation collapses straight into one count. The cheap
     * cardinality probe a caller runs before deciding to paginate, sample,
     * or facet a huge matched set. */
-  def countMatches(keyword: String, logic: Logic): Long =
-    matchedAgg(keyword, logic, ranked = false) match {
-      case None          => 0L
-      case Some(matched) => matched.count()
+  def countMatches(keyword: String, logic: Logic): Long = {
+    servingByBucket match {
+      case Some(pinned) =>
+        // serving fast path: one shuffle-free job over the bucket-pinned
+        // blocks (per-bucket sorted-merge counts, summed on the driver) —
+        // count-identical to the aggregation plan (spec-asserted)
+        val qTerms = analyzer.terms(keyword).distinct
+        if (qTerms.isEmpty) return 0L
+        val rts = resolve(qTerms)
+        if (logic == And && rts.size < qTerms.size) return 0L // unknown term
+        if (rts.isEmpty) return 0L
+        BlockMaxWand.matchCountLocal(pinned, rts.map(_.termId), logic == And)
+      case None =>
+        matchedAgg(keyword, logic, ranked = false) match {
+          case None          => 0L
+          case Some(matched) => matched.count()
+        }
     }
+  }
 
   /** OR match requiring at least `minShouldMatch` DISTINCT query terms per
     * doc — Elasticsearch `minimum_should_match` semantics (msm=1 ≡ plain OR,

@@ -667,6 +667,9 @@ class SearcherSpec extends SparkSpec {
     val queries = Seq("go ruby", "common term7", "go common", "nosuchterm", "term3")
     val cold = queries.map(q => s.bm25TopKWand(q, 5)
       .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    val countCases = Seq(("go ruby", Or), ("go common", And), ("common term7", And),
+      ("nosuchterm", Or), ("go nosuchterm", And), ("go go common", And))
+    val coldCounts = countCases.map { case (kw, lg) => s.matchQuery(kw, lg).count() }
     s.serving()
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new SparkListener {
@@ -686,6 +689,9 @@ class SearcherSpec extends SparkSpec {
       // query must run ZERO jobs (driver dictionary answers it)
       assert(n <= 8, s"serving ran $n jobs for ${queries.size} queries — " +
         "the shuffle-free 2-jobs-per-query contract regressed")
+      val servedCounts = countCases.map { case (kw, lg) => s.countMatches(kw, lg) }
+      assert(servedCounts == coldCounts,
+        s"block-local countMatches $servedCounts != aggregation plan $coldCounts")
     } finally spark.sparkContext.removeSparkListener(listener)
     s.unpin()
   }
