@@ -110,6 +110,39 @@ private[analysis] object JaInflection {
     ve("来", "キ"), ve("来れ", "クレ"), ve("来よう", "コヨウ"), ve("来い", "コイ")
   )
 
+  /** Additional common verbs NOT in the curated lists — single-sourced
+    * here: the dictionary form AND its paradigm both generate from this
+    * table. 'g' = godan, 'i' = ichidan. */
+  private val extraVerbs: Seq[(String, String, Char)] = Seq(
+    ("死ぬ", "シヌ", 'g'), ("打つ", "ウツ", 'g'), ("勝つ", "カツ", 'g'),
+    ("負ける", "マケル", 'i'), ("落とす", "オトス", 'g'), ("渡す", "ワタス", 'g'),
+    ("渡る", "ワタル", 'g'), ("通う", "カヨウ", 'g'), ("通る", "トオル", 'g'),
+    ("過ぎる", "スギル", 'i'), ("過ごす", "スゴス", 'g'), ("決める", "キメル", 'i'),
+    ("決まる", "キマル", 'g'), ("伝える", "ツタエル", 'i'), ("届ける", "トドケル", 'i'),
+    ("見せる", "ミセル", 'i'), ("借りる", "カリル", 'i'), ("貸す", "カス", 'g'),
+    ("返す", "カエス", 'g'), ("払う", "ハラウ", 'g'), ("拾う", "ヒロウ", 'g'),
+    ("捨てる", "ステル", 'i'), ("投げる", "ナゲル", 'i'), ("受ける", "ウケル", 'i'),
+    ("植える", "ウエル", 'i'), ("育てる", "ソダテル", 'i'), ("育つ", "ソダツ", 'g'),
+    ("生きる", "イキル", 'i'), ("生まれる", "ウマレル", 'i'), ("触る", "サワル", 'g'),
+    ("吸う", "スウ", 'g'), ("吹く", "フク", 'g'), ("鳴く", "ナク", 'g'),
+    ("光る", "ヒカル", 'g'), ("曲がる", "マガル", 'g'), ("曲げる", "マゲル", 'i'),
+    ("折る", "オル", 'g'), ("割る", "ワル", 'g'), ("割れる", "ワレル", 'i'),
+    ("並べる", "ナラベル", 'i'), ("手伝う", "テツダウ", 'g'), ("頼む", "タノム", 'g'),
+    ("断る", "コトワル", 'g'), ("謝る", "アヤマル", 'g'), ("褒める", "ホメル", 'i'),
+    ("驚く", "オドロク", 'g'), ("喜ぶ", "ヨロコブ", 'g'), ("怒る", "オコル", 'g'),
+    ("困る", "コマル", 'g'), ("疲れる", "ツカレル", 'i'), ("慣れる", "ナレル", 'i'),
+    ("比べる", "クラベル", 'i'), ("続ける", "ツヅケル", 'i'), ("足りる", "タリル", 'i'),
+    ("増やす", "フヤス", 'g'), ("減らす", "ヘラス", 'g'), ("直る", "ナオル", 'g'),
+    ("治る", "ナオル", 'g'), ("壊す", "コワス", 'g'), ("汚れる", "ヨゴレル", 'i'),
+    ("濡れる", "ヌレル", 'i'), ("乾く", "カワク", 'g'), ("凍る", "コオル", 'g'),
+    ("燃える", "モエル", 'i'), ("焼く", "ヤク", 'g'), ("焼ける", "ヤケル", 'i'),
+    ("混ぜる", "マゼル", 'i'), ("包む", "ツツム", 'g'), ("結ぶ", "ムスブ", 'g'),
+    ("開ける", "アケル", 'i'), ("閉じる", "トジル", 'i')
+  )
+
+  private def dictForm(surface: String, reading: String): Entry =
+    Entry(surface, Verb, Verb, 7000, "動詞", reading)
+
   /** i-adjective paradigm: 連用 (〜く), タ接続 (〜かっ), 連用テ (〜くて),
     * 仮定 (〜けれ), plain negative (〜くない). */
   def adjective(surface: String, reading: String): Seq[Entry] = {
@@ -150,10 +183,11 @@ private[analysis] object JaInflection {
   lazy val entries: Seq[Entry] = {
     val curated = (LatticeMorphology.demoEntries ++ CommonJaDict.entries)
       .map(e => (e.surface, e.pos)).toSet
-    val generated = verbClasses.flatMap {
+    val generated = (verbClasses ++ extraVerbs).flatMap {
       case (s, r, 'g') => godan(s, r)
       case (s, r, _)   => ichidan(s, r)
-    } ++ irregular ++ adjForms ++ glue
+    } ++ extraVerbs.map { case (s, r, _) => dictForm(s, r) } ++
+      irregular ++ adjForms ++ glue
     generated
       .filterNot(e => curated((e.surface, e.pos)))
       .distinctBy(e => (e.surface, e.pos))

@@ -210,6 +210,25 @@ class LatticeMorphologySpec extends AnyFunSuite {
     assert(surfaces("行きません") == Seq("行き", "ませ", "ん"))
   }
 
+  test("round-5 vocabulary: 経済の状況を調べます") {
+    assert(surfaces("経済の状況を調べます") ==
+      Seq("経済", "の", "状況", "を", "調べ", "ます"))
+  }
+
+  test("round-5 vocabulary: 風邪が治りました (generated godan 連用形)") {
+    assert(surfaces("風邪が治りました") ==
+      Seq("風邪", "が", "治り", "まし", "た"))
+  }
+
+  test("round-5 vocabulary: 珍しい鳥が鳴いた (new adjective + generated euphonic stem)") {
+    assert(surfaces("珍しい鳥が鳴いた") == Seq("珍しい", "鳥", "が", "鳴い", "た"))
+  }
+
+  test("round-5 vocabulary: 友達と約束を結んだ -> 結ん recognized (ぶ euphonic ん)") {
+    // んだ (voiced た) is not modeled — assert the stem segmentation only
+    assert(surfaces("約束を結んで").take(3) == Seq("約束", "を", "結ん"))
+  }
+
   test("deterministic across repeated runs (serializable value)") {
     val bytes = {
       val bo = new java.io.ByteArrayOutputStream()
