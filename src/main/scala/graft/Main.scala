@@ -69,7 +69,7 @@ object Main {
   }
 
   private val usage: String =
-    """usage: graft.Main <build|delta|remove|search|batch|vacuum|compact|stats> [options]
+    """usage: graft.Main <build|delta|remove|search|serve|batch|vacuum|compact|stats> [options]
       |  build  --input <parquet> --index <path> [--text-col text]
       |         [--analyzer standard|stem|ngram:N] [--stopwords a,b,c]
       |         [--fold true] [--synonyms term=canonical,term2=canonical2]
@@ -101,6 +101,11 @@ object Main {
       |          comma-separated --index paths federate independently built
       |          slices — global stats merged, every mode except context;
       |          expansion/dictionary modes use the merged global vocabulary)
+      |  serve  --index <path> [--queries <file; default stdin>] [--k 10]
+      |         [--limit 20] [--pin-postings true]
+      |         (interactive loop: pin once, answer `mode<TAB>query` lines;
+      |          modes wand|count-and|count-or|and|or|phrase; bare lines =
+      |          wand top-k; per-query latency after each answer)
       |  batch  --index <path>[,<path>…] --queries <text file, one query per line>
       |         [--k 10] [--mode wand|bm25]
       |         (comma-separated --index paths federate the query-set replay
@@ -127,6 +132,7 @@ object Main {
         case "delta"  => delta(spark, req("input"), req("index"), opts, out)
         case "remove" => remove(spark, req("input"), req("index"), opts, out)
         case "search" => search(spark, req("index"), req("query"), opts, out)
+        case "serve"  => serve(spark, req("index"), opts, out)
         case "batch"  => batchSearch(spark, req("index"), req("queries"), opts, out)
         case "vacuum" =>
           val deleted = ParquetIndexStorage.vacuum(spark, req("index"))
@@ -307,6 +313,55 @@ object Main {
           "(pass the SAME --analyzer/--stopwords the index was built with)")
     }
     analyzer
+  }
+
+  /** Interactive serving loop (the deployment shape `Searcher.serving()`
+    * exists for): pin ONCE, then answer a stream of queries — from
+    * `--queries <file>` or stdin, one per line as `mode<TAB>query` (bare
+    * lines default to wand top-k). Modes: `wand` (pinned bucket-local
+    * top-k), `count-and` / `count-or` (block-local hit counts), `and` /
+    * `or` / `phrase` (full match rows). A per-query latency line follows
+    * each answer. spark-submit keeps the session alive for the loop's
+    * lifetime; the pins die with it. */
+  private def serve(spark: SparkSession, index: String,
+      opts: Map[String, String], out: String => Unit): Unit = {
+    val analyzer = checkAnalyzer(index, opts)
+    val k = opts.get("k").map(_.toInt).getOrElse(10)
+    val limit = opts.get("limit").map(_.toInt).getOrElse(20)
+    val searcher = Searcher(ParquetIndexStorage.read(spark, index), analyzer)
+    searcher.serving(pinDocs = true,
+      pinPostings = opts.get("pin-postings").exists(_.toBoolean))
+    val src = opts.get("queries") match {
+      case Some(f) => scala.io.Source.fromFile(f)
+      case None    => scala.io.Source.stdin
+    }
+    try {
+      for (line <- src.getLines().map(_.trim)
+           if line.nonEmpty && !line.startsWith("#")) {
+        val (mode, query) = line.split("\t", 2) match {
+          case Array(m, q) => (m, q)
+          case _           => ("wand", line)
+        }
+        val t0 = System.nanoTime()
+        mode match {
+          case "count-and" => out(s"count\t${searcher.countMatches(query, And)}")
+          case "count-or"  => out(s"count\t${searcher.countMatches(query, Or)}")
+          case "wand"   => printDocs(searcher.bm25TopKWand(query, k),
+            ranked = true, Seq("doc_ord"), out)
+          case "and"    => printDocs(searcher.matchQuery(query, And).limit(limit),
+            ranked = false, Seq("doc_ord"), out)
+          case "or"     => printDocs(searcher.matchQuery(query, Or).limit(limit),
+            ranked = false, Seq("doc_ord"), out)
+          case "phrase" => printDocs(searcher.phraseQuery(query).limit(limit),
+            ranked = false, Seq("doc_ord"), out)
+          case other    => out(s"error: unknown serve mode '$other'")
+        }
+        out(f"# ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+      }
+    } finally {
+      src.close()
+      searcher.unpin()
+    }
   }
 
   private def search(spark: SparkSession, index: String, query: String,

@@ -356,6 +356,42 @@ class MainSpec extends SparkSpec {
     assert(cn == 0 && outn.exists(_.contains("\"groups\":[]")), outn.mkString("\n"))
   }
 
+  test("serve loop answers a mixed query stream from one pinned searcher") {
+    // queries file: bare line = wand top-k; mode<TAB>query otherwise
+    val qf = java.nio.file.Files.createTempFile("graft_serve_", ".txt")
+    java.nio.file.Files.writeString(qf, Seq(
+      "spark join",                       // wand top-k (default mode)
+      "count-and\tspark join",            // block-local count
+      "count-or\tshuffle tuning",
+      "and\tspark join",
+      "phrase\tjoin table",
+      "# comment and blank lines skipped",
+      "",
+      "nosuchmode\tq"
+    ).mkString("\n"))
+    val (code, out) = captured("serve", "--index", idx,
+      "--queries", qf.toString, "--k", "3")
+    assert(code == 0, out.mkString("\n"))
+    val latencyLines = out.count(_.startsWith("# "))
+    assert(latencyLines == 6, s"one latency line per query:\n${out.mkString("\n")}")
+    assert(out.exists(_.contains("unknown serve mode")))
+    // expectations derive from the COLD search CLI on the same index state
+    // (earlier CLI tests delta/remove/compact this index — absolute row
+    // counts would pin a stale corpus)
+    val (_, coldWand) = captured("search", "--index", idx,
+      "--query", "spark join", "--mode", "wand", "--k", "3")
+    val wandHdr = out.indexWhere(_.startsWith("doc_ord"))
+    val wandRows = out.slice(wandHdr + 1, wandHdr + coldWand.length)
+    assert(wandRows.map(_.split("\t").take(2).toSeq) ==
+      coldWand.drop(1).map(_.split("\t").take(2).toSeq),
+      s"serve wand must be bit-identical to cold search wand:\n" +
+        s"${wandRows.mkString("\n")}\nvs\n${coldWand.drop(1).mkString("\n")}")
+    val (_, coldAnd) = captured("search", "--index", idx,
+      "--query", "spark join", "--mode", "and")
+    assert(out.contains(s"count\t${coldAnd.length - 1}"),
+      s"block-local count must equal the cold AND row count ${coldAnd.length - 1}")
+  }
+
   test("bad invocations return exit code 2 with usage") {
     assert(captured()._1 == 2)
     assert(captured("frobnicate")._1 == 2)

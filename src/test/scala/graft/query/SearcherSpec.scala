@@ -696,6 +696,35 @@ class SearcherSpec extends SparkSpec {
     s.unpin()
   }
 
+  test("randomized serving-vs-cold parity battery (topKLocal + matchCountLocal)") {
+    // seeded random corpora × random block geometries: the serving fast
+    // paths (bucket-local WAND, block-local counts) must be bit-identical
+    // to the cold plans on every draw — small vocab forces score ties, so
+    // the tie ordering is exercised, and tiny blockSize/bucketSpan force
+    // multi-block, multi-bucket merges
+    for (seed <- Seq(7L, 21L, 63L)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(30)(i => s"w$i")
+      val bodies = Vector.fill(40 + rnd.nextInt(40))(
+        Vector.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val bp = graft.index.BlockParams(
+        blockSize = 1 + rnd.nextInt(4), bucketSpan = 2 + rnd.nextInt(8))
+      val s = new Searcher(index(bodies, Analyzer.standard()), Analyzer.standard(), bp)
+      val queries = Vector.fill(8)(
+        Vector.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) :+
+        "w0 nosuchword" :+ "w1 w1 w2"
+      def tops() = queries.map(q => s.bm25TopKWand(q, 5).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+      def counts(lg: Logic) = queries.map(q => s.matchQuery(q, lg).count())
+      val (coldTop, coldAnd, coldOr) = (tops(), counts(And), counts(Or))
+      s.serving()
+      assert(tops() == coldTop, s"seed $seed: serving top-k diverged")
+      assert(queries.map(q => s.countMatches(q, And)) == coldAnd, s"seed $seed AND counts")
+      assert(queries.map(q => s.countMatches(q, Or)) == coldOr, s"seed $seed OR counts")
+      s.unpin()
+    }
+  }
+
   test("serving mode: LRU miss-through path (vocab > localDictMax) parity") {
     val s = new Searcher(
       index(Seq("Ruby PHP JS", "Go Ruby", "Ruby Go PHP", "Go PHP"),
