@@ -686,6 +686,30 @@ object SparkEntry {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))),
 
+    "ft_bm25_topk_wand_serving" -> ((s, d) => { // the SERVING fast path
+      // (bucket-local WAND + LocalRelation fetch) against the same
+      // exhaustive oracle SQL verbatim — rank identity of the pinned
+      // plan proved end-to-end, not just spec-to-spec
+      val sc = searcher(s, d)
+      sc.serving(pinDocs = true)
+      try sc.bm25TopKWand("spark join table", 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+      finally sc.unpin() // fast-path result is a LocalRelation — safe
+    }),
+
+    "ft_count_serving" -> ((s, d) => { // block-local count fast path vs
+      // the same _count oracle verbatim
+      import s.implicits._
+      val sc = searcher(s, d)
+      sc.serving(pinDocs = false)
+      try Seq((sc.countMatches("spark join", And),
+        sc.countMatches("vector window", Or),
+        sc.countMatches("zzzunknown", Or)))
+        .toDF("n_and", "n_or", "n_unknown")
+      finally sc.unpin()
+    }),
+
     "ft_bm25_batch_wand" -> ((s, d) => // batch + WAND combined, one plan
       searcher(s, d).bm25TopKBatchWand(Seq("spark join", "vector window"), k = 20)
         .select(col("q_id"), col("rank"), col("doc_ord").as("doc_id"),
@@ -2755,6 +2779,10 @@ object SparkEntry {
     "ft_federated_highlight" -> oracleSqlBase("ft_highlight"),
     "ft_federated_snippet" -> oracleSqlBase("ft_snippet"),
     "ft_federated_count" -> oracleSqlBase("ft_count"),
+    // serving fast paths (round 5): same oracle SQL verbatim as their
+    // cold twins — the pinned plans must be answer-identical
+    "ft_bm25_topk_wand_serving" -> oracleSqlBase("ft_bm25_topk_wand"),
+    "ft_count_serving" -> oracleSqlBase("ft_count"),
     "ft_federated_facets" -> oracleSqlBase("ft_facets"),
     "ft_federated_facet_stats" -> oracleSqlBase("ft_facet_stats"),
     "ft_federated_facet_hist" -> oracleSqlBase("ft_facet_hist"),
