@@ -2,7 +2,7 @@ package graft
 
 import graft.analysis.Analyzer
 import graft.index.{BlockParams, IndexBuilder}
-import graft.ops.{Dedup, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
 import graft.query.{And, Or, Searcher}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -140,6 +140,9 @@ object Bench {
     // shrink the chunk keys and blow up bucket sizes (documented in Dedup)
     q("op_dedup_simhash")(Dedup.simhashPairs(docs, maxHamming = 3).count())
     q("op_text_quality")(TextStats.quality(docs).count())
+    q("op_mm_decode")( // real PNG/WAV decode, batched one decoder per task
+      Multimodal.extractFeatures(Multimodal.withRealMedia(docs),
+        new Multimodal.JdkMediaDecoder(12)).count())
     q("op_ann_brute")(
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 10).count())
     q("op_ann_lsh")(
