@@ -1047,6 +1047,9 @@ object SparkEntry {
     "text_quality" -> ((s, d) =>
       TextStats.quality(docsTable(s, d)).orderBy("doc_id")),
 
+    "text_c4_rules" -> ((s, d) => // C4 cleaning heuristics, doc-level
+      TextStats.c4Signals(docsTable(s, d)).orderBy("doc_id")),
+
     "text_langid" -> ((s, d) =>
       TextStats.langId(docsTable(s, d)).orderBy("doc_id")),
 
@@ -2413,6 +2416,25 @@ object SparkEntry {
          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    - len($toksSql)::BIGINT) // 500)::BIGINT AS chunk_id
          |FROM documents ORDER BY source, doc_id""".stripMargin,
+
+    "text_c4_rules" -> // C4 cleaning heuristics (Raffel et al. 2020):
+      // a line counts iff it ends in terminal punctuation and has >= 5
+      // whitespace words; keep iff >= 3 counting lines, no lorem ipsum,
+      // no curly brace. Line splitting / trimming / regex anchoring must
+      // agree exactly with the Spark columns.
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)), l ->
+        |      regexp_matches(trim(l), '[.!?"]$')
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5))::BIGINT AS n_kept_lines,
+        |    (CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END)::BIGINT AS has_lorem,
+        |    (CASE WHEN contains(text, '{') THEN 1 ELSE 0 END)::BIGINT AS has_brace
+        |  FROM documents)
+        |SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
+        |  (CASE WHEN n_kept_lines >= 3 AND has_lorem = 0 AND has_brace = 0
+        |        THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

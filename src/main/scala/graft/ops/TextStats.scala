@@ -24,6 +24,29 @@ object TextStats {
   private val stopWords =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
+  /** C4-style corpus-cleaning signals (Raffel et al. 2020, the "Colossal
+    * Clean Crawled Corpus" heuristics, doc-level over the line structure):
+    * a line COUNTS only if it ends in terminal punctuation and has ≥ 5
+    * words; a document KEEPS only if ≥ 3 lines count, it contains no
+    * "lorem ipsum" placeholder, and no curly brace (the code/JS heuristic).
+    * All native codegen'd columns — split / higher-order filter / rlike —
+    * zero shuffles: a 100 TB cleaning pass is one map-only scan whose
+    * output predicate pushes into the next stage's parquet write. Flags
+    * surface as 0/1 longs so the decision thresholds stay auditable. */
+  def c4Signals(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") && size(split(trim(l), "\\s+")) >= lit(5))
+    val hasLorem = lower(col(textCol)).contains("lorem ipsum")
+    val hasBrace = col(textCol).contains("{")
+    docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      hasLorem.cast("long").as("has_lorem"),
+      hasBrace.cast("long").as("has_brace"),
+      (size(kept) >= 3 && !hasLorem && !hasBrace).cast("long").as("keep"))
+  }
+
   /** Heuristic quality signals: length, mean token length, stop-word ratio,
     * alphabetic ratio, and a composite score. Deterministic, SQL-replicable. */
   def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

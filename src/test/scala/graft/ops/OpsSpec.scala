@@ -116,6 +116,30 @@ class OpsSpec extends SparkSpec {
     assert(fr(8L) == 0L)
   }
 
+  test("C4 cleaning signals: hand-computed line rules and keep decisions") {
+    val d = Seq(
+      // 3 qualifying lines (terminal punct + >= 5 words) -> keep
+      (0L, "one two three four five.\nsix seven eight nine ten!\nis this a real question?"),
+      // qualifying count 2 (short line and no-punct line don't count) -> drop
+      (1L, "one two three four five.\ntoo short.\nno terminal punctuation here\nsix seven eight nine ten?"),
+      // placeholder text -> drop even with enough lines
+      (2L, "Lorem ipsum dolor sit amet consectetur.\none two three four five.\nsix seven eight nine ten."),
+      // brace heuristic -> drop
+      (3L, "function f() { return 1; }\none two three four five.\nsix seven eight nine ten.\na b c d e f."),
+      (4L, ""), // empty: 1 line (split yields [""]), nothing qualifies
+      // trailing quote counts as terminal punctuation
+      (5L, "he said \"one two three four five.\"\nshe said \"six seven eight nine ten.\"\nthey said \"a b c d e.\"")
+    ).toDF("doc_id", "text")
+    val got = TextStats.c4Signals(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got(0) == ((0L, 3L, 3L, 0L, 0L, 1L)), s"doc0 ${got(0)}")
+    assert(got(1) == ((1L, 4L, 2L, 0L, 0L, 0L)), s"doc1 ${got(1)}")
+    assert(got(2) == ((2L, 3L, 3L, 1L, 0L, 0L)), s"doc2 ${got(2)}")
+    assert(got(3) == ((3L, 4L, 3L, 0L, 1L, 0L)), s"doc3 ${got(3)}")
+    assert(got(4) == ((4L, 1L, 0L, 0L, 0L, 0L)), s"doc4 ${got(4)}")
+    assert(got(5) == ((5L, 3L, 3L, 0L, 0L, 1L)), s"doc5 ${got(5)}")
+  }
+
   test("repetition signals: dup-line and top-bigram ratios, hand-computed") {
     val d = Seq(
       (0L, "alpha beta\nalpha beta\ngamma"), // 3 lines, 2 distinct; bigrams:
