@@ -1050,6 +1050,9 @@ object SparkEntry {
     "text_c4_rules" -> ((s, d) => // C4 cleaning heuristics, doc-level
       TextStats.c4Signals(docsTable(s, d)).orderBy("doc_id")),
 
+    "text_gopher_rules" -> ((s, d) => // Gopher quality thresholds
+      TextStats.gopherSignals(docsTable(s, d)).orderBy("doc_id")),
+
     "text_langid" -> ((s, d) =>
       TextStats.langId(docsTable(s, d)).orderBy("doc_id")),
 
@@ -2434,6 +2437,56 @@ object SparkEntry {
         |SELECT doc_id, n_lines, n_kept_lines, has_lorem, has_brace,
         |  (CASE WHEN n_kept_lines >= 3 AND has_lorem = 0 AND has_brace = 0
         |        THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_rules" -> // Gopher A1.1 thresholds; word splitting, the
+      // 8 indicator stop words, symbol/bullet/ellipsis definitions, and
+      // rounding must agree exactly with the Spark columns
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    len(words)::BIGINT AS n_words,
+        |    CASE WHEN len(words) > 0 THEN
+        |      list_sum(list_transform(words, x -> length(x)::DOUBLE)) / len(words)
+        |      ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN len(words) > 0 THEN
+        |      len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words)
+        |      ELSE 0.0 END AS alpha_word_ratio,
+        |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END
+        |    )::BIGINT AS n_stop_kinds,
+        |    CASE WHEN len(words) > 0 THEN
+        |      (length(text) - length(replace(replace(text, '#', ''), '…', '')))::DOUBLE / len(words)
+        |      ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      len(list_filter(lines, l -> starts_with(ltrim(l), '•')
+        |        OR starts_with(ltrim(l), '- ')))::DOUBLE / len(lines)
+        |      ELSE 0.0 END AS bullet_line_ratio,
+        |    CASE WHEN len(lines) > 0 THEN
+        |      len(list_filter(lines, l -> ends_with(rtrim(l), '…')
+        |        OR ends_with(rtrim(l), '...')))::DOUBLE / len(lines)
+        |      ELSE 0.0 END AS ellipsis_line_ratio
+        |  FROM w)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |  round(alpha_word_ratio, 6) AS alpha_word_ratio, n_stop_kinds,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(bullet_line_ratio, 6) AS bullet_line_ratio,
+        |  round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+        |  (CASE WHEN n_words BETWEEN 50 AND 100000
+        |        AND mean_word_len BETWEEN 3.0 AND 10.0
+        |        AND symbol_ratio < 0.1 AND bullet_line_ratio < 0.9
+        |        AND ellipsis_line_ratio < 0.3 AND alpha_word_ratio >= 0.8
+        |        AND n_stop_kinds >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->

@@ -47,6 +47,51 @@ object TextStats {
       (size(kept) >= 3 && !hasLorem && !hasBrace).cast("long").as("keep"))
   }
 
+  /** Gopher quality-filter signals (Rae et al. 2021, Appendix A1.1 "Text
+    * quality filtering"): word count, mean word length, symbol-to-word
+    * ratio (# and … per the paper), bullet-line and ellipsis-line ratios,
+    * fraction of words with an alphabetic character, and presence of the
+    * paper's eight indicator stop words; `keep` applies the published
+    * thresholds (50 ≤ words ≤ 100k, mean len in [3,10], symbol ratio
+    * < 0.1, bullet lines < 90%, ellipsis lines < 30%, ≥ 80% alpha words,
+    * ≥ 2 stop-word kinds). Native codegen'd columns, zero shuffles. */
+  def gopherSignals(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val words = filter(split(trim(text), "\\s+"), w => w =!= lit(""))
+    val wl = transform(words, w => lower(w))
+    val nWords = size(words)
+    val nLines = size(lines)
+    val meanLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val alphaRatio = when(nWords > 0,
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    val stopKinds = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(sw => array_contains(wl, sw).cast("long")).reduce(_ + _)
+    val nSym = length(text) - length(translate(text, "#…", ""))
+    val symRatio = when(nWords > 0, nSym.cast("double") / nWords).otherwise(lit(0.0))
+    val bulletRatio = when(nLines > 0,
+      size(filter(lines, l => ltrim(l).startsWith("•") || ltrim(l).startsWith("- ")))
+        .cast("double") / nLines).otherwise(lit(0.0))
+    val ellipsisRatio = when(nLines > 0,
+      size(filter(lines, l => rtrim(l).endsWith("…") || rtrim(l).endsWith("...")))
+        .cast("double") / nLines).otherwise(lit(0.0))
+    docs.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      stopKinds.as("n_stop_kinds"),
+      round(symRatio, 6).as("symbol_ratio"),
+      round(bulletRatio, 6).as("bullet_line_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_line_ratio"),
+      (nWords >= 50 && nWords <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio < 0.1 && bulletRatio < 0.9 && ellipsisRatio < 0.3 &&
+        alphaRatio >= 0.8 && stopKinds >= 2).cast("long").as("keep"))
+  }
+
   /** Heuristic quality signals: length, mean token length, stop-word ratio,
     * alphabetic ratio, and a composite score. Deterministic, SQL-replicable. */
   def quality(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -140,6 +140,37 @@ class OpsSpec extends SparkSpec {
     assert(got(5) == ((5L, 3L, 3L, 0L, 0L, 1L)), s"doc5 ${got(5)}")
   }
 
+  test("Gopher quality signals: hand-computed thresholds and keep decisions") {
+    // doc0: 52 words (13 × 4-word sentence), mean len in range, stop words
+    // "the"+"of" present, no symbols/bullets/ellipses -> keep
+    val good = Array.fill(13)("the cost of work.").mkString(" ")
+    val d = Seq(
+      (0L, good),
+      (1L, "short doc only."),                          // < 50 words -> drop
+      (2L, good + " ####### ##### ### ## #"),           // symbol ratio over 0.1
+      (3L, Array.fill(30)("• bullet line").mkString("\n")), // all bullet lines
+      (4L, ""),                                         // empty
+      (5L, Array.fill(52)("zz9!").mkString(" "))        // no alpha... wait zz has alpha
+    ).toDF("doc_id", "text")
+    val got = TextStats.gopherSignals(d).orderBy("doc_id").collect()
+    // doc0
+    assert(got(0).getLong(1) == 52L, s"n_words ${got(0)}")
+    assert(math.abs(got(0).getDouble(2) - (13 * (3 + 4 + 2 + 5)).toDouble / 52) < 1e-6,
+      "mean word length (the=3, cost=4, of=2, work.=5)")
+    assert(got(0).getDouble(3) == 1.0 && got(0).getLong(4) == 2L)
+    assert(got(0).getLong(8) == 1L, s"doc0 must keep: ${got(0)}")
+    // doc1: too few words
+    assert(got(1).getLong(1) == 3L && got(1).getLong(8) == 0L)
+    // doc2: 5 extra "words" of 17 '#' -> symbol ratio 17/57 > 0.1
+    assert(got(2).getDouble(5) > 0.1 && got(2).getLong(8) == 0L, s"doc2 ${got(2)}")
+    // doc3: every line is a bullet -> ratio 1.0, drop
+    assert(got(3).getDouble(6) == 1.0 && got(3).getLong(8) == 0L)
+    // doc4: empty -> zeros, drop
+    assert(got(4).getLong(1) == 0L && got(4).getLong(8) == 0L)
+    // doc5: 52 identical words, no indicator stop words -> drop on that rule
+    assert(got(5).getLong(4) == 0L && got(5).getLong(8) == 0L)
+  }
+
   test("repetition signals: dup-line and top-bigram ratios, hand-computed") {
     val d = Seq(
       (0L, "alpha beta\nalpha beta\ngamma"), // 3 lines, 2 distinct; bigrams:
