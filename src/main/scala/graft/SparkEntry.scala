@@ -950,6 +950,16 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(docsTable(s, d), threshold = 0.05,
         numHashes = 16, bands = 8, shingleN = 3).orderBy("id_a", "id_b")),
 
+    "dedup_ngram_overlap" -> ((s, d) => { // GPT-3-style EXACT n-gram-overlap
+      // decontamination signal vs the eval slice (doc_id % 5 == 0):
+      // per-train-doc window counts + hit counts, portable fingerprints
+      val docs = docsTable(s, d)
+      Dedup.ngramDecontaminate(
+        docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+        n = 5, portable = true)
+        .orderBy("doc_id")
+    }),
+
     "dedup_decontaminate" -> ((s, d) => { // training docs surviving near-dup
       // decontamination against a reference/eval slice (doc_id % 5 == 0);
       // portable twin end-to-end like dedup_minhash_pairs
@@ -2514,6 +2524,28 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
          |  round(pd.avg_logp, 6) AS avg_logp
          |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_overlap" -> // GPT-3-style exact-overlap decontamination:
+      // a train doc (doc_id % 5 <> 0) is contaminated iff any 5-token
+      // window fingerprint also occurs in the eval slice (doc_id % 5 = 0)
+      s"""WITH tr AS (SELECT doc_id, $toksSql AS arr FROM documents WHERE doc_id % 5 <> 0),
+         |ev AS (SELECT $toksSql AS arr FROM documents WHERE doc_id % 5 = 0),
+         |evw AS (SELECT DISTINCT ${portable60Sql("w")} AS h FROM (
+         |  SELECT unnest(CASE WHEN len(arr) < 5 THEN [] ELSE
+         |    list_transform(range(1, len(arr) - 3), i -> array_to_string(arr[i:i+4], ' ')) END) AS w
+         |  FROM ev)),
+         |tw AS (SELECT doc_id, ${portable60Sql("w")} AS h FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(arr) < 5 THEN [] ELSE
+         |    list_transform(range(1, len(arr) - 3), i -> array_to_string(arr[i:i+4], ' ')) END) AS w
+         |  FROM tr)),
+         |pd AS (SELECT tw.doc_id, count(*)::BIGINT AS n_spans,
+         |         sum(CASE WHEN evw.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_spans
+         |       FROM tw LEFT JOIN evw ON tw.h = evw.h GROUP BY tw.doc_id)
+         |SELECT d.doc_id, coalesce(pd.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(pd.n_hit_spans, 0)::BIGINT AS n_hit_spans,
+         |  (CASE WHEN coalesce(pd.n_hit_spans, 0) > 0 THEN 1 ELSE 0 END)::BIGINT AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+         |LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_spans" -> // portable-60 fingerprints of every 6-token window;
       // a fingerprint in >1 distinct doc marks the span duplicated

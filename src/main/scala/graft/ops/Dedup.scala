@@ -78,14 +78,20 @@ object Dedup {
     * construction, ~one row per token). `portable = true` swaps xxhash64
     * for the 60-bit polynomial fold so a SQL oracle reproduces the exact
     * fingerprints (collisions and all). */
+  /** Every window of `n` consecutive normalized tokens as a space-joined
+    * string column (empty array for docs shorter than `n`). */
+  private def tokenWindows(textCol: Column, n: Int): Column = {
+    val toks = TextStats.tokensCol(textCol)
+    val cnt = size(toks) - lit(n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
   def duplicateSpans(docs: DataFrame, n: Int = 6, idCol: String = "doc_id",
       textCol: String = "text", portable: Boolean = false): DataFrame = {
     require(n >= 2, s"span window must be >= 2 tokens, got $n")
-    val toks = TextStats.tokensCol(col(textCol))
-    val cnt = size(toks) - lit(n - 1)
-    val wins = when(cnt <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val wins = tokenWindows(col(textCol), n)
     val spanRows = docs
       .select(col(idCol).as("doc_id"), explode(wins).as("w"))
       .select(col("doc_id"),
@@ -331,6 +337,49 @@ object Dedup {
       shingleN, idCol, textCol, seed, portable)
       .select(col("train_id").as(idCol)).distinct()
     train.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** EXACT n-gram-overlap decontamination — the GPT-3 appendix-C / PaLM
+    * method, complementary to the MinHash [[decontaminate]] (that one
+    * catches NEAR-duplicate docs; this one flags a train doc containing
+    * ANY verbatim `n`-token window that also occurs in the eval corpus,
+    * however different the rest of the doc is). Returns per-train-doc
+    * `(doc_id, n_spans, n_hit_spans, contaminated)` — keep the signal
+    * rather than silently dropping rows, so the caller audits thresholds;
+    * filter `contaminated = 0` to clean.
+    *
+    * Scale shape: eval corpora are benchmark-sized, so the eval side's
+    * DISTINCT window fingerprints BROADCAST; the 100 TB train side then
+    * pays one map-only window explode + broadcast left join — no shuffle
+    * of the train corpus at all. `portable = true` swaps xxhash64 for the
+    * 60-bit polynomial fold so a SQL oracle reproduces exact fingerprints. */
+  def ngramDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      n: Int = 13,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      portable: Boolean = false
+  ): DataFrame = {
+    require(n >= 2, s"window must be >= 2 tokens, got $n")
+    def h(c: Column) = if (portable) portableHash60(c) else xxhash64(c)
+    val evalH = eval
+      .select(explode(tokenWindows(col(textCol), n)).as("w"))
+      .select(h(col("w")).as("h")).distinct()
+    val spanRows = train
+      .select(col(idCol).as("doc_id"), explode(tokenWindows(col(textCol), n)).as("w"))
+      .select(col("doc_id"), h(col("w")).as("h"))
+    val perDoc = spanRows
+      .join(broadcast(evalH.select(col("h"), lit(1L).as("hit"))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit_spans"))
+    train.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_hit_spans"), lit(0L)).as("n_hit_spans"),
+        (coalesce(col("n_hit_spans"), lit(0L)) > 0).cast("long").as("contaminated"))
   }
 
   /** 64-bit SimHash over the token multiset (unit weights): bit i is set

@@ -116,6 +116,29 @@ class OpsSpec extends SparkSpec {
     assert(fr(8L) == 0L)
   }
 
+  test("ngram-overlap decontamination: planted verbatim windows flag train docs") {
+    val train = Seq(
+      (0L, "alpha beta gamma delta extra tail content here"), // contains eval 4-gram
+      (1L, "totally different content with no overlap at all"),
+      (2L, "x alpha beta gamma delta y"),                      // same window mid-doc
+      (3L, "alpha beta gamma"),                                // shorter than n -> 0 spans
+      (4L, "")                                                 // empty
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the benchmark says alpha beta gamma delta verbatim"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramDecontaminate(train, eval, n = 4).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((0L, 5L, 1L, 1L)), s"doc0 ${got(0)}") // 8 toks -> 5 windows, 1 hit
+    assert(got(1) == ((1L, 5L, 0L, 0L)), s"doc1 ${got(1)}")
+    assert(got(2) == ((2L, 3L, 1L, 1L)), s"doc2 ${got(2)}") // 6 toks -> 3 windows
+    assert(got(3) == ((3L, 0L, 0L, 0L)), s"doc3 ${got(3)}")
+    assert(got(4) == ((4L, 0L, 0L, 0L)), s"doc4 ${got(4)}")
+    // portable fingerprints give the same decisions
+    val p = Dedup.ngramDecontaminate(train, eval, n = 4, portable = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(p.toSeq == got.map(r => (r._1, r._4)).toSeq)
+  }
+
   test("C4 cleaning signals: hand-computed line rules and keep decisions") {
     val d = Seq(
       // 3 qualifying lines (terminal punct + >= 5 words) -> keep
