@@ -998,6 +998,11 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    "ann_centroid_outliers" -> ((s, d) => // embedding-quality signal: cosine
+      // to the corpus centroid, flagged below a fixed threshold
+      Similarity.centroidCosine(embTable(s, d), threshold = 0.5)
+        .orderBy("vec_id")),
+
     "ann_lsh_topk" -> ((s, d) => { // portable congruential planes — the
       // oracle replicates the bucketing and ranks the same candidate set
       // (production keeps the xxhash64 planes, recall-tested in OpsSpec)
@@ -2401,6 +2406,27 @@ object SparkEntry {
          |)
          |SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS rank, id, cosine
          |FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "ann_centroid_outliers" -> // per-position mean over the corpus, then
+      // cosine of each vector to that centroid; flag below 0.5 computed on
+      // the UNROUNDED cosine exactly like the Spark column
+      """WITH pos AS (
+        |  SELECT unnest(range(1, len(embedding) + 1)) AS i, embedding
+        |  FROM embeddings),
+        |c AS (SELECT i, avg(embedding[i]::DOUBLE) AS m FROM pos GROUP BY i),
+        |cent AS (SELECT list(m ORDER BY i) AS ce FROM c),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * ce[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+        |     * sqrt(list_sum(list_transform(range(1, len(ce) + 1),
+        |        i -> ce[i] * ce[i])))) AS cosu
+        |  FROM embeddings e CROSS JOIN cent)
+        |SELECT vec_id, round(cosu, 6) AS centroid_cosine,
+        |  (CASE WHEN cosu < 0.5 THEN 1 ELSE 0 END)::BIGINT AS is_outlier
+        |FROM scored ORDER BY vec_id""".stripMargin,
 
     "text_tokcount" ->
       s"SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents ORDER BY doc_id",

@@ -36,6 +36,30 @@ object Similarity {
     when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Corpus-centroid cosine — the embedding-quality outlier signal a
+    * curation pipeline thresholds on (vectors pointing away from the
+    * corpus mean are mis-embedded, off-domain, or garbage rows). One
+    * position-exploded aggregation computes the dim-sized centroid
+    * (dim × n rows shuffle to dim groups — tiny payload), which then rides
+    * into a codegen'd literal-array cosine over the corpus: a 100 TB pass
+    * is one agg + one map-only scan, no window, no all-pairs anything.
+    * Returns `(id, centroid_cosine, is_outlier)`; `threshold` is a plain
+    * parameter because the right cut is corpus-specific — the signal
+    * column stays for auditing either way. */
+  def centroidCosine(emb: DataFrame, threshold: Double = 0.5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent: Array[Double] = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(avg(col("v")).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    require(cent.nonEmpty, "empty embedding corpus")
+    val centCol = array(cent.map(lit(_)): _*)
+    val cos = cosine(col(vecCol).cast("array<double>"), centCol)
+    emb.select(col(idCol),
+      round(cos, 6).as("centroid_cosine"),
+      (cos < threshold).cast("long").as("is_outlier"))
+  }
+
   /** Deterministic pseudo-random hyperplane component: unit-free sign test
     * only needs a fixed direction, so we derive component j of plane p from
     * xxhash64 — reproducible across engines and sessions, no RNG state. */

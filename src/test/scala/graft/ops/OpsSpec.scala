@@ -116,6 +116,24 @@ class OpsSpec extends SparkSpec {
     assert(fr(8L) == 0L)
   }
 
+  test("centroid cosine: hand-computed means and outlier flags") {
+    // centroid of {(1,0), (0,1), (1,1)} = (2/3, 2/3): cos((1,0), c) = cos 45°
+    // ≈ 0.707107 (above 0.5 → kept); (-1,-1) points away → cosine -1 → outlier
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(1f, 1f)), (3L, Array(-1f, -1f))
+    ).toDF("vec_id", "embedding")
+    // centroid over all four = (1/4, 1/4); recompute expectations:
+    // cos((1,0),(.25,.25)) = .25/(1*.353553) = 0.707107
+    // cos((1,1),(.25,.25)) = .5/(1.414214*.353553) = 1.0
+    // cos((-1,-1),c) = -1.0
+    val got = Similarity.centroidCosine(emb, threshold = 0.5).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(math.abs(got(0)._2 - 0.707107) < 1e-6 && got(0)._3 == 0L, s"${got(0)}")
+    assert(math.abs(got(1)._2 - 0.707107) < 1e-6 && got(1)._3 == 0L)
+    assert(math.abs(got(2)._2 - 1.0) < 1e-6 && got(2)._3 == 0L)
+    assert(math.abs(got(3)._2 + 1.0) < 1e-6 && got(3)._3 == 1L, s"${got(3)}")
+  }
+
   test("ngram-overlap decontamination: planted verbatim windows flag train docs") {
     val train = Seq(
       (0L, "alpha beta gamma delta extra tail content here"), // contains eval 4-gram
