@@ -1110,6 +1110,28 @@ object SparkEntry {
       Pipeline.sampleByHashPortable(docsTable(s, d), "doc_id", 0.25, "s1")
         .select("doc_id").orderBy("doc_id")),
 
+    "pl_clean_e2e" -> ((s, d) => { // the CAPSTONE composition: the ops
+      // chained as an actual training-data cleaning pipeline — near-dup
+      // keep-one, quality thresholds (Gopher signals), exact n-gram
+      // decontamination against the eval slice, then a 50% hash sample —
+      // with the WHOLE chain reproduced in one DuckDB query
+      val docs = docsTable(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "source", threshold = 0.05, n = 3)
+      val deduped = Dedup.dropDuplicates(docs, pairs).select("doc_id")
+      val quality = TextStats.gopherSignals(docs)
+        .filter(col("n_words") >= 10 && col("alpha_word_ratio") >= 0.8 &&
+          col("n_stop_kinds") >= 1)
+        .select("doc_id")
+      val clean = Dedup.ngramDecontaminate(
+          docs.filter(col("doc_id") % 5 =!= 0), docs.filter(col("doc_id") % 5 === 0),
+          n = 5, portable = true)
+        .filter(col("contaminated") === 0).select("doc_id")
+      val sampled = Pipeline.sampleByHashPortable(docs, "doc_id", 0.5, "e2e")
+        .select("doc_id")
+      deduped.join(quality, "doc_id").join(clean, "doc_id").join(sampled, "doc_id")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "pl_split" -> ((s, d) =>
       Pipeline.withSplitPortable(docsTable(s, d), "doc_id", 0.2, 0.1, "sp")
         .select("doc_id", "split").orderBy("doc_id")),
@@ -2434,6 +2456,62 @@ object SparkEntry {
     "pl_sample" ->
       s"""SELECT doc_id FROM ${plBucketSql("doc_id", "s1")}
          |WHERE b < 250000 ORDER BY doc_id""".stripMargin,
+
+    "pl_clean_e2e" -> // the whole cleaning chain in ONE query: keep-one
+      // near-dup dedup + Gopher-signal quality cut + exact n-gram
+      // decontamination (train slice only) + 50% portable hash sample
+      s"""WITH sh AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN len(arr) < 3 THEN [] ELSE
+         |      list_transform(range(1, len(arr) - 1), i -> array_to_string(arr[i:i+2], ' '))
+         |    END AS sh
+         |  FROM (SELECT doc_id, source, $toksSql AS arr FROM documents)
+         |), dropped AS (
+         |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) = 0 THEN 0.0
+         |    ELSE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(a.sh || b.sh)) END, 6) >= 0.05
+         |), q AS (
+         |  SELECT doc_id,
+         |    len(words)::BIGINT AS n_words,
+         |    round(CASE WHEN len(words) > 0 THEN
+         |      len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words)
+         |      ELSE 0.0 END, 6) AS awr,
+         |    (CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'the') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'be') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'to') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'of') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'and') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'that') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'have') THEN 1 ELSE 0 END
+         |     + CASE WHEN list_contains(list_transform(words, x -> lower(x)), 'with') THEN 1 ELSE 0 END
+         |    )::BIGINT AS nsk
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+         |        FROM documents)
+         |), evw AS (
+         |  SELECT DISTINCT ${portable60Sql("w")} AS h FROM (
+         |    SELECT unnest(CASE WHEN len(arr) < 5 THEN [] ELSE
+         |      list_transform(range(1, len(arr) - 3), i -> array_to_string(arr[i:i+4], ' ')) END) AS w
+         |    FROM (SELECT $toksSql AS arr FROM documents WHERE doc_id % 5 = 0))
+         |), tw AS (
+         |  SELECT doc_id, ${portable60Sql("w")} AS h FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(arr) < 5 THEN [] ELSE
+         |      list_transform(range(1, len(arr) - 3), i -> array_to_string(arr[i:i+4], ' ')) END) AS w
+         |    FROM (SELECT doc_id, $toksSql AS arr FROM documents WHERE doc_id % 5 <> 0))
+         |), contaminated AS (
+         |  SELECT DISTINCT tw.doc_id FROM tw JOIN evw ON tw.h = evw.h
+         |), samp AS (
+         |  SELECT doc_id FROM ${plBucketSql("doc_id", "e2e")} WHERE b < 500000
+         |)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id % 5 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |  AND EXISTS (SELECT 1 FROM q WHERE q.doc_id = d.doc_id
+         |              AND q.n_words >= 10 AND q.awr >= 0.8 AND q.nsk >= 1)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |  AND d.doc_id IN (SELECT doc_id FROM samp)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "pl_split" ->
       s"""SELECT doc_id,
