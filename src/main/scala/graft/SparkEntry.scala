@@ -1068,6 +1068,9 @@ object SparkEntry {
     "text_gopher_rules" -> ((s, d) => // Gopher quality thresholds
       TextStats.gopherSignals(docsTable(s, d)).orderBy("doc_id")),
 
+    "text_repetition_chars" -> ((s, d) => // Gopher char-fraction repetition
+      TextStats.repetitionChars(docsTable(s, d)).orderBy("doc_id")),
+
     "text_langid" -> ((s, d) =>
       TextStats.langId(docsTable(s, d)).orderBy("doc_id")),
 
@@ -2602,6 +2605,43 @@ object SparkEntry {
         |        AND ellipsis_line_ratio < 0.3 AND alpha_word_ratio >= 0.8
         |        AND n_stop_kinds >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "text_repetition_chars" -> // Gopher char-fraction repetition: line
+      // trimming/filtering, bigram construction, the lexicographic
+      // tie-break on the top bigram, and the overlap clamp must all agree
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+         |      x -> x <> '') AS lines,
+         |    $toksSql AS toks
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(lines, l -> length(l)::BIGINT)) AS line_chars,
+         |    list_sum(list_transform(lines, l ->
+         |      CASE WHEN len(list_filter(lines, m -> m = l)) > 1
+         |           THEN length(l)::BIGINT ELSE 0 END)) AS dup_chars,
+         |    list_sum(list_transform(toks, t -> length(t)::BIGINT)) AS tok_chars,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE [] END AS grams
+         |  FROM base),
+         |tops AS (
+         |  SELECT doc_id, line_chars, dup_chars, tok_chars,
+         |    coalesce(list_max(list_transform(grams, g ->
+         |      len(list_filter(grams, h -> h = g)))), 0) AS max_cnt,
+         |    list_min(list_filter(grams, g ->
+         |      len(list_filter(grams, h -> h = g)) =
+         |      coalesce(list_max(list_transform(grams, g2 ->
+         |        len(list_filter(grams, h2 -> h2 = g2)))), 0))) AS top
+         |  FROM sig)
+         |SELECT doc_id,
+         |  round(CASE WHEN coalesce(line_chars, 0) > 0
+         |    THEN dup_chars::DOUBLE / line_chars ELSE 0.0 END, 6) AS dup_line_char_frac,
+         |  round(CASE WHEN coalesce(tok_chars, 0) > 0 AND max_cnt > 0
+         |    THEN least(1.0, max_cnt::DOUBLE * (length(top) - 1) / tok_chars)
+         |    ELSE 0.0 END, 6) AS top_bigram_char_frac
+         |FROM tops ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

@@ -172,6 +172,44 @@ object TextStats {
         round(coalesce(col("tb"), lit(0.0)), 6).as("top_bigram_ratio"))
   }
 
+  /** Gopher A1.1 CHARACTER-fraction repetition signals — the flavors
+    * [[repetition]]'s count ratios don't capture (one huge duplicated
+    * paragraph among many short unique lines is invisible to a line-count
+    * ratio but dominates the char fraction):
+    *  - `dup_line_char_frac`: characters in line occurrences whose trimmed
+    *    content appears more than once in the doc, over all line chars;
+    *  - `top_bigram_char_frac`: characters covered by occurrences of the
+    *    most frequent token bigram (ties broken lexicographically — the
+    *    tie rule must be deterministic for cross-engine oracles), over the
+    *    doc's total token characters.
+    * Per-doc O(L²)/O(T²) array scans — lines/tokens per doc are bounded,
+    * so the corpus pass stays one map-only scan, no shuffle. */
+  def repetitionChars(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), x => trim(x)), x => x =!= "")
+    val lineChars = aggregate(lines, lit(0L), (a, l) => a + length(l))
+    val dupChars = aggregate(lines, lit(0L), (a, l) =>
+      a + when(size(filter(lines, m => m === l)) > 1, length(l).cast("long")).otherwise(lit(0L)))
+    val toks = tokensCol(col(textCol))
+    val tokChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val grams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(typedLit(Seq.empty[String]))
+    val counts = transform(grams, g => size(filter(grams, h => h === g)))
+    val maxCnt = coalesce(array_max(counts), lit(0))
+    val top = array_min(filter(grams, g =>
+      size(filter(grams, h => h === g)) === maxCnt))
+    docs.select(col(idCol),
+      round(when(lineChars > 0, dupChars.cast("double") / lineChars.cast("double"))
+        .otherwise(lit(0.0)), 6).as("dup_line_char_frac"),
+      round(when(tokChars > 0 && maxCnt > 0,
+        // a bigram's token characters = its string length minus the joiner;
+        // overlapping occurrences can over-count, so clamp to 1
+        least(lit(1.0), (maxCnt.cast("double") * (length(top) - lit(1)).cast("double"))
+          / tokChars.cast("double")))
+        .otherwise(lit(0.0)), 6).as("top_bigram_char_frac"))
+  }
+
   /** Corpus-unigram language-model quality score — the classic LM filter
     * (CCNet-style, with the corpus itself as the model): per doc the mean
     * log-probability `avg over tokens of ln(cf_t / total_tokens)` where

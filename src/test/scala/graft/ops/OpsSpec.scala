@@ -116,6 +116,27 @@ class OpsSpec extends SparkSpec {
     assert(fr(8L) == 0L)
   }
 
+  test("char-fraction repetition: hand-computed line and bigram fractions") {
+    val d = Seq(
+      (0L, "alpha beta\nalpha beta\ngamma"), // dup lines 20/25 chars; top
+                                             // bigram "alpha beta" ×2 → 18/23
+      (1L, "a a a a"),                       // overlap over-count: 3 × 2
+                                             // chars / 4 = 1.5 → clamped 1.0
+      (2L, ""),                              // empty
+      (3L, "unique one\nunique two")         // no dups; both bigram counts 1,
+                                             // tie → lexicographic min "one unique"
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionChars(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(got(0)._2 - 0.8) < 1e-6 && math.abs(got(0)._3 - 18.0 / 23) < 1e-6,
+      s"doc0 ${got(0)}")
+    assert(got(1)._2 == 0.0 && got(1)._3 == 1.0, s"doc1 ${got(1)}")
+    assert(got(2)._2 == 0.0 && got(2)._3 == 0.0)
+    // doc3 toks: unique one unique two (18 chars); bigrams each ×1; min =
+    // "one unique" (9 token chars) → 9/18 = 0.5
+    assert(got(3)._2 == 0.0 && got(3)._3 == 0.5, s"doc3 ${got(3)}")
+  }
+
   test("centroid cosine: hand-computed means and outlier flags") {
     // centroid of {(1,0), (0,1), (1,1)} = (2/3, 2/3): cos((1,0), c) = cos 45°
     // ≈ 0.707107 (above 0.5 → kept); (-1,-1) points away → cosine -1 → outlier
