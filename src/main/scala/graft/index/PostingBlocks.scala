@@ -91,7 +91,18 @@ object PostingBlocks {
     // RUN co-located, which the pair key preserves. 4 tasks/core amortizes
     // task-duration variance (measured best 8.5s vs 13.5s at 32 threads on
     // 53M postings; identical output either way).
-    val nParts = 4 * spark.sessionState.conf.numShufflePartitions
+    //
+    // The partition count is derived from the INPUT SIZE ESTIMATE, not a
+    // constant (guide §2: scale-adaptive partitioning): a fixed
+    // 4×shuffle.partitions was right for the 53M-posting corpus it was
+    // tuned on but pays ~128 pack tasks of pure scheduling overhead on a
+    // KB-sized store. ~1 MB of source bytes per pack task engages every
+    // core well before the cap; inputs without statistics (in-memory views
+    // over mapPartitions lineage report a huge default estimate) land on
+    // the cap, i.e. exactly the previous behavior.
+    val sizeBytes = postings.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = BigInt(4L * spark.sessionState.conf.numShufflePartitions)
+    val nParts = ((sizeBytes / (1L << 20)) max BigInt(1) min cap).toInt
     rows
       .repartition(nParts, col("bucket"), col("term_id"))
       .sortWithinPartitions(col("bucket"), col("term_id"), col("doc_ord"))

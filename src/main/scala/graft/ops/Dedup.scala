@@ -191,8 +191,11 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // persisted once: both band-join sides and the verify join read it;
-    // without this the shingle+signature chain is recomputed 4x
-    val withSh = docs.select(col(idCol).as("id"),
+    // without this the shingle+signature chain is recomputed 4x.
+    // Par.fanOut BEFORE shingling: a single-file corpus otherwise computes
+    // every signature on one core (guide §2.5), and the exchange moves raw
+    // text rows, never the derived shingle arrays
+    val withSh = graft.Par.fanOut(docs).select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh")).persist()
 
     // band key rows carry ONLY (id, band, bucket) — the heavy shingle arrays
@@ -241,7 +244,7 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val withSh = docs.select(col(idCol).as("id"),
+    val withSh = graft.Par.fanOut(docs).select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh")).persist()
     val banded = withSh
       .withColumn("sig", minhashSignaturePortable(col("sh"), numHashes, seed))
@@ -389,7 +392,7 @@ object Dedup {
     // hash every token exactly once (a materialized projection between the
     // two selects), then take the bit-majority votes over the long array —
     // NOT xxhash64 inside each of the 64 folds
-    val hashed = docs.select(col(idCol),
+    val hashed = graft.Par.fanOut(docs).select(col(idCol),
       transform(toks, t => xxhash64(t)).as("th"))
     hashed.select(col(idCol), simhashBits(col("th"), 64).as("simhash"))
   }
@@ -400,7 +403,7 @@ object Dedup {
     * [[simhash64]] (codegen'd xxhash64, full 64 bits). */
   def simhash60Portable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = TextStats.tokensCol(col(textCol))
-    val hashed = docs.select(col(idCol),
+    val hashed = graft.Par.fanOut(docs).select(col(idCol),
       transform(toks, t => portableHash60(t)).as("th"))
     hashed.select(col(idCol), simhashBits(col("th"), 60).as("simhash"))
   }

@@ -49,6 +49,22 @@ object Multimodal {
     override def features(bytes: Array[Byte], kind: String, width: Int, height: Int): Array[Float] = {
       val out = new Array[Float](dim)
       try {
+        // probe header dimensions BEFORE decoding: a decompression-bomb
+        // stream (tiny bytes declaring huge width×height) would allocate
+        // w·h·4 bytes inside ImageIO.read and the resulting
+        // OutOfMemoryError is an Error that escapes the Exception catch —
+        // killing the task, not the row. 16k×16k ≈ 1 GiB decoded is the cap.
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return out // unrecognized format → zero vector
+        val reader = readers.next()
+        val (pw, ph) =
+          try {
+            reader.setInput(iis)
+            (reader.getWidth(0), reader.getHeight(0))
+          } finally { reader.dispose(); iis.close() }
+        if (pw <= 0 || ph <= 0 || pw > 16384 || ph > 16384) return out
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) return out // unrecognized format → zero vector
         val w = img.getWidth; val h = img.getHeight
@@ -107,6 +123,10 @@ object Multimodal {
         var dataOff = -1; var dataLen = 0
         while (pos + 8 <= bytes.length) {
           val ckId = bb.getInt(pos); val ckLen = bb.getInt(pos + 4)
+          // malformed negative length (ckLen -8/-9 would advance pos by 0)
+          // must bail to the zero vector, not spin the task forever — the
+          // per-row-degradation contract is that bad payloads cost one row
+          if (ckLen < 0) return out
           if (ckId == 0x20746d66 /* "fmt " */ && pos + 8 + 16 <= bytes.length) {
             channels = bb.getShort(pos + 10).toInt
             sampleRate = bb.getInt(pos + 12)
@@ -234,7 +254,11 @@ object Multimodal {
       StructField("media", BinaryType, nullable = false),
       StructField("media_meta", mediaSchema, nullable = false)))
     val idIdx = df.schema.fieldIndex(idCol)
-    df.mapPartitions { rows =>
+    // Par.fanOut BEFORE synthesizing payloads: a single-file input batch
+    // otherwise encodes (and every downstream decode pass decodes) all
+    // media on one core (guide §2.5); the exchange moves the small doc
+    // rows — the media bytes are generated post-shuffle and never move
+    graft.Par.fanOut(df).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(idIdx)
         val (bytes, meta) =

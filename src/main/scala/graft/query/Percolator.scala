@@ -44,7 +44,10 @@ object Percolator {
       return docs.sparkSession.emptyDataFrame
         .withColumn("doc_id", lit(0L)).withColumn("q_id", lit(0L)).limit(0)
     val slotsDf = slots.toDF("q_id", "term", "req", "is_and")
-    docs
+    // Par.fanOut before the analyze+explode: a single-file doc batch
+    // otherwise analyzes and explodes every document on one core (guide
+    // §2.5); the exchange moves raw doc rows, never the exploded terms
+    graft.Par.fanOut(docs)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(analyzer.termsColumn(col(textCol)))).as("term"))
       .join(broadcast(slotsDf), "term")

@@ -194,6 +194,19 @@ final class Searcher(
   /** Full driver-resident dictionary (serving mode, vocab ≤ localDictMax):
     * resolve() is pure driver work, no Spark job per query. */
   @volatile private var fullLocalDict: Option[Map[String, ResolvedTerm]] = None
+  /** Lazily-built driver dictionary for NON-serving sessions: the first
+    * [[resolve]] attempts ONE bounded collect (limit(max+1) proves
+    * completeness, exactly like IndexBuilder.localTermDict); when the
+    * vocabulary fits, every later query resolves on the driver — removing
+    * the per-query dictionary job that was a fixed ~15 ms + job-gap floor
+    * on EVERY query surface (measured in bench/HeadlineProbe: 6 jobs per
+    * match query, one of them the dictionary lookup). Web-scale
+    * vocabularies exceed the bound: the attempt stops at max+1 rows
+    * (limit pushdown — not a full scan), `autoDictTried` pins the outcome,
+    * and per-query t_bucket-pruned lookups continue as before. Results are
+    * identical either way — same columns, same rows. */
+  @volatile private var autoDict: Option[Map[String, ResolvedTerm]] = None
+  @volatile private var autoDictTried = false
   /** Miss-through resolve cache (serving mode, vocab > localDictMax):
     * bounded LRU of term -> Option[ResolvedTerm] (negative entries are safe —
     * a Searcher is a snapshot view of one committed index state). */
@@ -263,21 +276,11 @@ final class Searcher(
       postingsPinned = true
     }
     if (fullLocalDict.isEmpty && resolveLru.isEmpty) {
-      // ONE driver count decides the shape; vocab-sized either way
-      val vocab = index.termDict.count()
-      if (vocab <= localDictMax) {
-        val hasCf = index.termDict.columns.contains("cf")
-        val hasBucket = index.termBuckets > 0
-        val cols = Seq("term", "term_id", "df") ++
-          (if (hasCf) Seq("cf") else Nil) ++
-          (if (hasBucket) Seq("t_bucket") else Nil)
-        fullLocalDict = Some(index.termDict.select(cols.map(col): _*).collect().map { r =>
-          val cf = if (hasCf) r.getLong(3) else -1L
-          val bucket = if (hasBucket) r.getInt(if (hasCf) 4 else 3) else -1
-          r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1),
-            r.getLong(2), bucket, cf)
-        }.toMap)
-      } else {
+      // ONE bounded collect decides the shape AND loads the dictionary
+      // (limit(max+1) proves completeness — the former separate count()
+      // job is folded into the collect)
+      fullLocalDict = collectLocalDict(localDictMax)
+      if (fullLocalDict.isEmpty) {
         val cap = math.max(localDictMax, 1024)
         resolveLru = Some(new java.util.LinkedHashMap[String, Option[ResolvedTerm]](
             1024, 0.75f, /*accessOrder=*/ true) {
@@ -372,7 +375,34 @@ final class Searcher(
         return lru.synchronized(terms.flatMap(t => Option(lru.get(t)).flatten))
       case None =>
     }
-    resolveJob(terms)
+    if (!autoDictTried) {
+      autoDict = collectLocalDict(graft.index.IndexBuilder.SmallVocabMax)
+      autoDictTried = true
+    }
+    autoDict match {
+      case Some(d) => terms.flatMap(d.get)
+      case None    => resolveJob(terms)
+    }
+  }
+
+  /** One bounded whole-dictionary collect: Some(map) when the vocabulary
+    * fits `max` (the limit(max+1) returning ≤ max rows proves the whole
+    * vocabulary was returned), None otherwise. Shared by [[serving]]'s
+    * opt-in pin and the lazy auto-dictionary above. */
+  private def collectLocalDict(max: Int): Option[Map[String, ResolvedTerm]] = {
+    val hasCf = index.termDict.columns.contains("cf")
+    val hasBucket = index.termBuckets > 0
+    val cols = Seq("term", "term_id", "df") ++
+      (if (hasCf) Seq("cf") else Nil) ++
+      (if (hasBucket) Seq("t_bucket") else Nil)
+    val rows = index.termDict.select(cols.map(col): _*).limit(max + 1).collect()
+    if (rows.length > max) return None
+    Some(rows.map { r =>
+      val cf = if (hasCf) r.getLong(3) else -1L
+      val bucket = if (hasBucket) r.getInt(if (hasCf) 4 else 3) else -1
+      r.getString(0) -> ResolvedTerm(r.getString(0), r.getLong(1),
+        r.getLong(2), bucket, cf)
+    }.toMap)
   }
 
   /** The Spark dictionary-lookup job behind [[resolve]]: t_bucket-pruned

@@ -137,6 +137,16 @@ object ParquetIndexStorage {
         }
     }
 
+  /** Row bound under which a compaction's (doc_ord, new_ord) remap table is
+    * BROADCAST to its remap joins instead of shuffle-joined: 8M rows ≈
+    * ~256 MB of hashed relation — comfortable on any executor profile this
+    * engine targets, and far under the 8 GB broadcast cap. Conf-tunable
+    * (`spark.graft.remapBroadcastMaxRows`) because the right bound is an
+    * executor-memory question, not an algorithm question. */
+  private def remapBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.remapBroadcastMaxRows")
+      .map(_.toLong).getOrElse(8000000L)
+
   /** How many compactions this manifest has applied. Staged deltas record
     * it ([[applyStagedDelta]] refuses a mismatch): a compaction REMAPS
     * ordinals, so staged content from before one refers to documents that
@@ -215,10 +225,15 @@ object ParquetIndexStorage {
     // ---- stage: docs (doc-range partitioned: key lookups prune, and the
     // incremental path overwrites only the touched ranges) -----------------
     val docsMarker = runStage("docs") {
+      // row count observed ON the write job (guide §1.4/§5): the former
+      // read-back count() was one extra job locally and a full re-scan of
+      // the docs table at corpus scale, for a number the write already knows
+      val obs = org.apache.spark.sql.Observation()
       docs.withColumn("d_bucket",
           floor(col("doc_ord") / lit(p.blockParams.bucketSpan)).cast("long"))
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$path/docs")
-      StageMarker("docs", spark.read.parquet(s"$path/docs").count(), 0, lineage)
+      StageMarker("docs", obs.get("n").asInstanceOf[Long], 0, lineage)
     }
     val numDocs = docsMarker.rows
 
@@ -248,9 +263,14 @@ object ParquetIndexStorage {
 
     // ---- stage: doc stats (token_count = Σ tf from the raw checkpoint) ----
     val statsMarker = runStage("stats") {
+      // token total observed ON the write (guide §1.4/§5): the former
+      // read-back aggregation was one extra job and a full doc_stats
+      // re-scan at corpus scale; the observed sum sees the identical rows
+      val obs = org.apache.spark.sql.Observation()
       spark.read.parquet(s"$path/_stage/raw")
         .groupBy(col("doc_ord"))
         .agg(sum(col("tf")).cast("int").as("token_count"))
+        .observe(obs, coalesce(sum(col("token_count").cast("long")), lit(0L)).as("tokens"))
         .withColumn("d_bucket",
           floor(col("doc_ord") / lit(p.blockParams.bucketSpan)).cast("long"))
         // re-cluster on the leaf key: the agg output is hash(doc_ord)-
@@ -260,8 +280,7 @@ object ParquetIndexStorage {
         .repartition(col("d_bucket"))
         .sortWithinPartitions(col("d_bucket"), col("doc_ord"))
         .write.mode("overwrite").partitionBy("d_bucket").parquet(s"$path/doc_stats")
-      val tokens = spark.read.parquet(s"$path/doc_stats")
-        .agg(coalesce(sum(col("token_count").cast("long")), lit(0L))).head().getLong(0)
+      val tokens = obs.get("tokens").asInstanceOf[Long]
       // exact sum/count division (not avg()): keeps avgdl — and with it all
       // BM25 scores — bit-identical across parallelism levels
       val avgdl0 = if (numDocs == 0) 0.0 else tokens.toDouble / numDocs
@@ -271,6 +290,13 @@ object ParquetIndexStorage {
     val avgdl = statsMarker.lineage("avgdl").toDouble
 
     // ---- stage: term dictionary -----------------------------------------
+    // When the single-collect path runs THIS build, the driver-resident
+    // LocalRelation is kept and handed to the postings groups below: each
+    // group's dictionary probe then broadcasts straight from driver rows
+    // instead of re-reading the term_dict parquet (one scan job per group).
+    // Resumed builds (stage marker already present) fall back to the
+    // parquet read — the rows are identical by construction.
+    var dictLocal: Option[DataFrame] = None
     val dictMarker = runStage("dict") {
       val raw = rawWithHash(spark.read.parquet(s"$path/_stage/raw"))
       val termStats = raw.groupBy(col("term"))
@@ -286,10 +312,13 @@ object ParquetIndexStorage {
       graft.index.IndexBuilder.localTermDict(termStats) match {
         case Some((ld, _, hashOk)) =>
           val n = ld.count() // LocalRelation — driver-side, no cluster scan
-          ld.withColumn("t_bucket", pmod(col("term_h"), lit(p.termBuckets)).cast("int"))
+          val withBucket = ld
+            .withColumn("t_bucket", pmod(col("term_h"), lit(p.termBuckets)).cast("int"))
             .select("term_id", "term", "term_h", "df", "cf", "t_bucket")
+          withBucket
             .coalesce(1) // vocab-sized single file beats 2×cpus 600-row files
             .write.mode("overwrite").parquet(s"$path/term_dict")
+          dictLocal = Some(withBucket)
           StageMarker("dict", n, 0, lineage + ("hashKeyOk" -> hashOk.toString))
         case None =>
           val withBucket = raw.groupBy(col("term"), col("t_bucket"))
@@ -323,7 +352,7 @@ object ParquetIndexStorage {
         val buckets = (0 until p.termBuckets).filter(_ % p.writeGroups == g)
         val raw = rawWithHash(spark.read.parquet(s"$path/_stage/raw"))
           .filter(col("t_bucket").isin(buckets: _*))
-        val dict = spark.read.parquet(s"$path/term_dict")
+        val dict = dictLocal.getOrElse(spark.read.parquet(s"$path/term_dict"))
           .filter(col("t_bucket").isin(buckets: _*))
           .select(joinKey, "term_id")
         val fin = raw.join(dict, joinKey)
@@ -337,16 +366,32 @@ object ParquetIndexStorage {
         val finOut = if (p.sortPostingsFiles)
           fin.sortWithinPartitions(col("t_bucket"), col("d_group"), col("doc_ord"))
         else fin
-        finOut.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        // Per-bucket metrics observed ON the write job (guide §1.4/§5):
+        // the former read-back groupBy(t_bucket) was two extra jobs per
+        // group locally and re-scanned the whole just-written postings
+        // store at corpus scale. termBuckets is bounded (a config constant,
+        // 16-64), so one conditional aggregate per (bucket, metric) keeps
+        // the observation fixed-size; approx_count_distinct over the
+        // when()-masked term_id sees exactly the bucket's rows (nulls are
+        // ignored), identical to the read-back per-group HLL.
+        val obs = org.apache.spark.sql.Observation()
+        val mexprs = buckets.flatMap { b =>
+          Seq(
+            sum(when(col("t_bucket") === b, 1L).otherwise(0L)).as(s"n_$b"),
+            sum(when(col("t_bucket") === b, col("tf").cast("long"))
+              .otherwise(0L)).as(s"tok_$b"),
+            approx_count_distinct(
+              when(col("t_bucket") === b, col("term_id"))).as(s"terms_$b"))
+        }
+        finOut.observe(obs, mexprs.head, mexprs.tail: _*)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("t_bucket", "d_group").parquet(s"$path/postings")
-        val metrics = spark.read.parquet(s"$path/postings")
-          .filter(col("t_bucket").isin(buckets: _*))
-          .groupBy(col("t_bucket"))
-          .agg(count(lit(1)).as("postings"), sum(col("tf")).as("tokens"),
-            approx_count_distinct(col("term_id")).as("terms"))
-          .collect()
-          .map(r => BucketMetrics(r.getInt(0), r.getLong(3), r.getLong(1), r.getLong(2), 0))
-        StageMarker(s"postings_g$g", metrics.map(_.postings).sum, 0, lineage, metrics.toSeq)
+        val m = obs.get
+        val metrics = buckets
+          .map(b => BucketMetrics(b, m(s"terms_$b").asInstanceOf[Long],
+            m(s"n_$b").asInstanceOf[Long], m(s"tok_$b").asInstanceOf[Long], 0))
+          .filter(_.postings > 0) // empty buckets stayed absent before too
+        StageMarker(s"postings_g$g", metrics.map(_.postings).sum, 0, lineage, metrics)
       }
     // the injected-crash hook needs deterministic "later groups never ran"
     // semantics — run strictly inline under it (a queued future would still
@@ -369,10 +414,13 @@ object ParquetIndexStorage {
     runStage("blocks") {
       val postings = spark.read.parquet(s"$path/postings")
       val docStats = spark.read.parquet(s"$path/doc_stats")
+      // block count observed ON the write: the read-back count() was one
+      // extra job and a full block-store re-scan at corpus scale
+      val obs = org.apache.spark.sql.Observation()
       writeBlocks(PostingBlocks.buildFrom(postings, docStats, p.blockParams),
-        spark.read.parquet(s"$path/term_dict"), p.dGroupSpan,
-        p.blockParams.bucketSpan, s"$path/blocks")
-      StageMarker("blocks", spark.read.parquet(s"$path/blocks").count(), 0, lineage)
+        dictLocal.getOrElse(spark.read.parquet(s"$path/term_dict")), p.dGroupSpan,
+        p.blockParams.bucketSpan, s"$path/blocks", countInto = Some(obs))
+      StageMarker("blocks", obs.get("n").asInstanceOf[Long], 0, lineage)
     }
 
     val mf = IndexManifest(4, sourceDesc, analyzer.describe, numDocs, avgdl,
@@ -398,15 +446,18 @@ object ParquetIndexStorage {
     * repartition keys the write so each leaf holds whole files; files are
     * (term_id, min_doc)-sorted for row-group pruning within a leaf. */
   private def writeBlocks(blocks: Dataset[PostingBlockRow], termDict: DataFrame,
-      dGroupSpan: Long, bucketSpan: Long, dest: String): Unit = {
+      dGroupSpan: Long, bucketSpan: Long, dest: String,
+      countInto: Option[org.apache.spark.sql.Observation] = None): Unit = {
     val gSpan = if (dGroupSpan > 0) dGroupSpan else bucketSpan
-    blocks.toDF()
+    val clustered = blocks.toDF()
       .join(termDict.select(col("term_id"), col("t_bucket")), "term_id")
       .withColumn("d_group",
         floor(col("bucket") * lit(bucketSpan) / lit(gSpan)).cast("long"))
       .repartition(col("t_bucket"), col("d_group"))
       .sortWithinPartitions(col("term_id"), col("bucket"), col("min_doc"))
-      .write.mode("overwrite").partitionBy("t_bucket", "d_group").parquet(dest)
+    val observed = countInto.fold(clustered)(o =>
+      clustered.observe(o, count(lit(1)).as("n")))
+    observed.write.mode("overwrite").partitionBy("t_bucket", "d_group").parquet(dest)
   }
 
   /** Refuse mutating a store whose block table predates the (t_bucket,
@@ -1138,8 +1189,18 @@ object ParquetIndexStorage {
           col("g_off") + row_number().over(w).cast("long") - lit(1L))
         .select("doc_ord", "new_ord")
         .persist()
+      // (old, new) ordinal pairs are two longs/row: BROADCAST the remap
+      // when it fits (guide §3.1) — the un-hinted join otherwise
+      // sort-merge-shuffles every table it remaps, including the postings
+      // store WITH its positions payload, just to swap an ordinal (guide
+      // §8: heavy bytes should move once, in the re-cluster exchange, not
+      // twice). Beyond the bound (conf-tunable; at 10^12 docs no remap
+      // broadcasts) the shuffle join is the correct fallback.
+      val remapJoin =
+        if (gCounts.map(_._2).sum <= remapBroadcastMaxRows(spark)) broadcast(remap)
+        else remap
       def remapped(df: DataFrame): DataFrame =
-        df.join(remap, "doc_ord").drop("doc_ord")
+        df.join(remapJoin, "doc_ord").drop("doc_ord")
           .withColumnRenamed("new_ord", "doc_ord")
 
       // every remapped table passes through a shuffle join on doc_ord, so
@@ -1391,8 +1452,13 @@ object ParquetIndexStorage {
           row_number().over(w).cast("long") - lit(1L))
         .select("doc_ord", "new_ord")
         .persist()
+      // touched-groups-sized (old, new) pairs: broadcast when they fit,
+      // same rationale as [[compact]]'s remap join
+      val remapJoin =
+        if (counts.map(_._3).sum <= remapBroadcastMaxRows(spark)) broadcast(remap)
+        else remap
       def remapped(df: DataFrame): DataFrame =
-        df.join(remap, "doc_ord").drop("doc_ord")
+        df.join(remapJoin, "doc_ord").drop("doc_ord")
           .withColumnRenamed("new_ord", "doc_ord")
 
       val docsCols = docs0.drop("d_bucket").columns
@@ -1437,7 +1503,7 @@ object ParquetIndexStorage {
             .collect().map(_.getInt(0)).toSeq
           spark.read.parquet(s"$path/keymap")
             .filter(col("k_bucket").isin(kbs: _*))
-            .join(remap, Seq("doc_ord"), "left")
+            .join(remapJoin, Seq("doc_ord"), "left")
             .withColumn("doc_ord", coalesce(col("new_ord"), col("doc_ord")))
             .drop("new_ord", "k_bucket")
             .withColumn("k_bucket", kBucketCol(mf.keyCols, mf.keyBuckets))

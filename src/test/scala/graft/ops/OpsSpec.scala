@@ -910,4 +910,40 @@ class OpsSpec extends SparkSpec {
       "undecodable kind yields zeros")
     assert(dec.features(Array.emptyByteArray, "audio", 0, 0).forall(_ == 0f))
   }
+
+  test("WavDecoder: a malformed negative chunk length bails, never spins") {
+    // passes the RIFF/WAVE magic, then a chunk with ckLen = -8: the walk's
+    // `pos += 8 + ckLen + (ckLen & 1)` would advance by ZERO and hang the
+    // task forever without the negative-length bail (per-row degradation
+    // contract: one bad payload costs one zero-vector row, not a task)
+    val data = new Array[Byte](64)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0, 0x46464952); bb.putInt(4, 56); bb.putInt(8, 0x45564157)
+    bb.putInt(12, 0x6b6e756a /* "junk" */); bb.putInt(16, -8)
+    val f = new Multimodal.WavDecoder(12).features(data, "audio", 0, 0)
+    assert(f.forall(_ == 0f), s"expected zero vector, got ${f.toSeq}")
+  }
+
+  test("ImageIoDecoder: over-cap header dimensions bail before decoding") {
+    // a real 17000x1 PNG (cheap to encode) exceeds the 16384 header cap:
+    // the decoder must return the zero vector from the header probe instead
+    // of allocating the decoded raster (decompression-bomb guard)
+    val img = new java.awt.image.BufferedImage(
+      17000, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = new Multimodal.ImageIoDecoder(12).features(bos.toByteArray, "image", 0, 0)
+    assert(f.forall(_ == 0f), s"expected zero vector, got ${f.toSeq}")
+  }
+
+  test("Par.fanOut widens single-partition inputs and leaves wide ones alone") {
+    import spark.implicits._
+    val narrow = (1 to 100).toDF("v").coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val widened = graft.Par.fanOut(narrow)
+    assert(widened.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    assert(widened.select(org.apache.spark.sql.functions.sum($"v")).head.getLong(0) == 5050L)
+    val wide = (1 to 100).toDF("v").repartition(spark.sparkContext.defaultParallelism)
+    assert(graft.Par.fanOut(wide) eq wide, "already-wide input must pass through untouched")
+  }
 }
