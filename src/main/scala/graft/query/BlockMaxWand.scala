@@ -199,6 +199,76 @@ object BlockMaxWand {
       .collect().sum
   }
 
+  /** Serving-mode matched-ORDINAL enumeration over the bucket-pinned block
+    * table — the full-materialization sibling of [[matchCountLocal]]: the
+    * same per-bucket k-way sorted merge, emitting the matching doc_ords
+    * instead of counting them. One shuffle-free job; the driver concatenates
+    * per-bucket results (buckets partition the ordinal space, so the global
+    * set is the disjoint union). CALLER CONTRACT: only invoke when the
+    * result size is provably bounded (AND: min term df; OR: Σ term df —
+    * both known from the dictionary before any cluster work), so the
+    * collect is broadcast-sized by construction. Set-identical to the
+    * postings aggregation (same block content, same set semantics). */
+  def matchOrdsLocal(
+      blocks: Dataset[PostingBlockRow],
+      termIds: Seq[Long],
+      requireAll: Boolean
+  ): Array[Long] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    if (termIds.isEmpty) return Array.empty
+    val ids = termIds.distinct
+    val need = ids.size
+    blocks
+      .filter(col("term_id").isin(ids: _*))
+      .mapPartitions { it =>
+        val out = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.toVector.groupBy(_.bucket).iterator.foreach { case (_, rows) =>
+          val lists: Array[Array[Long]] = rows.groupBy(_.term_id).valuesIterator.map { bs =>
+            val sorted = bs.sortBy(_.min_doc)
+            val total = sorted.iterator.map(_.n).sum
+            val flat = new Array[Long](total)
+            var o = 0
+            sorted.foreach { b =>
+              val d = PostingBlocks.decodeDocs(b)
+              System.arraycopy(d, 0, flat, o, d.length); o += d.length
+            }
+            flat
+          }.toArray
+          if (requireAll && lists.length < need) ()
+          else if (lists.length == 1) out ++= lists(0)
+          else {
+            val idx = new Array[Int](lists.length)
+            var live = true
+            while (live) {
+              var minDoc = Long.MaxValue
+              var present = 0
+              var i = 0
+              while (i < lists.length) {
+                if (idx(i) < lists(i).length) {
+                  val d = lists(i)(idx(i))
+                  if (d < minDoc) { minDoc = d; present = 1 }
+                  else if (d == minDoc) present += 1
+                }
+                i += 1
+              }
+              if (minDoc == Long.MaxValue) live = false
+              else {
+                if (!requireAll || present == need) out += minDoc
+                i = 0
+                while (i < lists.length) {
+                  if (idx(i) < lists(i).length && lists(i)(idx(i)) == minDoc) idx(i) += 1
+                  i += 1
+                }
+              }
+            }
+          }
+        }
+        Iterator.single(out.result())
+      }
+      .collect().flatten
+  }
+
   /** BATCH top-k over the block table: evaluate a whole QUERY SET with one
     * plan — the realistic offline shape at 10^12 docs (per-query plans pay
     * fixed driver costs that do not shrink with cluster size; exhaustive

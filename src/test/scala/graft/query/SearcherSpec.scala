@@ -725,6 +725,95 @@ class SearcherSpec extends SparkSpec {
     }
   }
 
+  test("serving mode: block-local unranked match is row-identical, ≤2 jobs, bounded") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // multi-bucket corpus (bucketSpan=4) so the per-bucket sorted merges
+    // actually merge across cached partitions
+    val bodies = (0 until 24).map { i =>
+      val extra = if (i % 3 == 0) " go" else if (i % 3 == 1) " ruby go" else ""
+      s"doc common$extra term$i"
+    }
+    val bp = graft.index.BlockParams(blockSize = 2, bucketSpan = 4)
+    val s = new Searcher(index(bodies, Analyzer.standard()), Analyzer.standard(), bp)
+    val cases = Seq(("go ruby", Or), ("go common", And), ("common term7", And),
+      ("nosuchterm", Or), ("go nosuchterm", And), ("go go common", And),
+      ("common", Or))
+    def rows() = cases.map { case (kw, lg) =>
+      s.matchQuery(kw, lg).collect().map(_.toSeq).toSeq
+    }
+    val cold = rows()
+    s.serving()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      s.matchQuery(cases.head._1, cases.head._2).collect() // warm
+      Thread.sleep(300); jobs.set(0)
+      assert(rows() == cold,
+        "serving block-local match must be row-identical to the aggregation plan")
+      Thread.sleep(500)
+      val n = jobs.get()
+      // 5 live matches × (1 ords job + 1 fetch job); the two statically-empty
+      // queries run zero jobs (driver dictionary + empty LocalRelation)
+      assert(n <= 10, s"serving match ran $n jobs for ${cases.size} queries — " +
+        "the 2-jobs-per-query contract regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // bound guard: forcing the bound to 0 must fall back to the distributed
+    // plan with identical rows
+    spark.conf.set("spark.graft.servingMatchMaxRows", "0")
+    try assert(rows() == cold, "over-bound fallback must stay row-identical")
+    finally spark.conf.unset("spark.graft.servingMatchMaxRows")
+    s.unpin()
+    assert(rows() == cold, "post-unpin results must match the cold plan")
+  }
+
+  test("serving mode: block-local phrase is row-identical across slop/inOrder, ≤2 jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // positions matter: adjacency, gaps, repeats, multi-bucket layout
+    val bodies = Seq(
+      "alpha beta gamma alpha beta", "beta alpha beta gamma", "gamma beta alpha",
+      "alpha alpha beta", "alpha x y beta", "beta y x alpha", "alpha beta",
+      "x alpha y beta z gamma", "beta beta alpha alpha", "gamma gamma gamma",
+      "alpha z z z beta", "y alpha beta gamma y alpha")
+    val bp = graft.index.BlockParams(blockSize = 2, bucketSpan = 4)
+    val s = new Searcher(index(bodies, Analyzer.standard()), Analyzer.standard(), bp)
+    val phrases = Seq("alpha beta", "beta alpha", "alpha beta gamma",
+      "alpha alpha", "alpha", "alpha nosuch", "alpha alpha beta")
+    val grid = for {
+      p <- phrases; slop <- Seq(0, 1, 2, 5); ord <- Seq(false, true)
+    } yield (p, slop, ord)
+    def rows() = grid.map { case (p, slop, ord) =>
+      s.phraseQuery(p, slop = slop, inOrder = ord).collect().map(_.toSeq).toSeq
+    }
+    val cold = rows()
+    s.serving(pinPostings = true) // the bench serving shape
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      s.phraseQuery(phrases.head).collect() // warm
+      Thread.sleep(300); jobs.set(0)
+      assert(rows() == cold,
+        "serving block-local phrase must be row-identical to the distributed plan")
+      Thread.sleep(500)
+      val n = jobs.get()
+      // 48 live evaluations (6 resolvable phrases × 8 grid points) × ≤2 jobs;
+      // the unknown-term phrase runs zero (driver dictionary answers it)
+      assert(n <= 96, s"serving phrase ran $n jobs for ${grid.size} evaluations — " +
+        "the 2-jobs-per-query contract regressed")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // bound guard: forcing the bound to 0 must fall back, rows identical
+    spark.conf.set("spark.graft.servingMatchMaxRows", "0")
+    try assert(rows() == cold, "over-bound fallback must stay row-identical")
+    finally spark.conf.unset("spark.graft.servingMatchMaxRows")
+    s.unpin()
+    assert(rows() == cold, "post-unpin results must match the cold plan")
+  }
+
   test("serving mode: LRU miss-through path (vocab > localDictMax) parity") {
     val s = new Searcher(
       index(Seq("Ruby PHP JS", "Go Ruby", "Ruby Go PHP", "Go PHP"),
