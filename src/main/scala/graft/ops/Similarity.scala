@@ -363,13 +363,22 @@ object Similarity {
     // untouched; only the broadcast query side fans out ×(1+probes))
     val qb = lshBucketed(q, "q_id", "q_v",
       index.planes, index.tables, index.dim, index.seed, index.portable, probes)
+    // ONE exchange serves both the multi-table dedup and the per-query rank
+    // window (guide §2.4 "two operations keyed the same way can share one
+    // exchange"): hash(q_id) co-locates every (q_id, id) duplicate — a
+    // subset key satisfies the aggregation's clustering — and the window's
+    // q_id partitioning is already established, so the former
+    // distinct-then-window pair of exchanges collapses to this single one.
+    // Per-partition width = one query's candidates, bounded by tables ×
+    // bucket sizes.
     val cand = allowOnly(
       index.buckets
         .join(broadcast(qb), Seq("tbl", "bucket"))
         .filter(col("id") =!= col("q_id"))
         .select("q_id", "id"),
       allowed)
-      .distinct() // union of tables — id pairs only, no vector payload
+      .repartition(col("q_id"))
+      .dropDuplicates("q_id", "id") // union of tables — id pairs only
     val scored = cand
       .join(index.corpus, "id")
       .join(broadcast(q), "q_id")
@@ -567,6 +576,9 @@ object Similarity {
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("id"),
         round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+      // hash(q_id) exchange shared by the dedup AND the rank window below
+      // (subset key satisfies the clustering) — was two exchanges
+      .repartition(col("q_id"))
       .dropDuplicates("q_id", "id") // a pair can meet via several probes
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w))

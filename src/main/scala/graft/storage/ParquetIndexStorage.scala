@@ -262,7 +262,13 @@ object ParquetIndexStorage {
     }
 
     // ---- stage: doc stats (token_count = Σ tf from the raw checkpoint) ----
-    val statsMarker = runStage("stats") {
+    // Independent of the dict → postings → blocks chain (blocks only needs
+    // the doc_stats DIRECTORY to exist, and only legacy dl-less inputs read
+    // it), so it runs CONCURRENTLY with them (guide §2.6: overlap
+    // independent jobs — serial stages leave the cluster idle between
+    // fixed-latency actions). Joined before the blocks stage. The injected-
+    // crash hook keeps strict serial order for deterministic semantics.
+    def runStatsStage(): StageMarker = runStage("stats") {
       // token total observed ON the write (guide §1.4/§5): the former
       // read-back aggregation was one extra job and a full doc_stats
       // re-scan at corpus scale; the observed sum sees the identical rows
@@ -287,7 +293,12 @@ object ParquetIndexStorage {
       StageMarker("stats", numDocs, 0,
         lineage ++ Map("avgdl" -> avgdl0.toString, "tokens" -> tokens.toString))
     }
-    val avgdl = statsMarker.lineage("avgdl").toDouble
+    val statsFuture: scala.concurrent.Future[StageMarker] =
+      if (failAfter.isDefined)
+        scala.concurrent.Future.successful(runStatsStage())
+      else
+        scala.concurrent.Future(runStatsStage())(
+          scala.concurrent.ExecutionContext.global)
 
     // ---- stage: term dictionary -----------------------------------------
     // When the single-collect path runs THIS build, the driver-resident
@@ -409,6 +420,12 @@ object ParquetIndexStorage {
             scala.concurrent.Future(runGroup(g)))), Duration.Inf)
       } finally pool.shutdown()
     }
+
+    // stats must be committed before blocks (doc_stats directory + the
+    // legacy dl-less read path) and before the manifest (avgdl)
+    val statsMarker = scala.concurrent.Await.result(
+      statsFuture, scala.concurrent.duration.Duration.Inf)
+    val avgdl = statsMarker.lineage("avgdl").toDouble
 
     // ---- stage: WAND block table -----------------------------------------
     runStage("blocks") {
