@@ -262,12 +262,15 @@ object ParquetIndexStorage {
     }
 
     // ---- stage: doc stats (token_count = Σ tf from the raw checkpoint) ----
-    // Independent of the dict → postings → blocks chain (blocks only needs
-    // the doc_stats DIRECTORY to exist, and only legacy dl-less inputs read
-    // it), so it runs CONCURRENTLY with them (guide §2.6: overlap
-    // independent jobs — serial stages leave the cluster idle between
-    // fixed-latency actions). Joined before the blocks stage. The injected-
-    // crash hook keeps strict serial order for deterministic semantics.
+    // Independent of the dictionary stage, so it runs CONCURRENTLY with it
+    // (guide §2.6: overlap independent jobs — the dictionary's vocab-sized
+    // collect otherwise leaves the cluster underused while stats waits).
+    // Joined BEFORE the postings groups launch: overlapping stats with the
+    // 4 concurrent group writers as well was measured to push a 10^6-turn
+    // build over an 8 GiB heap (each open parquet writer buffers row groups
+    // per partition leaf — guide §5: concurrency multiplies peak memory).
+    // The injected-crash hook keeps strict serial order for deterministic
+    // crash semantics.
     def runStatsStage(): StageMarker = runStage("stats") {
       // token total observed ON the write (guide §1.4/§5): the former
       // read-back aggregation was one extra job and a full doc_stats
@@ -353,6 +356,12 @@ object ParquetIndexStorage {
     val joinKey =
       if (dictMarker.lineage.get("hashKeyOk").exists(_.toBoolean)) "term_h" else "term"
 
+    // stats joins here: committed before the postings groups open their
+    // concurrent parquet writers (see the stats stage comment on peak heap)
+    val statsMarker = scala.concurrent.Await.result(
+      statsFuture, scala.concurrent.duration.Duration.Inf)
+    val avgdl = statsMarker.lineage("avgdl").toDouble
+
     // ---- stage: final postings, in resumable bucket groups ---------------
     // groups run as CONCURRENT Spark jobs (disjoint t_bucket partition
     // sets; each commits its own marker) — serial groups leave the cluster
@@ -420,12 +429,6 @@ object ParquetIndexStorage {
             scala.concurrent.Future(runGroup(g)))), Duration.Inf)
       } finally pool.shutdown()
     }
-
-    // stats must be committed before blocks (doc_stats directory + the
-    // legacy dl-less read path) and before the manifest (avgdl)
-    val statsMarker = scala.concurrent.Await.result(
-      statsFuture, scala.concurrent.duration.Duration.Inf)
-    val avgdl = statsMarker.lineage("avgdl").toDouble
 
     // ---- stage: WAND block table -----------------------------------------
     runStage("blocks") {
