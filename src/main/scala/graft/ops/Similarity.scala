@@ -229,9 +229,16 @@ object Similarity {
     val base = filter.map(corpus.filter).getOrElse(corpus)
     val c = base.select(col(idCol).as("id"), col(vecCol).as("v"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_v"))
-    val scored = c.join(broadcast(q), col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"),
-        round(cosine(col("v"), col("q_v")), 6).as("cosine"))
+    val scored = graft.TopK.prunePerKey(
+      // bounded per-partition top-k selection BEFORE the rank window: the
+      // full scan's |Q| x corpus scored rows otherwise all cross the
+      // window's exchange and each query's corpus-sized list sorts on one
+      // reducer; the prune caps that at partitions x queries x k rows with
+      // bit-identical survivors (graft.TopK scaladoc has the order proof)
+      c.join(broadcast(q), col("id") =!= col("q_id"))
+        .select(col("q_id"), col("id"),
+          round(cosine(col("v"), col("q_v")), 6).as("cosine")),
+      "q_id", "cosine", "id", k)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), asc("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

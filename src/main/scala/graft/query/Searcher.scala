@@ -1756,7 +1756,13 @@ final class Searcher(
     }
     if (slots.isEmpty)
       return Seq.empty[(Int, Long, Long, Double)].toDF("q_id", "rank", "doc_ord", "score")
-    val scored = batchScores(slots, byTerm.values.toSeq)
+    // bounded per-partition top-k selection BEFORE the rank window: the
+    // window otherwise shuffles every (q_id, doc) scored row a second time
+    // and sorts each query's whole matched set on one reducer — the prune
+    // caps the window's input at partitions x queries x k rows with
+    // bit-identical survivors (graft.TopK scaladoc has the order proof)
+    val scored = graft.TopK.prunePerKey(
+      batchScores(slots, byTerm.values.toSeq), "q_id", "score", "doc_ord", k)
     val w = Window.partitionBy(col("q_id")).orderBy(desc("score"), asc("doc_ord"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
