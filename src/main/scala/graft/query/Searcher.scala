@@ -503,13 +503,32 @@ final class Searcher(
       .agg(count(lit(1)).as("nterms"), sum(scoreExpr).as("score"))
   }
 
-  /** Ranked tail shared by the top-k variants: docs join on the scored
-    * ordinals, (score desc, doc_ord asc), k rows —
-    * TakeOrderedAndProject, never a global sort. */
-  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
-    index.docs.join(scored.select("doc_ord", "score"), "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
+  /** Ranked tail shared by the top-k variants: the k-cut happens on the
+    * (doc_ord, score) pairs FIRST — TakeOrderedAndProject over the scored
+    * aggregation — and only the k winners fetch their doc rows, via a
+    * broadcast join into the docs scan (guide §8: decide with small rows,
+    * move the payload once). The former shape joined the FULL docs table —
+    * text payload included — to the whole matched set before the cut, so a
+    * hot-term query shuffled every matched doc row through the ranking
+    * exchange. Cut-before-fetch equals fetch-before-cut because scored
+    * ordinals are unique (post-aggregation) and every one exists in docs
+    * (postings reference only indexed docs — the storage invariant). The
+    * trailing limit keeps the final k-row sort a TakeOrderedAndProject
+    * (a bare orderBy adds a range-partitioner sampling job). */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = scored.select("doc_ord", "score")
+      .orderBy(desc("score"), asc("doc_ord")).limit(k)
+    index.docs.join(broadcast(topk), "doc_ord")
+      .orderBy(desc("score"), asc("doc_ord")).limit(k)
+  }
+
+  /** [[rankedTopK]] with the page-cursor ordering — scores quantized to
+    * [[Searcher.PageGrain]] digits, same cut-then-fetch shape. */
+  private def rankedTopKPaged(scored: DataFrame, k: Int): DataFrame = {
+    def ord = Seq(round(col("score"), Searcher.PageGrain).desc, col("doc_ord").asc)
+    val topk = scored.select("doc_ord", "score").orderBy(ord: _*).limit(k)
+    index.docs.join(broadcast(topk), "doc_ord").orderBy(ord: _*).limit(k)
+  }
 
   private[query] def tfIdfExpr: Column =
     col("tf").cast("double") / col("token_count").cast("double") * col("w_tfidf")
@@ -1441,11 +1460,16 @@ final class Searcher(
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
     val scored = scoredMatches(rts, bm25Expr).select("doc_ord", "score")
     val w = Window.partitionBy(col(groupCol)).orderBy(desc("score"), asc("doc_ord"))
-    index.docs.join(scored, "doc_ord")
+    // the window needs only the group key, so it runs over the matched set
+    // joined to docs projected to (doc_ord, groupCol) — the winners then
+    // fetch their full doc rows through the shared cut-then-fetch tail
+    // instead of dragging the docs payload through the window's exchange
+    val winners = index.docs.select(col("doc_ord"), col(groupCol))
+      .join(scored, "doc_ord")
       .withColumn("grp_rank", row_number().over(w))
-      .filter(col("grp_rank") === 1).drop("grp_rank")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
+      .filter(col("grp_rank") === 1)
+      .select("doc_ord", "score")
+    rankedTopK(winners, k)
   }
 
   /** Grouped relevance (Elasticsearch `has_child` score modes, over a
@@ -1537,9 +1561,7 @@ final class Searcher(
             coalesce(col("rescore"), lit(0.0)) * rescoreWeight)
           .drop("rescore")
     }
-    index.docs.join(combined.select("doc_ord", "score"), "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
+    rankedTopK(combined, k)
   }
 
   /** Boosting query (Elasticsearch `boosting`): ranked by the positive
@@ -1616,10 +1638,7 @@ final class Searcher(
         scored0.filter(scoreQ < cursorQ ||
           (scoreQ === cursorQ && col("doc_ord") > afterOrd))
     }
-    index.docs
-      .join(scored.select("doc_ord", "score"), "doc_ord")
-      .orderBy(round(col("score"), Searcher.PageGrain).desc, col("doc_ord").asc)
-      .limit(k)
+    rankedTopKPaged(scored, k)
   }
 
   /** BM25 top-k in filter context (Elasticsearch `bool.filter`): `docFilter`
@@ -1630,12 +1649,20 @@ final class Searcher(
     * and shrinks the join input; the postings scan stays pruned to the
     * query terms as usual. */
   def bm25TopKFiltered(keyword: String, docFilter: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val rts = resolve(analyzer.terms(keyword).distinct)
     if (rts.isEmpty) return emptyDocs(withScore = true).limit(0)
-    index.docs.filter(docFilter)
-      .join(scoredMatches(rts, bm25Expr).select("doc_ord", "score"), "doc_ord")
-      .orderBy(desc("score"), asc("doc_ord"))
-      .limit(k)
+    val scored = scoredMatches(rts, bm25Expr).select("doc_ord", "score")
+    // a literal-true filter (the plain bm25TopK composition) needs no
+    // eligibility semi-join at all; a real predicate restricts the scored
+    // ordinals with a semi-join against the FILTERED docs projected to
+    // doc_ord only, so the k-cut still happens before any payload moves
+    val eligible = ColumnBridge.expression(docFilter) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(true, _) => scored
+      case _ => scored.join(index.docs.filter(docFilter).select("doc_ord"),
+        Seq("doc_ord"), "left_semi")
+    }
+    rankedTopK(eligible, k)
   }
 
   /** Function-score top-k (Elasticsearch `function_score` with multiply
@@ -1728,7 +1755,10 @@ final class Searcher(
       case None =>
         val top = BlockMaxWand.topK(blocksFor(rts), weights, k, blockParams,
           index.avgDocLen, metrics)
-        index.docs.join(top, "doc_ord").orderBy(desc("score"), asc("doc_ord"))
+        // top is <= k rows (BlockMaxWand.topK ends in a limit): broadcast
+        // the fetch and keep the k-row resort a TakeOrderedAndProject
+        index.docs.join(broadcast(top), "doc_ord")
+          .orderBy(desc("score"), asc("doc_ord")).limit(k)
     }
   }
 
