@@ -68,6 +68,8 @@ object PlanDump {
       .head.getSeq[Float](0).map(_.toDouble).toSeq
     dump("q_hybrid_rrf", graft.query.Hybrid.bm25VectorTopK(
       searcher, emb, "spark join", hybQv, k = 20, nPerSide = 100))
+    dump("q_bm25_batch", searcher.bm25TopKBatch(
+      Seq("spark join", "vector window", "group data", "slow merge data"), 10))
     dump("op_dedup_exact", Dedup.exact(docs))
     dump("op_dedup_minhash",
       Dedup.minhashLshPairs(docs, threshold = 0.05, numHashes = 16, bands = 8))
